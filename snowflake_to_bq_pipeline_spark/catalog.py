@@ -1,0 +1,65 @@
+"""Table registry: load the test/bench parquet tables as DataFrames.
+
+Mirrors the reference's implicit catalog (Snowflake source tables /
+BigQuery target tables, e.g. WORK_ITEM_DETAILS, USER_TIME_ENTRY_BQ,
+CLIENT_DIMENSION — see /root/reference/README.md) as a parquet-backed
+star schema. One ``spark.read.parquet`` per table keeps column pruning
+and predicate pushdown available to every downstream plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that are always broadcast-joined against facts.
+DIMENSIONS = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+
+# Columns written as parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+# natively. We read them as raw nanos (legacy conf) and truncate to
+# microsecond timestamps — exactly what DuckDB does when it reads the same
+# files, so oracle comparisons stay bit-identical.
+NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    nano_cols = NANO_TS_COLS.get(name, ())
+    if nano_cols:
+        # Runtime-settable; required whether or not the session factory set it
+        # (the correctness driver hands us its own SparkSession).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in nano_cols:
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table in the scale-factor dir keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load tables and register them as temp views for spark.sql plans."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,85 @@
+"""Shared column expressions used across plans.
+
+These reproduce the reference's BigQuery SQL idioms (SAFE_DIVIDE, budget
+status CASE buckets, schedule status, monthly pivots — see
+work_item_individual_budget_time_tracking_view_v5.sql:224-382) as reusable
+Spark Column builders. All are pure column expressions — they stay inside
+whole-stage codegen, no Python execution at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+#: Exact decimal type used for additive money aggregates. Summing doubles is
+#: add-order-dependent (different engines / different partitionings produce
+#: last-ulp differences that can flip a rounding boundary); summing decimals
+#: is exact and therefore bit-stable across engines and across cluster sizes.
+#: Rule of thumb used throughout: exact decimal for ADDITIVE aggregates,
+#: plain double for everything multiplicative/divisive derived afterwards
+#: (identical double inputs → identical IEEE results).
+DEC = "decimal(18,6)"
+
+
+def dec(col: Column) -> Column:
+    """Cast to the exact-arithmetic decimal type for additive aggregates."""
+    return col.cast(DEC)
+
+
+def money(col: Column, scale: int = 2) -> Column:
+    """Finalize a decimal money aggregate: fixed scale, double output."""
+    return F.round(col, scale).cast("double")
+
+
+def safe_divide(num: Column, den: Column) -> Column:
+    """BigQuery SAFE_DIVIDE: NULL instead of error/inf on zero denominator."""
+    return F.when(den != 0, num / den)
+
+
+def budget_status(budgeted: Column, actual: Column, approach_frac: float = 0.8) -> Column:
+    """OVER / APPROACHING / WITHIN / NO_BUDGET_SET buckets (v5 view L366-374)."""
+    return (
+        F.when((budgeted > 0) & (actual > budgeted), F.lit("OVER_BUDGET"))
+        .when((budgeted > 0) & (actual > budgeted * approach_frac), F.lit("APPROACHING_BUDGET"))
+        .when(budgeted > 0, F.lit("WITHIN_BUDGET"))
+        .otherwise(F.lit("NO_BUDGET_SET"))
+    )
+
+
+def utilization_pct(budgeted: Column, actual: Column) -> Column:
+    """Percent of budget consumed; NULL when no budget (v5 view L228-232)."""
+    return F.when(budgeted > 0, money(actual / budgeted * 100))
+
+
+def schedule_status(due: Column, completed_flag: Column, now: Column, due_soon_days: int = 3) -> Column:
+    """OVERDUE / DUE_SOON / ON_TRACK (v5 view L376-382).
+
+    ``now`` is passed in (not CURRENT_TIMESTAMP) so results are deterministic
+    and oracle-comparable.
+    """
+    return (
+        F.when(due.isNotNull() & (due < now) & ~completed_flag, F.lit("OVERDUE"))
+        .when(
+            due.isNotNull()
+            & (due <= F.timestamp_add("DAY", F.lit(due_soon_days), now))
+            & ~completed_flag,
+            F.lit("DUE_SOON"),
+        )
+        .otherwise(F.lit("ON_TRACK"))
+    )
+
+
+def month_bucket_sum(value: Column, date_col: Column, year: int, month: int) -> Column:
+    """SUM(CASE WHEN year/month matches THEN value ELSE 0) (v5 view L23-34)."""
+    cond = (F.year(date_col) == year) & (F.month(date_col) == month)
+    return F.sum(F.when(cond, value).otherwise(F.lit(0.0)))
+
+
+def net_price(extended: Column, discount: Column) -> Column:
+    """Actual charged amount for a line entry (extendedprice net of discount).
+
+    Computed in exact decimal so downstream SUMs are add-order-independent.
+    """
+    return dec(extended) * (F.lit(1).cast(DEC) - dec(discount))

@@ -1,0 +1,185 @@
+"""Budget-vs-actual analytical views — the reference's flagship queries.
+
+Reference parity:
+- ``budget_vs_actual``: work_item_budget_time_tracking_view_v4.sql — per
+  work item, budget vs aggregated time entries, variance, utilization %,
+  OVER/APPROACHING/WITHIN/NO_BUDGET status buckets.
+- ``individual_budget_tracking``:
+  work_item_individual_budget_time_tracking_view_v5.sql — per
+  (work item, user): budget-allocation aggregate FULL-OUTER-unioned with
+  time-entry aggregate so contributors with time but no budget (and budget
+  but no time) all appear; work-item-level totals joined alongside;
+  utilization/variance/status at the individual grain.
+
+Data mapping onto the test star schema: ``orders`` ≈ work items,
+``lineitem`` ≈ entry lines, ``l_suppkey`` ≈ the individual contributor.
+Return-flagged lines ('A'/'R') play the role of budget allocations;
+'N' lines play logged time — giving the same two-sided union semantics the
+v5 view fixes (users on one side only must still appear).
+
+Scale: two partial aggregations on (orderkey, suppkey) — map-side combined,
+one shuffle each on the same key so AQE/exchange-reuse co-locates them; the
+contributor-key union is a cheap distinct on already-shuffled keys; the
+order-level join broadcasts when the order dim is small and shuffle-joins
+on o_orderkey otherwise. No window functions, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import DEC, budget_status, money, net_price
+
+APPROACH_FRAC = 0.8
+
+
+def budget_vs_actual(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Per-order budget vs actual with variance/utilization/status."""
+    li = lineitem.groupBy("l_orderkey").agg(
+        money(F.sum(net_price(F.col("l_extendedprice"), F.col("l_discount")))).alias(
+            "actual_amount"
+        ),
+        money(
+            F.sum(
+                F.when(
+                    F.col("l_tax") > 0,
+                    net_price(F.col("l_extendedprice"), F.col("l_discount")),
+                ).otherwise(F.lit(0).cast(DEC))
+            )
+        ).alias("billable_amount"),
+        money(F.sum("l_quantity")).alias("actual_qty"),
+        F.count(F.lit(1)).alias("entry_count"),
+        F.countDistinct("l_suppkey").alias("unique_contributors"),
+        F.min("l_shipdate").alias("first_entry_date"),
+        F.max("l_shipdate").alias("last_entry_date"),
+    )
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+
+    budget = money(F.col("o_totalprice"))
+    actual = F.coalesce(F.col("actual_amount"), F.lit(0.0))
+    return joined.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_orderpriority").alias("order_priority"),
+        F.col("o_orderdate").alias("order_date"),
+        budget.alias("budget_amount"),
+        money(actual).alias("actual_amount"),
+        F.coalesce(F.col("billable_amount"), F.lit(0.0)).alias("billable_amount"),
+        F.coalesce(F.col("actual_qty"), F.lit(0.0)).alias("actual_qty"),
+        F.coalesce(F.col("entry_count"), F.lit(0).cast("long")).alias("entry_count"),
+        F.coalesce(F.col("unique_contributors"), F.lit(0).cast("long")).alias(
+            "unique_contributors"
+        ),
+        F.col("first_entry_date"),
+        F.col("last_entry_date"),
+        money(budget - actual).alias("variance_amount"),
+        F.when(budget > 0, money(actual / budget * 100)).alias("utilization_pct"),
+        budget_status(budget, actual, APPROACH_FRAC).alias("budget_status"),
+    )
+
+
+def _allocation_summary(lineitem: DataFrame) -> DataFrame:
+    """Budget-allocation aggregate per (order, contributor).
+
+    Plays the v5 view's IndividualBudgetSummary role (L53-105).
+    """
+    return (
+        lineitem.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            money(
+                F.sum(net_price(F.col("l_extendedprice"), F.col("l_discount")))
+            ).alias("ind_budget_amount"),
+            money(F.sum("l_quantity")).alias("ind_budget_qty"),
+            F.count(F.lit(1)).alias("allocation_count"),
+        )
+    )
+
+
+def _time_entry_summary(lineitem: DataFrame) -> DataFrame:
+    """Logged-time aggregate per (order, contributor).
+
+    Plays the v5 view's IndividualTimeEntrySummary role (L11-37);
+    ``l_tax > 0`` stands in for IS_BILLABLE.
+    """
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "N")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            money(F.sum(net)).alias("ind_actual_amount"),
+            money(
+                F.sum(F.when(F.col("l_tax") > 0, net).otherwise(F.lit(0).cast(DEC)))
+            ).alias("ind_billable_amount"),
+            money(F.sum("l_quantity")).alias("ind_actual_qty"),
+            F.count(F.lit(1)).alias("time_entry_count"),
+            F.min("l_shipdate").alias("first_entry_date"),
+            F.max("l_shipdate").alias("last_entry_date"),
+        )
+    )
+
+
+def individual_budget_tracking(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Per-(order, contributor) budget vs actual — the v5 flagship.
+
+    Contributors appearing only on the budget side or only on the time side
+    are both kept (the exact bug the reference's v5 rewrite fixed, v5 view
+    L111-136), via a distinct union of the two key sets left-joined back to
+    each aggregate.
+    """
+    alloc = _allocation_summary(lineitem)
+    time_ = _time_entry_summary(lineitem)
+
+    contributors = (
+        alloc.select("l_orderkey", "l_suppkey")
+        .unionByName(time_.select("l_orderkey", "l_suppkey"))
+        .dropDuplicates()
+    )
+
+    joined = (
+        contributors.join(alloc, ["l_orderkey", "l_suppkey"], "left")
+        .join(time_, ["l_orderkey", "l_suppkey"], "left")
+        .join(
+            orders.select(
+                "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+            ),
+            contributors.l_orderkey == F.col("o_orderkey"),
+            "left",
+        )
+    )
+
+    ind_budget = F.coalesce(F.col("ind_budget_amount"), F.lit(0.0))
+    ind_actual = F.coalesce(F.col("ind_actual_amount"), F.lit(0.0))
+    return joined.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_suppkey").alias("contributor_key"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_orderpriority").alias("order_priority"),
+        money(F.col("o_totalprice")).alias("order_budget_total"),
+        ind_budget.alias("ind_budget_amount"),
+        F.coalesce(F.col("ind_budget_qty"), F.lit(0.0)).alias("ind_budget_qty"),
+        F.coalesce(F.col("allocation_count"), F.lit(0).cast("long")).alias(
+            "allocation_count"
+        ),
+        ind_actual.alias("ind_actual_amount"),
+        F.coalesce(F.col("ind_billable_amount"), F.lit(0.0)).alias(
+            "ind_billable_amount"
+        ),
+        F.coalesce(F.col("ind_actual_qty"), F.lit(0.0)).alias("ind_actual_qty"),
+        F.coalesce(F.col("time_entry_count"), F.lit(0).cast("long")).alias(
+            "time_entry_count"
+        ),
+        F.col("first_entry_date"),
+        F.col("last_entry_date"),
+        money(ind_budget - ind_actual).alias("ind_variance_amount"),
+        F.when(ind_budget > 0, money(ind_actual / ind_budget * 100)).alias(
+            "ind_utilization_pct"
+        ),
+        budget_status(ind_budget, ind_actual, APPROACH_FRAC).alias("ind_budget_status"),
+        F.when(F.col("ind_budget_amount").isNotNull(), F.lit("INDIVIDUAL_BUDGET"))
+        .otherwise(F.lit("NO_BUDGET"))
+        .alias("budget_source"),
+        F.col("ind_budget_amount").isNotNull().alias("has_individual_budget"),
+        F.col("ind_actual_amount").isNotNull().alias("has_time_logged"),
+    )

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for both local testing and large-cluster runs.
+
+Scale posture: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), Arrow on (vectorized Python interchange), UTC session timezone
+(deterministic timestamp semantics across engines), broadcast threshold left
+at default but every dimension join in this repo adds an explicit
+``broadcast()`` hint so plans do not depend on stats being available.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "snowflake_to_bq_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    On a real cluster ``master`` comes from the environment / submit args;
+    locally we default to ``local[$SPARK_GRAFT_CPUS or *]``.
+    ``spark.sql.shuffle.partitions`` defaults to 32 locally (matches the
+    local[32] test harness); on a 1000-executor cluster it should be set to
+    ~2-3x total cores by the submitter — AQE coalesces the excess.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
