@@ -1,0 +1,118 @@
+"""Data-quality and pipeline-monitoring operators.
+
+Reference parity:
+- ``profile_columns``: data_quality_agent.py — per-column null/distinct
+  profiling of synced tables.
+- ``row_count_by_day``: pipeline_monitoring.sql — per-day per-type volume
+  counts driving the monitoring dashboard.
+- ``row_count_compare``: validate_snowflake_data.py — source-vs-target
+  count reconciliation (the reference runs two COUNT queries and compares
+  in Python; here it is one full-outer-joined plan).
+- ``freshness_check``: pipeline_fallback_monitor.py — staleness per
+  stream vs the global watermark.
+
+Scale: ``profile_columns`` is one pass over the table (multi-distinct via
+Spark's expand — exact, as the oracle demands; swap ``exact=False`` for
+HyperLogLog approx_count_distinct at 100 TB). Counts/freshness are plain
+partial aggregations; the day-level compare joins two tiny aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], exact: bool = True
+) -> DataFrame:
+    """One row per column: row/non-null/null/distinct counts.
+
+    Single scan: one aggregate computing every metric, then an unpivot
+    (``stack``) to rows. ``exact=False`` switches to approx_count_distinct
+    (HLL) — the right call at 100 TB where exact multi-distinct explodes.
+    """
+    distinct_fn = F.countDistinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(distinct_fn(F.col(c)).alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+
+    stack_args = ", ".join(f"'{c}', __nn_{c}, __nd_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column_name, non_null_count, distinct_count)",
+        "row_count",
+    ).select(
+        "column_name",
+        "row_count",
+        "non_null_count",
+        (F.col("row_count") - F.col("non_null_count")).alias("null_count"),
+        "distinct_count",
+    )
+
+
+def row_count_by_day(
+    df: DataFrame, ts_col: str, type_col: str | None = None
+) -> DataFrame:
+    """Per-day (and optionally per-type) row counts."""
+    keys = [F.to_date(F.col(ts_col)).alias("day")]
+    if type_col:
+        keys.append(F.col(type_col))
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("row_count"))
+
+
+def row_count_compare(
+    source: DataFrame,
+    target: DataFrame,
+    source_ts: str,
+    target_ts: str,
+) -> DataFrame:
+    """Full-outer day-level count reconciliation between two tables."""
+    s = source.groupBy(F.to_date(F.col(source_ts)).alias("day")).agg(
+        F.count(F.lit(1)).alias("source_count")
+    )
+    t = target.groupBy(F.to_date(F.col(target_ts)).alias("day")).agg(
+        F.count(F.lit(1)).alias("target_count")
+    )
+    joined = s.join(t, "day", "full_outer")
+    sc = F.coalesce(F.col("source_count"), F.lit(0).cast("long"))
+    tc = F.coalesce(F.col("target_count"), F.lit(0).cast("long"))
+    return joined.select(
+        "day",
+        sc.alias("source_count"),
+        tc.alias("target_count"),
+        (sc - tc).alias("count_diff"),
+        (sc == tc).alias("counts_match"),
+    )
+
+
+def freshness_check(
+    df: DataFrame, ts_col: str, type_col: str, stale_after_seconds: int = 86400
+) -> DataFrame:
+    """Per-type watermark lag vs the global max timestamp.
+
+    Lag is computed in exact integer microseconds (no float time math) so
+    the staleness flag is engine-independent.
+    """
+    per_type = df.groupBy(type_col).agg(
+        F.max(ts_col).alias("last_event_ts"),
+        F.count(F.lit(1)).alias("row_count"),
+    )
+    global_max = df.agg(F.max(ts_col).alias("__global_max_ts"))
+    lag_s = (
+        F.unix_micros(F.col("__global_max_ts")) - F.unix_micros(F.col("last_event_ts"))
+    ) / F.lit(1000000)
+    lag_seconds = F.floor(lag_s).cast("long")
+    return (
+        per_type.crossJoin(F.broadcast(global_max))
+        .select(
+            type_col,
+            "last_event_ts",
+            "row_count",
+            lag_seconds.alias("lag_seconds"),
+            (lag_seconds > stale_after_seconds).alias("is_stale"),
+        )
+    )

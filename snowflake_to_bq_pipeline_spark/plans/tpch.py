@@ -1,0 +1,119 @@
+"""Classic analytical benchmarks (TPC-H Q1/Q3/Q5 adapted to the test
+schema) — the throughput headliners for bench.py.
+
+These exercise the heavy physical paths the sync/views also rely on:
+full-scan aggregation with decimal sums (Q1), selective multi-join +
+top-k (Q3), and a six-table join rollup with broadcast dimensions (Q5).
+
+Scale: Q1 is a single partial-agg scan (no join). Q3/Q5 broadcast every
+dimension side; only lineitem⋈orders shuffles, on the join key. Filters
+sit directly on the scans so parquet pushdown prunes row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import DEC, dec, money, net_price
+
+Q1_CUTOFF = "2001-08-06"
+Q3_DATE = "1998-03-15"
+Q3_SEGMENT = "BUILDING"
+Q5_REGION = "ASIA"
+Q5_START, Q5_END = "1996-01-01", "1997-01-01"
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1: pricing summary report."""
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    # charge in double per-row then exact-decimal cast: a 3-way decimal
+    # product would overflow precision 38 with engine-specific rounding.
+    charge = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    ).cast(DEC)
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        money(F.sum(dec(F.col("l_extendedprice")))).alias("sum_base_price"),
+        money(F.sum(net)).alias("sum_disc_price"),
+        money(F.sum(charge)).alias("sum_charge"),
+        F.round(F.sum("l_quantity") / cnt, 4).alias("avg_qty"),
+        F.round(
+            F.sum(dec(F.col("l_extendedprice"))).cast("double") / cnt, 4
+        ).alias("avg_price"),
+        F.round(F.sum(dec(F.col("l_discount"))).cast("double") / cnt, 4).alias(
+            "avg_disc"
+        ),
+        cnt.alias("count_order"),
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q3 (adapted): top-10 open orders by outstanding revenue."""
+    cut = F.lit(Q3_DATE).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == Q3_SEGMENT).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money(F.sum(net)).alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            "revenue",
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("order_key"))
+        .limit(10)
+    )
+
+
+def q5_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 (adapted): revenue by nation for one region/year, where
+    the supplier and customer share the nation."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q5_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    nations_in_region = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == Q5_REGION)),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("n_nationkey", "n_name")
+    )
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nations_in_region),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(money(F.sum(net)).alias("revenue"))
+        .select(F.col("n_name").alias("nation_name"), "revenue")
+    )

@@ -320,3 +320,336 @@ def individual_budget_tracking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget.individual_budget_tracking(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2-B  Enrichment / rollup / pivot views
+# ---------------------------------------------------------------------------
+
+from .plans import enrichment  # noqa: E402
+from .operators import anomaly, quality  # noqa: E402
+from .plans import tpch  # noqa: E402
+
+
+@query(
+    "work_item_enriched",
+    oracle="""
+    SELECT
+      o.o_orderkey AS order_key,
+      o.o_orderdate AS order_date,
+      o.o_orderstatus AS order_status,
+      o.o_orderpriority AS order_priority,
+      CAST(ROUND(o.o_totalprice, 2) AS DOUBLE) AS budget_amount,
+      c.c_custkey AS customer_key,
+      c.c_name AS customer_name,
+      c.c_mktsegment AS market_segment,
+      c.c_acctbal AS customer_acctbal,
+      n.n_name AS nation_name,
+      r.r_name AS region_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def work_item_enriched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact × dimension-chain enrichment (ref: v5 view joins L422-450)."""
+    return enrichment.work_item_enriched(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "utilization_rollup",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, SUM({_NET}) AS actual_dec
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    g AS (
+      SELECT r.r_name AS region_name, n.n_name AS nation_name,
+             COUNT(*) AS order_count,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS budget_total,
+             CAST(ROUND(SUM(COALESCE(li.actual_dec, 0)), 2) AS DOUBLE)
+               AS actual_total
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region_name, nation_name, order_count, budget_total, actual_total,
+           CAST(ROUND(budget_total - actual_total, 2) AS DOUBLE) AS variance_total,
+           CASE WHEN budget_total > 0
+                THEN ROUND(actual_total / budget_total * 100, 2)
+           END AS utilization_pct
+    FROM g
+    """,
+)
+def utilization_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region/nation budget-vs-actual rollup (ref: dashboard aggregations)."""
+    return enrichment.utilization_rollup(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+_PIVOT_YEAR = 1998
+
+@query(
+    "monthly_hours_pivot",
+    oracle="\n".join(
+        ["SELECT li.l_suppkey AS contributor_key, s.s_name AS contributor_name,"]
+        + [
+            f"  ROUND(SUM(CASE WHEN EXTRACT(YEAR FROM l_shipdate) = {_PIVOT_YEAR}"
+            f" AND EXTRACT(MONTH FROM l_shipdate) = {m} THEN l_quantity"
+            f" ELSE 0.0 END), 2) AS qty_m{m:02d},"
+            for m in range(1, 13)
+        ]
+        + [
+            f"  COUNT(CASE WHEN EXTRACT(YEAR FROM l_shipdate) = {_PIVOT_YEAR}"
+            " THEN 1 END) AS entries_in_year",
+            "FROM lineitem li LEFT JOIN supplier s ON li.l_suppkey = s.s_suppkey",
+            "GROUP BY li.l_suppkey, s.s_name",
+        ]
+    ),
+)
+def monthly_hours_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-contributor monthly pivot (ref: v5 hours_logged_* L23-34)."""
+    return enrichment.monthly_pivot(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        _PIVOT_YEAR,
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2-C  Monitoring / data quality
+# ---------------------------------------------------------------------------
+
+@query(
+    "row_count_by_day",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS row_count
+    FROM events GROUP BY CAST(ts AS DATE), event_type
+    """,
+)
+def row_count_by_day_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day per-type volume counts (ref: pipeline_monitoring.sql)."""
+    return quality.row_count_by_day(
+        load_table(spark, sf_dir, "events"), "ts", "event_type"
+    )
+
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+@query(
+    "data_quality_metrics",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name, COUNT(*) AS row_count,
+               COUNT({c}) AS non_null_count,
+               COUNT(*) - COUNT({c}) AS null_count,
+               COUNT(DISTINCT {c}) AS distinct_count
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def data_quality_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/distinct profile (ref: data_quality_agent.py)."""
+    return quality.profile_columns(
+        load_table(spark, sf_dir, "orders"), _PROFILE_COLS
+    )
+
+
+@query(
+    "volume_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS event_count
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(event_count) AS s,
+             SUM(event_count * event_count) AS ss
+      FROM daily
+    ),
+    derived AS (
+      SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS msq
+      FROM stats
+    ),
+    d2 AS (
+      SELECT n, mean,
+             SQRT(GREATEST((msq - mean * mean)
+                  * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)), 0.0)) AS sd
+      FROM derived
+    ),
+    flagged AS (
+      SELECT day, event_count, mean, sd,
+             CASE WHEN n > 1 AND sd > 0
+                  THEN ROUND((CAST(event_count AS DOUBLE) - mean) / sd, 4)
+             END AS z
+      FROM daily CROSS JOIN d2
+    )
+    SELECT day, event_count,
+           ROUND(mean, 4) AS mean_count,
+           ROUND(sd, 4) AS stddev_count,
+           z AS z_score,
+           COALESCE(ABS(z) > 2.0, FALSE) AS is_anomaly
+    FROM flagged
+    """,
+)
+def volume_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume z-score anomalies (ref: anomaly_detection_agent.py)."""
+    return anomaly.volume_anomaly(load_table(spark, sf_dir, "events"), "ts")
+
+
+@query(
+    "freshness_check",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type, MAX(ts) AS last_event_ts, COUNT(*) AS row_count
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(ts) AS gmax FROM events)
+    SELECT event_type, last_event_ts, row_count,
+           CAST(FLOOR((epoch_us(gmax) - epoch_us(last_event_ts)) / 1000000)
+                AS BIGINT) AS lag_seconds,
+           CAST(FLOOR((epoch_us(gmax) - epoch_us(last_event_ts)) / 1000000)
+                AS BIGINT) > 86400 AS is_stale
+    FROM per_type CROSS JOIN g
+    """,
+)
+def freshness_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream staleness vs global watermark (ref:
+    pipeline_fallback_monitor.py)."""
+    return quality.freshness_check(
+        load_table(spark, sf_dir, "events"), "ts", "event_type"
+    )
+
+
+@query(
+    "row_count_compare",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS source_count
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    t AS (
+      SELECT CAST(l_shipdate AS DATE) AS day, COUNT(*) AS target_count
+      FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+    )
+    SELECT COALESCE(s.day, t.day) AS day,
+           COALESCE(s.source_count, 0) AS source_count,
+           COALESCE(t.target_count, 0) AS target_count,
+           COALESCE(s.source_count, 0) - COALESCE(t.target_count, 0) AS count_diff,
+           COALESCE(s.source_count, 0) = COALESCE(t.target_count, 0) AS counts_match
+    FROM s FULL OUTER JOIN t ON s.day = t.day
+    """,
+)
+def row_count_compare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-target day-level count reconciliation (ref:
+    validate_snowflake_data.py)."""
+    return quality.row_count_compare(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        "o_orderdate",
+        "l_shipdate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2-D  Classic analytics (bench headliners)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS sum_base_price,
+           CAST(ROUND(SUM({_NET}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                            AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+           ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{tpch.Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS order_key,
+           CAST(ROUND(SUM({_NET}), 2) AS DOUBLE) AS revenue,
+           o.o_orderdate AS order_date,
+           o.o_orderpriority AS order_priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{tpch.Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{tpch.Q3_DATE}'
+      AND l.l_shipdate > TIMESTAMP '{tpch.Q3_DATE}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, order_key
+    LIMIT 10
+    """,
+)
+def q3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q3_shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "q5_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation_name,
+           CAST(ROUND(SUM({_NET}), 2) AS DOUBLE) AS revenue
+    FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+    WHERE c.c_custkey = o.o_custkey
+      AND l.l_orderkey = o.o_orderkey
+      AND l.l_suppkey = s.s_suppkey
+      AND c.c_nationkey = s.s_nationkey
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = '{tpch.Q5_REGION}'
+      AND o.o_orderdate >= TIMESTAMP '{tpch.Q5_START}'
+      AND o.o_orderdate < TIMESTAMP '{tpch.Q5_END}'
+    GROUP BY n.n_name
+    """,
+)
+def q5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q5_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
