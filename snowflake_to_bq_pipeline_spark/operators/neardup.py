@@ -1,0 +1,259 @@
+"""Near-duplicate detection: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+LLM-training-data extensions (SURVEY.md §2-E). The exact and Jaccard paths
+are oracle-checkable; MinHash/SimHash depend on Spark's xxhash64 and are
+validated by recall tests against the exact Jaccard result instead.
+
+Scale posture:
+- ``exact_dedup`` groups on md5(text) — constant-width shuffle key instead
+  of shuffling full documents.
+- ``shingles`` is a per-row transform (no shuffle); the Jaccard self-join
+  shuffles on the shingle value, which is the standard scalable plan — the
+  cross product never materializes, only per-shingle buckets.
+- ``minhash_lsh_pairs`` is the 100 TB path: signature computation is one
+  groupBy over exploded shingles (32 aggregates, single shuffle), banding
+  explodes to B small rows per doc, and candidate generation joins on
+  (band, band_hash) buckets only. Candidates are then verified with exact
+  Jaccard — no false positives, LSH-bounded false-negative rate.
+- ``simhash_pairs`` bands the 64-bit signature into 8 byte-chunks; only
+  chunk-equal pairs are candidates (pigeonhole-exact for hamming ≤ 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_PERMS = 32
+N_BANDS = 8  # 4 rows per band
+SIMHASH_CHUNKS = 8
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per doc with its canonical (min doc_id) exact-dup group."""
+    h = documents.select(
+        "doc_id", F.md5(F.col(text_col).cast("binary")).alias("content_hash")
+    )
+    g = h.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("dup_group_size"),
+    )
+    return h.join(g, "content_hash").select(
+        "doc_id",
+        "content_hash",
+        "canonical_doc_id",
+        (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_duplicate"),
+        "dup_group_size",
+    )
+
+
+def shingles(
+    documents: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct word-k-gram shingles, one row per (doc_id, shingle).
+
+    1-indexed element_at mirrors the oracle's list indexing; sequence is
+    guarded because Spark's sequence(1, 0) counts DOWN instead of being
+    empty.
+    """
+    w = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.array_size(w) >= k, F.sequence(F.lit(1), F.array_size(w) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = documents.select(
+        "doc_id", w.alias("__w"), F.explode(idx).alias("i")
+    )
+    parts = [F.element_at(F.col("__w"), F.col("i") + j) for j in range(k)]
+    return (
+        exploded.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold (exact, via shingle join)."""
+    sh = shingles(documents, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection_size"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    j = F.col("intersection_size").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("intersection_size")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(j >= threshold)
+        .select(
+            "doc_a", "doc_b", "intersection_size", "size_a", "size_b",
+            j.alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """MinHash signature per doc: one groupBy pass, N_PERMS min-aggregates
+    over seeded xxhash64 values."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(N_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, exact-Jaccard-verified.
+
+    Output schema matches ``ngram_jaccard_pairs``; the difference is the
+    candidate set (LSH buckets vs full shingle join) — at 100 TB only this
+    path is viable.
+    """
+    sh = shingles(documents, text_col, k)
+    sigs = minhash_signatures(sh)
+    rows_per_band = N_PERMS // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh_{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.band_hash")
+
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_hash"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_hash"
+    )
+    candidates = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+    # Exact verification restricted to candidates only.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection_size"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    j = F.col("intersection_size").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("intersection_size")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(j >= threshold)
+        .select(
+            "doc_a", "doc_b", "intersection_size", "size_a", "size_b",
+            j.alias("jaccard"),
+        )
+    )
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash hamming distance.
+
+    Signature: sign-sum of hash bits over distinct word-3-gram shingles
+    (unigram features degenerate when the vocabulary is small — most docs
+    would share most tokens). Banding on 8 disjoint bytes finds every pair
+    with hamming ≤ 7 exactly (pigeonhole); candidates are verified with
+    bit_count(xor).
+    """
+    h = shingles(documents, text_col, k=3).select(
+        "doc_id", F.xxhash64("shingle").alias("th")
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(64)
+    ]
+    bits = h.groupBy("doc_id").agg(*bit_aggs)
+    sig = bits.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
+                .otherwise(F.lit(0).cast("long"))
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc_id", "simhash", "cv.chunk", "cv.chunk_val")
+
+    left = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "chunk", "chunk_val",
+    )
+    right = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "chunk", "chunk_val",
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        left.join(right, ["chunk", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(ham <= max_hamming)
+        .select("doc_a", "doc_b", ham.alias("hamming_distance"))
+    )

@@ -1,0 +1,197 @@
+"""Embedding similarity search (SURVEY.md §2-E).
+
+- ``cosine_topk``: brute-force top-k per query vector — the exactness
+  baseline. Query side is broadcast; each partition scans its vectors once
+  and the per-query top-k is taken with one window over (query, score).
+- ``lsh_topk``: random-hyperplane LSH — the 100 TB path. Vectors hash to
+  sign-pattern buckets; only same-bucket pairs are scored. Hyperplanes are
+  derived from seeded xxhash64 so the operator is deterministic without a
+  stored model.
+- ``dup_pairs``: all pairs above a cosine threshold (a deterministic
+  keyspace sample keeps the oracle cross-join tractable; production runs
+  use the LSH candidate path instead).
+
+Float discipline: cosine is computed in double with a left-to-right fold
+(zip_with → aggregate), which is bit-identical to the oracle's
+list_transform → list_aggregate('sum') evaluation; results round to 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+LSH_PLANES = 12
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+def _vectors(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``query_pred`` selects the query rows (e.g. ``F.col('vec_id') < 10``).
+    """
+    v = _vectors(embeddings)
+    q = v.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qe"), F.col("e")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_projection(e: Column, table: int, plane: int) -> Column:
+    """Dot of a vector with deterministic pseudo-random plane (table, plane).
+
+    Plane weights in [-0.5, 0.5) derive from xxhash64(table, plane, dim) —
+    reproducible anywhere without a stored model.
+    """
+    return F.aggregate(
+        F.zip_with(
+            e,
+            F.transform(
+                F.sequence(F.lit(0), F.size(e) - 1),
+                lambda d: (
+                    F.pmod(F.xxhash64(F.lit(table), F.lit(plane), d), F.lit(1000003))
+                    .cast("double")
+                    / F.lit(1000003.0)
+                    - F.lit(0.5)
+                ),
+            ),
+            lambda x, w_: x * w_,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _lsh_buckets(v: DataFrame, n_tables: int, n_planes: int) -> DataFrame:
+    """Explode each vector into one (table, bucket) row per hash table."""
+    entries = []
+    for t in range(n_tables):
+        bits = [
+            F.when(
+                _plane_projection(F.col("e"), t, p) >= 0,
+                F.shiftleft(F.lit(1).cast("long"), p),
+            ).otherwise(F.lit(0).cast("long"))
+            for p in range(n_planes)
+        ]
+        entries.append(
+            F.struct(F.lit(t).alias("table"), sum(bits[1:], bits[0]).alias("bucket"))
+        )
+    return v.select(
+        "vec_id", "e", F.explode(F.array(*entries)).alias("tb")
+    ).select("vec_id", "e", "tb.table", "tb.bucket")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_tables: int = 16,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    A query only scores vectors sharing a (table, bucket) cell in at least
+    one of ``n_tables`` independent tables. Per-pair candidate probability
+    is 1-(1-a^p)^T where a = 1-θ/π — tune (T, p) to the similarity regime:
+    few planes / many tables for far neighbors (this synthetic data), many
+    planes for near-dup regimes (cos ≥ 0.9) where buckets can be fine and
+    cheap. Candidates dedupe before scoring so each pair is scored once.
+
+    Scale: the bucket join shuffles only (table, bucket) cells, never the
+    cross product; per-bucket population bounds worst-case work, and skewed
+    buckets split under AQE.
+    """
+    v = _vectors(embeddings)
+    vb = _lsh_buckets(v, n_tables, n_planes)
+    qb = _lsh_buckets(v.filter(query_pred), n_tables, n_planes).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    candidates = (
+        vb.join(F.broadcast(qb), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates()
+    )
+    q = v.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        candidates.join(v, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qe"), F.col("e")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold (a < b).
+
+    ``sample_mod`` keeps a deterministic keyspace sample (vec_id % mod == 0)
+    so the exactness oracle stays tractable; None = all pairs.
+    """
+    v = _vectors(embeddings)
+    if sample_mod:
+        v = v.filter(F.col("vec_id") % sample_mod == 0)
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = _cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators for LLM-training-data pipelines.
+
+Not present in the reference (its documents are structured business rows);
+these extend the engine per SURVEY.md §2-E: token statistics, heuristic
+quality scoring, language ID, and content fingerprinting over the
+``documents`` table.
+
+All metrics are pure built-in column expressions (regexp/length/hash) —
+JVM codegen, no Python UDFs — and every float derives from exact integer
+counts through a fixed expression, so results are engine-reproducible.
+
+Scale: embarrassingly parallel per-row transforms; no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+STOPWORD_RE = r"\b(the|a|is|and|of|to|in)\b"
+
+
+def _tokens(col: Column) -> Column:
+    # idx=0 → whole-match extraction (Spark defaults to group 1).
+    return F.regexp_extract_all(col, F.lit(TOKEN_RE), 0)
+
+
+def text_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document size/token statistics."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.array_size(toks)
+    n_alpha = F.length(F.regexp_replace(t, "[^a-z]", ""))
+    n_spaces = n_chars - F.length(F.regexp_replace(t, " ", ""))
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.array_size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        n_alpha.alias("n_alpha_chars"),
+        F.when(
+            n_tokens > 0, F.round(n_alpha.cast("double") / n_tokens, 4)
+        ).alias("avg_token_len"),
+        F.when(
+            n_chars > 0, F.round(n_spaces.cast("double") / n_chars, 4)
+        ).alias("whitespace_ratio"),
+    )
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score + bucket (length / stopword / diversity mix),
+    the composition style of C4/Gopher-class quality filters."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tokens = F.array_size(toks)
+    stop_hits = F.array_size(F.regexp_extract_all(t, F.lit(STOPWORD_RE), 0))
+    len_score = F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
+    stop_ratio = F.when(
+        n_tokens > 0, stop_hits.cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    diversity = F.when(
+        n_tokens > 0,
+        F.array_size(F.array_distinct(toks)).cast("double") / n_tokens,
+    ).otherwise(F.lit(0.0))
+    score = F.round(
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - F.least(stop_ratio * F.lit(2.0), F.lit(1.0)))
+        + F.lit(0.3) * diversity,
+        4,
+    )
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        score.alias("quality_score"),
+        F.when(score >= 0.75, F.lit("high"))
+        .when(score >= 0.5, F.lit("medium"))
+        .otherwise(F.lit("low"))
+        .alias("quality_bucket"),
+    )
+
+
+def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic (n-gram LID in miniature).
+
+    Real pipelines plug fastText/CLD3 in as a Pandas UDF here; the
+    heuristic keeps the operator dependency-free and oracle-checkable.
+    """
+    t = F.col(text_col)
+    n_tokens = F.array_size(_tokens(t))
+    en_hits = F.array_size(F.regexp_extract_all(t, F.lit(STOPWORD_RE), 0))
+    return documents.select(
+        "doc_id",
+        F.col("lang"),
+        F.when((n_tokens > 0) & (en_hits * 5 >= n_tokens), F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("predicted_lang"),
+        F.when(
+            n_tokens > 0, F.round(en_hits.cast("double") / n_tokens, 4)
+        ).alias("en_hit_ratio"),
+    )
+
+
+def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """md5 fingerprint of whitespace-normalized lowercased text."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[ \\t\\n\\r]+", " ")
+    )
+    return documents.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("fingerprint"),
+        F.length(norm).alias("n_chars_norm"),
+    )

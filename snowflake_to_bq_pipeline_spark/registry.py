@@ -653,3 +653,269 @@ def q5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "region"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2-E  LLM-training-data ops
+# ---------------------------------------------------------------------------
+
+from .operators import neardup, similarity, text  # noqa: E402
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+    g AS (
+      SELECT content_hash, MIN(doc_id) AS canonical_doc_id,
+             COUNT(*) AS dup_group_size
+      FROM h GROUP BY content_hash
+    )
+    SELECT h.doc_id, h.content_hash, g.canonical_doc_id,
+           h.doc_id != g.canonical_doc_id AS is_duplicate,
+           g.dup_group_size
+    FROM h JOIN g USING (content_hash)
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dup groups via content hash (hash-groupBy dedup)."""
+    return neardup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')))
+             AS fingerprint,
+           CAST(LENGTH(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')))
+                AS BIGINT) AS n_chars_norm
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint of normalized text."""
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(regexp_extract_all(text, '[a-z0-9]+')))
+                  AS BIGINT) AS n_distinct_tokens,
+             CAST(LENGTH(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+               AS n_alpha_chars,
+             CAST(LENGTH(text) - LENGTH(regexp_replace(text, ' ', '', 'g'))
+                  AS BIGINT) AS n_spaces
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, n_alpha_chars,
+           CASE WHEN n_tokens > 0
+                THEN ROUND(CAST(n_alpha_chars AS DOUBLE) / n_tokens, 4)
+           END AS avg_token_len,
+           CASE WHEN n_chars > 0
+                THEN ROUND(CAST(n_spaces AS DOUBLE) / n_chars, 4)
+           END AS whitespace_ratio
+    FROM t
+    """,
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/size statistics."""
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(regexp_extract_all(text, '[a-z0-9]+')))
+                  AS BIGINT) AS n_distinct,
+             CAST(len(regexp_extract_all(text, '\b(the|a|is|and|of|to|in)\b'))
+                  AS BIGINT) AS stop_hits
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             ROUND(
+               0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+               + 0.3 * (1.0 - LEAST(
+                   (CASE WHEN n_tokens > 0
+                         THEN CAST(stop_hits AS DOUBLE) / n_tokens
+                         ELSE 0.0 END) * 2.0, 1.0))
+               + 0.3 * (CASE WHEN n_tokens > 0
+                             THEN CAST(n_distinct AS DOUBLE) / n_tokens
+                             ELSE 0.0 END),
+               4) AS quality_score
+      FROM t
+    )
+    SELECT doc_id, n_tokens, quality_score,
+           CASE WHEN quality_score >= 0.75 THEN 'high'
+                WHEN quality_score >= 0.5 THEN 'medium'
+                ELSE 'low' END AS quality_bucket
+    FROM s
+    """,
+)
+def text_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (C4/Gopher-style filter composition)."""
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "lang_id",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '\b(the|a|is|and|of|to|in)\b'))
+                  AS BIGINT) AS en_hits
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN n_tokens > 0 AND en_hits * 5 >= n_tokens THEN 'en'
+                ELSE 'unknown' END AS predicted_lang,
+           CASE WHEN n_tokens > 0
+                THEN ROUND(CAST(en_hits AS DOUBLE) / n_tokens, 4)
+           END AS en_hit_ratio
+    FROM t
+    """,
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language heuristic."""
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+_JACCARD_TAU = 0.6
+
+_SHINGLE_SQL = """
+    sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM sp
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
+@query(
+    "ngram_jaccard_dups",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS intersection_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, intersection_size,
+           sa.sz AS size_a, sb.sz AS size_b,
+           CAST(intersection_size AS DOUBLE)
+             / (sa.sz + sb.sz - intersection_size) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(intersection_size AS DOUBLE)
+          / (sa.sz + sb.sz - intersection_size) >= {_JACCARD_TAU}
+    """,
+)
+def ngram_jaccard_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs."""
+    return neardup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), _JACCARD_TAU
+    )
+
+
+@query("dedup_minhash_lsh")  # rows-only: depends on Spark xxhash64
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified (recall vs exact Jaccard
+    is asserted in tests/test_neardup.py)."""
+    return neardup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), _JACCARD_TAU
+    )
+
+
+@query("dedup_simhash")  # rows-only: depends on Spark xxhash64
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-banded near-dup pairs."""
+    return neardup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_ANN_DIMS = 64
+_COS_SQL = (
+    "list_aggregate(list_transform(range(1,{d}), i -> {a}.e[i]*{b}.e[i]), 'sum') "
+    "/ (SQRT(list_aggregate(list_transform(range(1,{d}), i -> {a}.e[i]*{a}.e[i]), 'sum')) "
+    "* SQRT(list_aggregate(list_transform(range(1,{d}), i -> {b}.e[i]*{b}.e[i]), 'sum')))"
+)
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id, e FROM v WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             ROUND({_COS_SQL.format(d=_ANN_DIMS + 1, a='q', b='v')}, 6) AS cosine
+      FROM q JOIN v ON v.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (exactness baseline)."""
+    df = similarity.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("ann_lsh_topk")  # rows-only: hyperplanes derive from Spark xxhash64
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (the 100 TB scale path; recall vs
+    brute force asserted in tests/test_similarity.py)."""
+    df = similarity.lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+_DUP_COS_TAU = 0.3  # synthetic embeddings are near-orthogonal; real
+                    # text-embedding dedup would sit at ~0.95
+
+@query(
+    "embedding_dup_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id % 10 = 0
+    ),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND({_COS_SQL.format(d=_ANN_DIMS + 1, a='a', b='b')}, 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {_DUP_COS_TAU}
+    """,
+)
+def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a deterministic keyspace
+    sample (oracle-tractable); production path is LSH candidates."""
+    return similarity.dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), _DUP_COS_TAU, sample_mod=10
+    )

@@ -1,0 +1,46 @@
+"""Quality gates for ANN: the LSH path trades recall for candidate-set
+size; both properties are asserted against the brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_to_bq_pipeline_spark.catalog import load_table
+from snowflake_to_bq_pipeline_spark.operators import similarity
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 10
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, pred, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(emb, pred, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    # Near-orthogonal synthetic vectors are the hardest case for
+    # hyperplane LSH; still expect a solid fraction of true neighbors.
+    assert recall >= 0.3, f"LSH ANN recall collapsed: {recall}"
+
+
+def test_lsh_topk_scores_match_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 10
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.cosine_topk(emb, pred, k=5000).collect()
+    }
+    for r in similarity.lsh_topk(emb, pred, k=5).collect():
+        assert exact[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_dup_pairs_symmetric_threshold(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.dup_pairs(emb, 0.3, sample_mod=10)
+    rows = out.collect()
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert r.cosine >= 0.3
