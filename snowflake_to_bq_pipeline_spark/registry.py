@@ -919,3 +919,30 @@ def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.dup_pairs(
         load_table(spark, sf_dir, "embeddings"), _DUP_COS_TAU, sample_mod=10
     )
+
+
+# ---------------------------------------------------------------------------
+# §2-F  Streaming (batch twin of the streaming windowed-count sync)
+# ---------------------------------------------------------------------------
+
+from .streaming import incremental  # noqa: E402
+
+
+@query(
+    "events_windowed_counts",
+    oracle="""
+    SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000)
+             AS window_start,
+           make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000 + 300000000)
+             AS window_end,
+           event_type,
+           COUNT(*) AS event_count
+    FROM events
+    GROUP BY 1, 2, event_type
+    """,
+)
+def events_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windowed counts — batch twin of the streaming
+    incremental sync (streaming/incremental.py); the streaming path is
+    asserted equal to this in tests/test_streaming.py."""
+    return incremental.windowed_counts_batch(load_table(spark, sf_dir, "events"))

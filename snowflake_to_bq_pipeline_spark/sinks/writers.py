@@ -1,0 +1,87 @@
+"""Target-side sinks.
+
+The reference loads BigQuery with truncate-and-reload or per-day
+DELETE+INSERT (snowflake_bq_sync_daily Time Details/main.py). Spark-native
+equivalents over lake storage:
+
+- ``write_snapshot``: full-replace load (the *_sync_full path).
+- ``write_partitioned``: date-partitioned layout so daily increments
+  replace only their partitions (dynamic partition overwrite) — the
+  DELETE+INSERT pattern without the DELETE.
+- ``merge_into_path``: key-based MERGE into an existing parquet directory
+  (read → anti-join → union → atomic swap). On a real lake this is one
+  ``MERGE INTO`` against Delta/Iceberg; the manual swap here keeps the
+  engine dependency-free.
+
+Scale: partitioned writes let 1000 executors write independently;
+``maxRecordsPerFile`` bounds file sizes; dynamic overwrite touches only
+affected partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.sync import merge_upsert
+
+
+def write_snapshot(df: DataFrame, path: str, max_records_per_file: int = 1_000_000) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .parquet(path)
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    dynamic_overwrite: bool = True,
+) -> None:
+    """Date/key-partitioned write; with dynamic overwrite only the
+    partitions present in ``df`` are replaced (daily-increment pattern)."""
+    spark = df.sparkSession
+    if dynamic_overwrite:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def merge_into_path(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+) -> None:
+    """MERGE ``updates`` into the parquet directory at ``path``.
+
+    Missing target → plain write. Otherwise read, merge_upsert, write to a
+    sibling temp dir, swap. Prod note: swap for Delta/Iceberg MERGE INTO
+    to get ACID + concurrent readers.
+    """
+    if not os.path.exists(path):
+        write_snapshot(updates, path)
+        return
+    base = spark.read.parquet(path)
+    merged = merge_upsert(base, updates, key_cols)
+    tmp = tempfile.mkdtemp(
+        prefix=".merge_", dir=os.path.dirname(os.path.abspath(path))
+    )
+    try:
+        out = os.path.join(tmp, "data")
+        merged.write.mode("overwrite").parquet(out)
+        old = path.rstrip("/") + ".old"
+        os.rename(path, old)
+        os.rename(out, path)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

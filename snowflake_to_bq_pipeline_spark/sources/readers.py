@@ -1,0 +1,96 @@
+"""Source connectors.
+
+The reference extracts from Snowflake over its Python connector and loads
+BigQuery via its client library (e.g. client_dimension_pipeline/
+client_dimension_sync_full/main.py). Spark-native equivalents:
+
+- Columnar lake formats (parquet/csv/json) — the primary path at 100 TB;
+  warehouse data lands in object storage and is read directly with
+  predicate pushdown and partition pruning.
+- Generic JDBC — the direct-connection path; works with any warehouse
+  exposing a JDBC driver (Snowflake/BigQuery both do). Partitioned reads
+  parallelize the extract across executors exactly where the reference
+  hand-rolled OFFSET/LIMIT pagination (main_paginated.py).
+
+JDBC drivers are not bundled in this environment, so ``read_jdbc`` raises
+a clear error when the driver jar is absent rather than failing deep in
+the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Partitioned JDBC extract (replaces hand-rolled pagination).
+
+    With ``partition_column`` + bounds, Spark issues ``num_partitions``
+    range-predicated queries in parallel — the scalable version of the
+    reference's OFFSET/LIMIT loop.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    try:
+        return reader.load()
+    except Exception as e:  # driver jar missing in this environment
+        raise RuntimeError(
+            "JDBC read failed — ensure the warehouse JDBC driver jar is on "
+            "spark.jars and the URL/credentials are valid"
+        ) from e

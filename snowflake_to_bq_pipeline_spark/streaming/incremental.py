@@ -1,0 +1,101 @@
+"""Structured-Streaming incremental sync — the streaming twin of the
+reference's scheduled daily syncs (*_sync_daily/main.py): instead of a
+Cloud Scheduler cron re-extracting a trailing window, a file-source stream
+ingests new files continuously with watermarked, windowed aggregation.
+
+The windowed-count aggregation here is the streaming version of the
+registry's ``events_windowed_counts`` batch query — same grouping, same
+output schema, verified equal in tests via the availableNow trigger.
+
+Scale: file-source streaming scales by partitioning arriving files across
+executors; state for the windowed agg is bounded by the watermark (late
+data beyond it is dropped), so checkpoint size is O(open windows), not
+O(history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # raw nanos (parquet TIMESTAMP(NANOS))
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+WINDOW = "5 minutes"
+WATERMARK = "10 minutes"
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over events parquet files (nanos → µs ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts_stream(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+def windowed_counts_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of ``windowed_counts_stream`` (oracle-checkable)."""
+    return (
+        events.groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+def run_incremental_sync(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain all currently-available files into a parquet target, exactly
+    once per file (checkpointed), then stop — the streaming equivalent of
+    one daily-sync invocation."""
+    out = windowed_counts_stream(read_events_stream(spark, source_dir))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

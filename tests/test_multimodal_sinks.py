@@ -1,0 +1,76 @@
+"""Multimodal plumbing and sink behaviors."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from snowflake_to_bq_pipeline_spark.catalog import load_table
+from snowflake_to_bq_pipeline_spark.multimodal import media
+from snowflake_to_bq_pipeline_spark.sinks import writers
+
+
+def test_media_feature_extraction(spark):
+    m = media.synthetic_media(spark, n=50)
+    feats = media.extract_features(m)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.n_bytes == 64  # sha2-256 hex string as fake payload
+        assert len(r.checksum) == 32
+        assert 0 <= r.feat_mean <= 255
+        assert 0 <= r.feat_max <= 255
+    # Determinism: same input → same features.
+    again = {(r.media_id, r.checksum, r.feat_mean) for r in feats.collect()}
+    assert {(r.media_id, r.checksum, r.feat_mean) for r in rows} == again
+
+
+def test_repartition_for_media_bounds_partitions(spark):
+    m = media.synthetic_media(spark, n=100)
+    out = media.repartition_for_media(m, target_bytes_per_partition=1024)
+    assert out.rdd.getNumPartitions() >= 3
+    assert out.count() == 100
+
+
+def test_merge_into_path_roundtrip(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    target = str(tmp_path / "orders_sync")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    writers.write_snapshot(base, target)
+
+    updates = orders.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_orderpriority", F.lit("UPDATED")
+    )
+    writers.merge_into_path(spark, updates, target, ["o_orderkey"])
+
+    merged = spark.read.parquet(target)
+    n_base = base.count()
+    n_upd = updates.count()
+    n_overlap = base.join(updates, "o_orderkey", "left_semi").count()
+    assert merged.count() == n_base + n_upd - n_overlap
+    # Updated keys carry the update's payload.
+    assert (
+        merged.filter(F.col("o_orderkey") % 4 == 2)
+        .filter(F.col("o_orderpriority") != "UPDATED")
+        .count()
+        == 0
+    )
+    # Keys unique after merge.
+    assert merged.select("o_orderkey").distinct().count() == merged.count()
+
+
+def test_write_partitioned_dynamic_overwrite(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    target = str(tmp_path / "events_part")
+    with_day = events.withColumn("day", F.to_date("ts"))
+    writers.write_partitioned(with_day, target, ["day"])
+    n_all = events.count()
+    assert spark.read.parquet(target).count() == n_all
+
+    # Overwriting ONE day's partition leaves the others untouched.
+    one_day = with_day.filter(F.col("day") == F.lit("2024-01-05").cast("date"))
+    n_day = one_day.count()
+    writers.write_partitioned(one_day.limit(max(n_day - 1, 1)), target, ["day"])
+    total_after = spark.read.parquet(target).count()
+    assert total_after == n_all - n_day + max(n_day - 1, 1)

@@ -1,0 +1,91 @@
+"""Streaming paths: the availableNow drain must reproduce the batch twin,
+and the stateful operator must accumulate across micro-batches."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from snowflake_to_bq_pipeline_spark.catalog import load_table
+from snowflake_to_bq_pipeline_spark.streaming import incremental, stateful
+
+
+def test_streaming_matches_batch_twin(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    incremental.run_incremental_sync(spark, src, target, ckpt)
+
+    import datetime as dt
+
+    events = load_table(spark, sf_dir, "events")
+    streamed = spark.read.parquet(target)
+    batch = incremental.windowed_counts_batch(events)
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    # Append mode only emits windows CLOSED by the final watermark
+    # (max ts - 10 min); everything emitted must match the batch twin and
+    # everything withheld must lie within the watermark horizon.
+    assert s <= b
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(minutes=10)
+    for row in b - s:
+        assert row[1] > horizon, f"closed window missing from stream: {row}"
+
+    # Exactly-once: a second drain with the same checkpoint adds nothing.
+    incremental.run_incremental_sync(spark, src, target, ckpt)
+    assert spark.read.parquet(target).count() == len(s)
+
+
+def test_stateful_running_totals_accumulate(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    half1 = str(tmp_path / "in")
+    os.makedirs(half1)
+    # Two files → with maxFilesPerTrigger=1 the stream sees 2 micro-batches.
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(half1, "a.parquet")
+    )
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(half1, "b.parquet")
+    )
+
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(half1 + "/*/")
+    )
+    out = stateful.running_user_totals(src)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # Final state per user (last update wins) must equal the batch aggregate.
+    result = spark.sql(
+        """
+        SELECT user_id, event_count, value_sum FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY event_count DESC
+          ) rn FROM totals
+        ) WHERE rn = 1
+        """
+    )
+    expected = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("event_count"), F.sum("value").alias("value_sum")
+    )
+    got = {(r.user_id, r.event_count, round(r.value_sum, 6)) for r in result.collect()}
+    want = {
+        (r.user_id, r.event_count, round(r.value_sum, 6)) for r in expected.collect()
+    }
+    assert got == want
