@@ -43,10 +43,13 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark(app_name="bench")
-    # Warm the JVM/codegen paths so the first timed query isn't paying JIT.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1000).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Warm each query's codegen/JIT at the smallest SF so timings measure
+    # steady-state execution, not one-time compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in BENCH_QUERIES:
+        fn = QUERIES.get(name)
+        if fn is not None and os.path.isdir(warm_dir):
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -125,6 +125,10 @@ def minhash_lsh_pairs(
     candidate set (LSH buckets vs full shingle join) — at 100 TB only this
     path is viable.
     """
+    # The shingle table feeds signatures, sizes, and both sides of the
+    # verification join; Spark's exchange reuse dedups the repeated
+    # explode+dedup shuffle within the plan, so no explicit persist (which
+    # measured slower one-shot: cache materialization cost > reuse gain).
     sh = shingles(documents, text_col, k)
     sigs = minhash_signatures(sh)
     rows_per_band = N_PERMS // N_BANDS

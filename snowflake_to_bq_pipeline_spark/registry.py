@@ -183,7 +183,7 @@ def sync_date_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2-B  Analytical views
 # ---------------------------------------------------------------------------
 
-_NET = "CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))"
+_NET = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
 
 @query(
     "budget_vs_actual",

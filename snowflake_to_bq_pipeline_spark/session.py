@@ -47,4 +47,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local"):
+        # The test/bench parquet files are single small files; shrinking the
+        # split size restores scan parallelism across local cores. On a real
+        # cluster data arrives in many files and the 128 MB default is right,
+        # so this is applied only to local masters.
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+        )
     return builder.getOrCreate()
