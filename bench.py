@@ -21,6 +21,10 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "sales_rollup_sets",
+    "event_sessions",
     "budget_vs_actual",
     "individual_budget_tracking",
     "utilization_rollup",

@@ -100,3 +100,74 @@ def missing_records(
     return source.join(
         target.select(*key_cols).dropDuplicates(), on=list(key_cols), how="left_anti"
     )
+
+
+def paginated_extract(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    page: int,
+    page_size: int,
+) -> DataFrame:
+    """One deterministic page of a keyed extract.
+
+    The reference paginates Snowflake extracts with LIMIT/OFFSET loops
+    (snowflake_bq_sync_daily Time Details/main_paginated.py:246). The
+    distributed equivalent is a row_number window over a total order —
+    OFFSET in a warehouse re-scans everything before the page, while this
+    plan computes every page boundary in one pass. For repeated
+    whole-table paging, prefer range predicates on the key (keyset
+    pagination) so each page is a pruned scan.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    lo, hi = page * page_size, (page + 1) * page_size
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") > lo) & (F.col("__rn") <= hi))
+        .drop("__rn")
+    )
+
+
+def chunked_backfill_plan(
+    df: DataFrame,
+    date_col: str,
+    chunk_days: int = 7,
+) -> DataFrame:
+    """Plan a chunked backfill: date-range chunks with row counts.
+
+    The reference drives multi-day backfills through a BigQuery state
+    table handing out 7-day chunks one Cloud Function invocation at a
+    time (work_item_budget_vs_actual_sync_daily/main_progressive.py,
+    get_next_date_chunk). Spark plans the whole backfill in one pass:
+    bucket every row into its chunk, emit (chunk_id, start, end, count) —
+    the orchestration table the progressive sync maintained by hand.
+    """
+    bounds = df.agg(F.to_date(F.min(date_col)).alias("__min_d"))
+    # Pure date arithmetic: timezone-free (the column may be NTZ) and floor
+    # is explicit because engines disagree on double→int cast rounding.
+    with_chunk = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__chunk",
+        F.floor(
+            F.datediff(F.to_date(F.col(date_col)), F.col("__min_d"))
+            / F.lit(float(chunk_days))
+        ),
+    )
+    return (
+        with_chunk.groupBy("__chunk")
+        .agg(
+            F.min("__min_d").alias("__min_d"),
+            F.count(F.lit(1)).alias("row_count"),
+        )
+        .select(
+            F.col("__chunk").alias("chunk_id"),
+            F.date_add(
+                F.col("__min_d"), (F.col("__chunk") * chunk_days).cast("int")
+            ).alias("chunk_start"),
+            F.date_add(
+                F.col("__min_d"),
+                ((F.col("__chunk") + 1) * chunk_days).cast("int"),
+            ).alias("chunk_end"),
+            "row_count",
+        )
+    )

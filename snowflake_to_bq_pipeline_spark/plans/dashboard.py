@@ -1,0 +1,164 @@
+"""Dashboard-style rollups and cross-view variance detection.
+
+Reference parity:
+- ``client_budget_rollup``: dashboard/main.py L1660-1678 — per-client
+  budgeted/actual totals ordered for the dashboard's top table.
+- ``view_variance_detection``: TIME_ENTRY_VARIANCE_ANALYSIS.md — the
+  reference repeatedly debugged "view A reports N hours, view B reports
+  N-94.77"; this operator makes that comparison a first-class query:
+  aggregate the same measure through two view definitions and flag
+  discrepancies per key.
+- ``event_sessions`` / ``user_running_totals``: sessionization and
+  cumulative per-user activity (the batch twin of
+  streaming/stateful.running_user_totals).
+- ``sales_rollup_sets``: ROLLUP over (region, nation) — the dashboard's
+  drill-down totals in one pass instead of one query per level.
+
+Scale: rollup aggregations are partial; sessionization/running totals are
+one window per user-partition (single hash shuffle on user_id, ordered
+within partition — no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import DEC, dec, money, net_price
+
+SESSION_GAP_MIN = 30
+
+
+def client_budget_rollup(orders: DataFrame, lineitem: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-client budget/actual totals (dashboard top-clients table)."""
+    li = lineitem.groupBy("l_orderkey").agg(
+        F.sum(net_price(F.col("l_extendedprice"), F.col("l_discount"))).alias(
+            "__actual_dec"
+        )
+    )
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey, "left").join(
+        F.broadcast(customer.select("c_custkey", "c_name")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return joined.groupBy(F.col("c_custkey").alias("client_key"), F.col("c_name").alias("client_name")).agg(
+        F.count(F.lit(1)).alias("order_count"),
+        money(F.sum(dec(F.col("o_totalprice")))).alias("total_budgeted"),
+        money(F.sum(F.coalesce(F.col("__actual_dec"), F.lit(0).cast(DEC)))).alias(
+            "total_actual"
+        ),
+    )
+
+
+def view_variance_detection(lineitem: DataFrame) -> DataFrame:
+    """Per-contributor totals through two 'view' definitions, with the
+    variance between them — detects a view silently dropping entries.
+
+    View A: all entry lines. View B: only lines a narrower view would keep
+    (here: 'N'-flagged lines, mirroring a view that filters by status).
+    """
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    per = lineitem.groupBy(F.col("l_suppkey").alias("contributor_key")).agg(
+        money(F.sum(net)).alias("view_a_total"),
+        money(
+            F.sum(F.when(F.col("l_returnflag") == "N", net))
+        ).alias("view_b_total_n"),
+        F.count(F.lit(1)).alias("view_a_entries"),
+        F.count(F.when(F.col("l_returnflag") == "N", F.lit(1))).alias(
+            "view_b_entries"
+        ),
+    )
+    vb = F.coalesce(F.col("view_b_total_n"), F.lit(0.0))
+    return per.select(
+        "contributor_key",
+        "view_a_total",
+        vb.alias("view_b_total"),
+        "view_a_entries",
+        "view_b_entries",
+        money(F.col("view_a_total") - vb).alias("variance_amount"),
+        (F.round(F.col("view_a_total") - vb, 2) != 0.0).alias("has_variance"),
+    )
+
+
+def event_sessions(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization: a >30-minute silence starts a new session.
+
+    lag + running count of session starts = session id; then one aggregate
+    per (user, session).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1000000), 1
+    ).otherwise(0)
+    sessions = events.withColumn(
+        "session_seq",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(dec(F.col("value"))), 4).cast("double").alias("total_value"),
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Cumulative per-user event count and value sum ordered by time —
+    batch twin of the streaming stateful operator."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("running_events"),
+        F.round(F.sum(dec(F.col("value"))).over(w), 4)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+def sales_rollup_sets(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Revenue ROLLUP over (region, nation): leaf, subtotal, and grand
+    total rows in a single pass (dashboard drill-down)."""
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    base = (
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            net.alias("__net"),
+        )
+    )
+    return base.rollup("region_name", "nation_name").agg(
+        money(F.sum(F.col("__net"))).alias("revenue"),
+        F.count(F.lit(1)).alias("line_count"),
+        F.grouping_id().cast("long").alias("grouping_level"),
+    )

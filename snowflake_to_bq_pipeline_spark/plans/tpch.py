@@ -117,3 +117,54 @@ def q5_supplier_volume(
         .agg(money(F.sum(net)).alias("revenue"))
         .select(F.col("n_name").alias("nation_name"), "revenue")
     )
+
+
+Q6_START, Q6_END = "1996-01-01", "1997-01-01"
+Q18_QTY_THRESHOLD = 150
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6: potential revenue increase — pure filter+agg, the
+    pushdown/pruning showcase (scan reads 4 columns, all filters pushed)."""
+    rev = (
+        F.col("l_extendedprice") * F.col("l_discount")
+    ).cast(DEC)
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q6_END).cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(money(F.sum(rev)).alias("revenue"), F.count(F.lit(1)).alias("line_count"))
+    )
+
+
+def q18_large_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q18 (adapted): largest-volume orders — a HAVING on a fact
+    aggregate joined back to dimensions, top-100."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_name").alias("customer_name"),
+            F.col("c_custkey").alias("customer_key"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            money(F.col("o_totalprice")).alias("order_total"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("order_key"))
+        .limit(100)
+    )

@@ -946,3 +946,235 @@ def events_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental sync (streaming/incremental.py); the streaming path is
     asserted equal to this in tests/test_streaming.py."""
     return incremental.windowed_counts_batch(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# §2-B/C widening: dashboard rollups, variance, sessions, pagination, TPC-H
+# ---------------------------------------------------------------------------
+
+from .plans import dashboard  # noqa: E402
+
+
+@query(
+    "client_budget_rollup",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, SUM({_NET}) AS actual_dec
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT c.c_custkey AS client_key, c.c_name AS client_name,
+           COUNT(*) AS order_count,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_budgeted,
+           CAST(ROUND(SUM(COALESCE(li.actual_dec, 0)), 2) AS DOUBLE)
+             AS total_actual
+    FROM orders o
+    LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def client_budget_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-client budget/actual totals (ref: dashboard/main.py L1660-1678)."""
+    return dashboard.client_budget_rollup(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@query(
+    "view_variance_detection",
+    oracle=f"""
+    WITH per AS (
+      SELECT l_suppkey AS contributor_key,
+             CAST(ROUND(SUM({_NET}), 2) AS DOUBLE) AS view_a_total,
+             CAST(ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN {_NET} END), 2)
+                  AS DOUBLE) AS view_b_total_n,
+             COUNT(*) AS view_a_entries,
+             COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS view_b_entries
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT contributor_key, view_a_total,
+           COALESCE(view_b_total_n, 0.0) AS view_b_total,
+           view_a_entries, view_b_entries,
+           CAST(ROUND(view_a_total - COALESCE(view_b_total_n, 0.0), 2) AS DOUBLE)
+             AS variance_amount,
+           ROUND(view_a_total - COALESCE(view_b_total_n, 0.0), 2) != 0.0
+             AS has_variance
+    FROM per
+    """,
+)
+def view_variance_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-view totals variance per contributor (ref:
+    TIME_ENTRY_VARIANCE_ANALYSIS.md)."""
+    return dashboard.view_variance_detection(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "event_sessions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s2 AS (
+      SELECT *, CAST(SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS BIGINT) AS session_seq
+      FROM s
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS total_value
+    FROM s2 GROUP BY user_id, session_seq
+    """,
+)
+def event_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute silence boundary)."""
+    return dashboard.event_sessions(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "user_running_totals",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS running_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE)
+             AS running_value
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    )
+    """,
+)
+def user_running_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user totals — batch twin of the streaming stateful
+    operator (streaming/stateful.py)."""
+    return dashboard.user_running_totals(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "sales_rollup_sets",
+    oracle=f"""
+    WITH base AS (
+      SELECT r.r_name AS region_name, n.n_name AS nation_name,
+             {_NET} AS net
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT region_name, nation_name,
+           CAST(ROUND(SUM(net), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count,
+           CAST(GROUPING(region_name, nation_name) AS BIGINT) AS grouping_level
+    FROM base GROUP BY ROLLUP(region_name, nation_name)
+    """,
+)
+def sales_rollup_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue ROLLUP over (region, nation) — drill-down totals in one pass."""
+    return dashboard.sales_rollup_sets(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+_PAGE, _PAGE_SIZE = 2, 500
+
+@query(
+    "paginated_extract",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders
+    )
+    WHERE rn > {_PAGE * _PAGE_SIZE} AND rn <= {(_PAGE + 1) * _PAGE_SIZE}
+    """,
+)
+def paginated_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page of a keyed extract (ref: main_paginated.py
+    LIMIT/OFFSET loop, re-expressed as a window)."""
+    return sync.paginated_extract(
+        load_table(spark, sf_dir, "orders"), ["o_orderkey"], _PAGE, _PAGE_SIZE
+    )
+
+
+@query(
+    "chunked_backfill_plan",
+    oracle="""
+    WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS mind FROM orders),
+    w AS (
+      SELECT CAST(FLOOR(date_diff('day', mind, CAST(o_orderdate AS DATE))
+                        / 7.0) AS BIGINT) AS chunk_id,
+             mind
+      FROM orders CROSS JOIN b
+    )
+    SELECT chunk_id,
+           MIN(mind) + CAST(chunk_id * 7 AS INTEGER) AS chunk_start,
+           MIN(mind) + CAST((chunk_id + 1) * 7 AS INTEGER) AS chunk_end,
+           COUNT(*) AS row_count
+    FROM w GROUP BY chunk_id
+    """,
+)
+def chunked_backfill_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day chunk plan for a backfill (ref: main_progressive.py
+    get_next_date_chunk state machine, planned in one pass)."""
+    return sync.chunked_backfill_plan(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", chunk_days=7
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))),
+                      2) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{tpch.Q6_START}'
+      AND l_shipdate < TIMESTAMP '{tpch.Q6_END}'
+      AND l_discount >= 0.02 AND l_discount <= 0.09
+      AND l_quantity < 24
+    """,
+)
+def q6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING ROUND(SUM(l_quantity), 2) > {tpch.Q18_QTY_THRESHOLD}
+    )
+    SELECT c.c_name AS customer_name, c.c_custkey AS customer_key,
+           o.o_orderkey AS order_key, o.o_orderdate AS order_date,
+           CAST(ROUND(o.o_totalprice, 2) AS DOUBLE) AS order_total,
+           big.total_qty
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY big.total_qty DESC, order_key
+    LIMIT 100
+    """,
+)
+def q18_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q18_large_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
