@@ -116,3 +116,38 @@ def freshness_check(
             (lag_seconds > stale_after_seconds).alias("is_stale"),
         )
     )
+
+
+def sketch_distinct_counts(
+    df: DataFrame, key_col: str, group_col: str, rsd: float = 0.05
+) -> DataFrame:
+    """HyperLogLog distinct counts per group, with the exact count
+    alongside for error measurement in tests.
+
+    At 100 TB the exact multi-distinct is the single most expensive metric
+    in the quality suite; HLL makes it one pass with bounded memory. The
+    engine exposes both so callers choose per table size.
+    """
+    return df.groupBy(group_col).agg(
+        F.approx_count_distinct(key_col, rsd).alias("approx_distinct"),
+        F.countDistinct(key_col).alias("exact_distinct"),
+    )
+
+
+def sketch_quantiles(
+    df: DataFrame, value_col: str, group_col: str, accuracy: int = 1000
+) -> DataFrame:
+    """Approximate p50/p95/p99 per group (Greenwald-Khanna sketch).
+
+    Exact percentiles need a full sort per group; the sketch is one pass
+    and mergeable across partitions.
+    """
+    probs = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    q = F.percentile_approx(F.col(value_col), probs, F.lit(accuracy))
+    return df.groupBy(group_col).agg(
+        q[0].alias("p50_approx"),
+        q[1].alias("p95_approx"),
+        q[2].alias("p99_approx"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )

@@ -195,3 +195,68 @@ def dup_pairs(
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: partition vectors into inverted lists by nearest
+    seed centroid; queries probe only the ``n_probe`` nearest lists.
+
+    Centroid seeds are a deterministic keyspace sample (first
+    ``n_centroids`` vec_ids) rather than trained k-means — the partition/
+    probe machinery is identical, and a trained model would slot in as a
+    different centroid DataFrame. Scale: assignment is one broadcast pass;
+    the probe join touches n_probe/n_centroids of the corpus per query.
+    """
+    v = _vectors(embeddings)
+    cents = v.limit(0).unionByName(
+        v.filter(F.col("vec_id") < n_centroids)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"))
+
+    def assign(df: DataFrame, id_col: str, vec_col: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            vec_col,
+            "cent_id",
+            _cosine(F.col(vec_col), F.col("ce")).alias("__sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__sim").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= keep)
+            .drop("__r", "__sim")
+        )
+
+    assigned = assign(v, "vec_id", "e", 1)
+    probes = assign(
+        v.filter(query_pred).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        ),
+        "query_id",
+        "qe",
+        n_probe,
+    )
+    scored = (
+        probes.join(assigned, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qe"), F.col("e")).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -171,3 +171,28 @@ def chunked_backfill_plan(
             "row_count",
         )
     )
+
+
+def merge_partial_aggs(
+    old: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    count_cols: Sequence[str],
+) -> DataFrame:
+    """Combine two partial-aggregate tables (incremental view maintenance).
+
+    Sums and counts are algebraic: agg(base ∪ delta) = agg(base) ⊎
+    agg(delta) merged per key. A daily increment then costs O(delta +
+    |aggregate|), never a re-scan of history — the scalable replacement
+    for the reference's recompute-the-view-daily pattern. Correctness is
+    oracle-checked against direct full recomputation.
+    """
+    merged = old.join(delta, list(key_cols), "full_outer")
+    out_cols = [F.col(c) for c in key_cols]
+    for c in [*sum_cols, *count_cols]:
+        lc, rc = old[c], delta[c]
+        out_cols.append(
+            (F.coalesce(lc, F.lit(0)) + F.coalesce(rc, F.lit(0))).alias(c)
+        )
+    return merged.select(*out_cols)

@@ -112,3 +112,43 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm.cast("binary")).alias("fingerprint"),
         F.length(norm).alias("n_chars_norm"),
     )
+
+
+def vocab_top_k(documents: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus-wide token heavy hitters (vocabulary building).
+
+    Explode→count is partial-aggregated map-side, so the shuffle carries
+    one row per (partition, token), not per occurrence; top-k is a single
+    ordered take of the (tiny) aggregate.
+    """
+    toks = documents.select(
+        F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("occurrences"))
+    return (
+        counts.orderBy(F.col("occurrences").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def length_histogram(
+    documents: DataFrame, bucket_width: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Token-length histogram (corpus length distribution for filtering).
+
+    Bucketing uses explicit floor — engines disagree on double→int cast
+    rounding.
+    """
+    n_tokens = F.array_size(_tokens(F.col(text_col)))
+    bucket = F.floor(n_tokens / F.lit(float(bucket_width)))
+    return (
+        documents.select(bucket.alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .select(
+            "bucket_id",
+            (F.col("bucket_id") * bucket_width).cast("long").alias("bucket_lo"),
+            ((F.col("bucket_id") + 1) * bucket_width).cast("long").alias("bucket_hi"),
+            "doc_count",
+        )
+    )

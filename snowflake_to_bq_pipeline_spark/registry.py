@@ -1178,3 +1178,165 @@ def q18_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC folding, incremental view maintenance, corpus stats
+# ---------------------------------------------------------------------------
+
+from .operators import cdc, text as text_ops  # noqa: E402
+
+
+@query(
+    "cdc_fold_snapshot",
+    oracle="""
+    WITH last AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    upserts AS (
+      SELECT l.user_id AS c_custkey,
+             COALESCE(c.c_name, 'NEW_USER') AS c_name,
+             COALESCE(c.c_nationkey, 0) AS c_nationkey,
+             CAST(ROUND(l.value, 2) AS DOUBLE) AS c_acctbal,
+             COALESCE(c.c_mktsegment, 'CDC') AS c_mktsegment
+      FROM last l LEFT JOIN customer c ON c.c_custkey = l.user_id
+      WHERE l.event_type != 'error'
+    ),
+    deletes AS (SELECT user_id FROM last WHERE event_type = 'error')
+    SELECT * FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM deletes d WHERE d.user_id = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM upserts u WHERE u.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT * FROM upserts
+    """,
+)
+def cdc_fold_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold an event changelog onto the customer snapshot: each user's
+    latest event upserts (with refreshed balance) or deletes ('error') the
+    row — debezium-style compaction the reference approximated with full
+    reloads + the deduplication sync."""
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    joined = events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "left"
+    )
+    changelog = joined.select(
+        F.col("user_id").alias("c_custkey"),
+        F.coalesce(F.col("c_name"), F.lit("NEW_USER")).alias("c_name"),
+        F.coalesce(F.col("c_nationkey"), F.lit(0)).alias("c_nationkey"),
+        F.round(F.col("value"), 2).alias("c_acctbal"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("CDC")).alias("c_mktsegment"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPSERT"))
+        .alias("__op"),
+        "ts",
+        "event_id",
+    )
+    return cdc.fold_changelog(
+        customer, changelog, ["c_custkey"], "ts", tiebreak_cols=["event_id"]
+    )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_custkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_spend,
+           COUNT(*) AS order_count
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def incremental_agg_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a per-customer aggregate incrementally: combine the
+    pre-1999 partial aggregate with the 1999+ delta aggregate — the oracle
+    recomputes from scratch, proving merge ≡ recompute (exact decimal
+    sums make them bit-equal)."""
+    from .functions import dec, money
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("timestamp_ntz")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.sum(dec(F.col("o_totalprice"))).alias("__sum_dec"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+
+    old = agg(orders.filter(F.col("o_orderdate") < cut))
+    delta = agg(orders.filter(F.col("o_orderdate") >= cut))
+    merged = sync.merge_partial_aggs(
+        old, delta, ["o_custkey"], ["__sum_dec"], ["order_count"]
+    )
+    return merged.select(
+        "o_custkey", money(F.col("__sum_dec")).alias("total_spend"), "order_count"
+    )
+
+
+@query(
+    "vocab_top_k",
+    oracle="""
+    SELECT token, COUNT(*) AS occurrences FROM (
+      SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+      FROM documents
+    ) GROUP BY token
+    ORDER BY occurrences DESC, token
+    LIMIT 20
+    """,
+)
+def vocab_top_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters (top-20 tokens)."""
+    return text_ops.vocab_top_k(load_table(spark, sf_dir, "documents"), k=20)
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(len(regexp_extract_all(text, '[a-z0-9]+')) / 10.0)
+                  AS BIGINT) AS bucket_id
+      FROM documents
+    )
+    SELECT bucket_id,
+           CAST(bucket_id * 10 AS BIGINT) AS bucket_lo,
+           CAST((bucket_id + 1) * 10 AS BIGINT) AS bucket_hi,
+           COUNT(*) AS doc_count
+    FROM b GROUP BY bucket_id
+    """,
+)
+def doc_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram of the corpus (length-filter calibration)."""
+    return text_ops.length_histogram(
+        load_table(spark, sf_dir, "documents"), bucket_width=10
+    )
+
+
+@query("ann_ivf_topk")  # rows-only: ranking ties through Spark-side floats
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list ANN (recall vs brute force asserted in tests)."""
+    df = similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("sketch_distinct_users")  # rows-only: HLL estimate is engine-specific
+def sketch_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx distinct users per event type (HLL) with exact alongside."""
+    return quality.sketch_distinct_counts(
+        load_table(spark, sf_dir, "events"), "user_id", "event_type"
+    )
+
+
+@query("sketch_value_quantiles")  # rows-only: GK sketch is engine-specific
+def sketch_value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of order value per status (GK sketch)."""
+    return quality.sketch_quantiles(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", "o_orderstatus"
+    )
