@@ -151,3 +151,17 @@ def sketch_quantiles(
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
     )
+
+
+def dup_key_audit(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Keys violating uniqueness, with their multiplicities.
+
+    Reference parity: verify_view_deduplication.sql — after every dedup
+    fix, the reference re-checks that no business key appears twice. Run
+    this over any view that promises key uniqueness (expect 0 rows).
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )

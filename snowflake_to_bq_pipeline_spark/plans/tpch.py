@@ -168,3 +168,87 @@ def q18_large_orders(
         .orderBy(F.col("total_qty").desc(), F.col("order_key"))
         .limit(100)
     )
+
+
+Q4_START, Q4_END = "1997-07-01", "1997-10-01"
+Q10_START, Q10_END = "1997-10-01", "1998-01-01"
+
+
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 (adapted): order counts per priority where at least one
+    line was returned — a LEFT SEMI join (no row multiplication)."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp"))
+    )
+    flagged = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        ords.join(flagged, ords.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q10_returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q10 (adapted): top-20 customers by lost revenue on returns."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(money(F.sum(net)).alias("revenue"))
+        .select(
+            F.col("c_custkey").alias("customer_key"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_acctbal").alias("customer_acctbal"),
+            F.col("n_name").alias("nation_name"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("customer_key"))
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 (adapted): promo revenue share for one month."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", net)).alias("__promo_dec"),
+        F.sum(net).alias("__total_dec"),
+    )
+    promo = F.coalesce(F.col("__promo_dec").cast("double"), F.lit(0.0))
+    total = F.col("__total_dec").cast("double")
+    return agg.select(
+        money(F.coalesce(F.col("__promo_dec"), F.lit(0).cast(DEC))).alias(
+            "promo_revenue"
+        ),
+        money(F.col("__total_dec")).alias("total_revenue"),
+        F.when(total > 0, F.round(promo / total * 100, 4)).alias("promo_pct"),
+    )

@@ -1340,3 +1340,96 @@ def sketch_value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.sketch_quantiles(
         load_table(spark, sf_dir, "orders"), "o_totalprice", "o_orderstatus"
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{tpch.Q4_START}'
+      AND o.o_orderdate < TIMESTAMP '{tpch.Q4_END}'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q4_order_priority(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey AS customer_key, c.c_name AS customer_name,
+           c.c_acctbal AS customer_acctbal, n.n_name AS nation_name,
+           CAST(ROUND(SUM({_NET}), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '{tpch.Q10_START}'
+      AND o.o_orderdate < TIMESTAMP '{tpch.Q10_END}'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, customer_key
+    LIMIT 20
+    """,
+)
+def q10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q10_returned_items(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    WITH j AS (
+      SELECT p.p_type, {_NET} AS net
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    ),
+    a AS (
+      SELECT SUM(CASE WHEN p_type = 'PROMO' THEN net END) AS promo_dec,
+             SUM(net) AS total_dec
+      FROM j
+    )
+    SELECT CAST(ROUND(COALESCE(promo_dec, CAST(0 AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS promo_revenue,
+           CAST(ROUND(total_dec, 2) AS DOUBLE) AS total_revenue,
+           CASE WHEN CAST(total_dec AS DOUBLE) > 0 THEN
+             ROUND(COALESCE(CAST(promo_dec AS DOUBLE), 0.0)
+                   / CAST(total_dec AS DOUBLE) * 100, 4)
+           END AS promo_pct
+    FROM a
+    """,
+)
+def q14_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q14_promo_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@query(
+    "dup_key_audit",
+    oracle="""
+    SELECT user_id, event_type, value, COUNT(*) AS dup_count
+    FROM events GROUP BY user_id, event_type, value
+    HAVING COUNT(*) > 1
+    """,
+)
+def dup_key_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business keys violating uniqueness (ref:
+    verify_view_deduplication.sql)."""
+    return quality.dup_key_audit(
+        load_table(spark, sf_dir, "events"), ["user_id", "event_type", "value"]
+    )

@@ -85,3 +85,25 @@ def merge_into_path(
         shutil.rmtree(old, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist as a bucketed table: joins/aggregations on the bucket key
+    then run shuffle-free (each bucket pairs 1:1 across tables).
+
+    This is the storage-level answer to the biggest 100 TB cost in this
+    engine — the fact⋈fact shuffle: bucket lineitem and orders by order
+    key once at load time and every downstream join/groupBy on that key
+    skips its Exchange. Requires a session with a warehouse dir (any
+    Spark ≥3 local or cluster session has one).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)

@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (broadcast dims, pushdown, pruning, bucketed co-location) must
+be visible in the executed plan, not just intended."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from snowflake_to_bq_pipeline_spark.registry import QUERIES
+from snowflake_to_bq_pipeline_spark.sinks import writers
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_is_single_shuffle_plus_broadcast(spark, sf_dir):
+    plan = _plan(QUERIES["individual_budget_tracking"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_prunes_lineitem_columns(spark, sf_dir):
+    plan = _plan(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    scan = next(l for l in plan.split("\n") if "l_extendedprice" in l and "FileScan" in l)
+    # Only the 4 needed columns reach the scan (of lineitem's 11).
+    assert "l_quantity" not in scan and "l_tax" not in scan
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _formatted(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan)
+    assert re.search(r"PushedFilters:.*LessThan\(l_quantity", plan)
+
+
+def test_dimension_joins_broadcast_not_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["work_item_enriched"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    # warehouse.dir is static; tables land in ./spark-warehouse (gitignored)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        writers.write_bucketed(orders, "orders_b", ["o_orderkey"], 8)
+        writers.write_bucketed(lineitem, "lineitem_b", ["l_orderkey"], 8)
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = _plan(joined)
+        # Co-located buckets: the join itself needs no hash exchange.
+        assert "SortMergeJoin" in plan
+        join_section = plan.split("SortMergeJoin")[1]
+        n_rows = joined.count()
+        assert n_rows > 0
+        full_exchanges = len(re.findall(r"Exchange hashpartitioning\((?:l_orderkey|o_orderkey)", plan))
+        assert full_exchanges == 0, f"bucketed join still shuffles:\n{plan[:2000]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
