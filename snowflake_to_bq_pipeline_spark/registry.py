@@ -1433,3 +1433,46 @@ def dup_key_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.dup_key_audit(
         load_table(spark, sf_dir, "events"), ["user_id", "event_type", "value"]
     )
+
+
+@query(
+    "embedding_doc_dedup",
+    oracle=f"""
+    WITH v AS (
+      SELECT d.doc_id, d.lang, d.source, CAST(e.embedding AS DOUBLE[]) AS e
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.lang AS lang_a, b.lang AS lang_b,
+             ROUND({_COS_SQL.format(d=_ANN_DIMS + 1, a='a', b='b')}, 6) AS cosine
+      FROM v a JOIN v b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, lang_a, lang_b, cosine
+    FROM p WHERE cosine >= {_DUP_COS_TAU}
+    """,
+)
+def embedding_doc_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup DOCUMENT pairs: documents joined to their
+    embedding vectors (doc_id = vec_id), all-pairs above threshold.
+    Production path swaps the pair generator for LSH/IVF candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "lang", "source", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = v.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("e").alias("ea"),
+    )
+    b = v.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("e").alias("eb"),
+    )
+    cos = similarity._cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "lang_a", "lang_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _DUP_COS_TAU)
+    )

@@ -61,18 +61,34 @@ def merge_into_path(
     updates: DataFrame,
     path: str,
     key_cols: Sequence[str],
+    order_col: str | None = None,
+    tiebreak_cols: Sequence[str] = (),
 ) -> None:
     """MERGE ``updates`` into the parquet directory at ``path``.
 
-    Missing target → plain write. Otherwise read, merge_upsert, write to a
-    sibling temp dir, swap. Prod note: swap for Delta/Iceberg MERGE INTO
-    to get ACID + concurrent readers.
+    Missing target → plain write. Otherwise read, merge, write to a
+    sibling temp dir, swap. With ``order_col`` the merge is
+    WHEN-MATCHED-AND-NEWER: the row with the greatest (order_col,
+    tiebreaks) survives per key, so replaying an old batch can never
+    clobber newer target rows (required for out-of-order streaming
+    upserts). Without it, updates win unconditionally. Prod note: swap
+    for Delta/Iceberg MERGE INTO to get ACID + concurrent readers.
     """
     if not os.path.exists(path):
         write_snapshot(updates, path)
         return
     base = spark.read.parquet(path)
-    merged = merge_upsert(base, updates, key_cols)
+    if order_col is not None:
+        from ..operators.dedup import latest_record
+
+        merged = latest_record(
+            base.unionByName(updates.select(*base.columns)),
+            key_cols,
+            order_col,
+            tiebreak_cols,
+        )
+    else:
+        merged = merge_upsert(base, updates, key_cols)
     tmp = tempfile.mkdtemp(
         prefix=".merge_", dir=os.path.dirname(os.path.abspath(path))
     )

@@ -89,3 +89,38 @@ def test_stateful_running_totals_accumulate(spark, sf_dir, tmp_path):
         (r.user_id, r.event_count, round(r.value_sum, 6)) for r in expected.collect()
     }
     assert got == want
+
+
+def test_streaming_merge_sink_converges_to_latest(spark, sf_dir, tmp_path):
+    from snowflake_to_bq_pipeline_spark.operators.dedup import latest_record
+    from snowflake_to_bq_pipeline_spark.streaming import merge_sink
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "msrc")
+    os.makedirs(src_dir)
+    # Two files → two micro-batches with maxFilesPerTrigger=1.
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src_dir, "a.parquet")
+    )
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src_dir, "b.parquet")
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*/")
+    )
+    target = str(tmp_path / "mtarget")
+    merge_sink.run_merge_stream(
+        spark, stream, target, str(tmp_path / "mckpt"),
+        ["user_id"], "ts", tiebreak_cols=["event_id"],
+    )
+    got = {
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        (r.user_id, r.event_id)
+        for r in latest_record(events, ["user_id"], "ts", ["event_id"]).collect()
+    }
+    assert got == want
