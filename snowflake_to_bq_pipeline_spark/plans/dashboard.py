@@ -162,3 +162,39 @@ def sales_rollup_sets(
         F.count(F.lit(1)).alias("line_count"),
         F.grouping_id().cast("long").alias("grouping_level"),
     )
+
+
+def user_activity_trend(events: DataFrame) -> DataFrame:
+    """Per-user least-squares trend of event value over time.
+
+    Beyond-groupby analytics without MLlib: the OLS slope comes from the
+    exact sufficient statistics (n, Σx, Σy, Σxy, Σx²) — integers and
+    decimals, so any engine derives the identical double slope from the
+    identical closed-form expression. x = whole seconds since the user's
+    first event (window min, one shuffle shared with the aggregation).
+    """
+    w = Window.partitionBy("user_id")
+    us = F.unix_micros(F.col("ts"))
+    x = F.floor((us - F.min(us).over(w)) / F.lit(1000000.0))
+    base = events.select(
+        "user_id", x.alias("x"), F.col("value").alias("y")
+    )
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("x").alias("__sx"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+        F.sum(dec(F.col("y"))).alias("__sy"),
+        F.sum(F.col("x").cast("decimal(12,0)") * dec(F.col("y"))).alias("__sxy"),
+    )
+    n = F.col("n_events").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    den = n * sxx - sx * sx
+    slope_hr = F.round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600.0, 6)
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.when(den != 0, slope_hr).alias("value_trend_per_hour"),
+    )

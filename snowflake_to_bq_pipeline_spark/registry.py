@@ -1476,3 +1476,39 @@ def embedding_doc_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "lang_a", "lang_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= _DUP_COS_TAU)
     )
+
+
+@query(
+    "user_activity_trend",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             FLOOR((epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+                   / 1000000.0) AS x,
+             value AS y
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             SUM(CAST(x AS BIGINT)) AS sx,
+             SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS sxx,
+             SUM(CAST(y AS DECIMAL(18,6))) AS sy,
+             SUM(CAST(x AS DECIMAL(12,0)) * CAST(y AS DECIMAL(18,6))) AS sxy
+      FROM base GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CASE WHEN CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0
+                THEN ROUND((CAST(n_events AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * 3600.0, 6)
+           END AS value_trend_per_hour
+    FROM agg
+    """,
+)
+def user_activity_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend from exact sufficient statistics."""
+    return dashboard.user_activity_trend(load_table(spark, sf_dir, "events"))
