@@ -64,6 +64,12 @@ def shingles(
         "doc_id", w.alias("__w"), F.explode(idx).alias("i")
     )
     parts = [F.element_at(F.col("__w"), F.col("i") + j) for j in range(k)]
+    # dropDuplicates' aggregation exchange doubles as the shared
+    # materialization point for every consumer (signatures, sizes, both
+    # self-join sides). Measured alternatives — row-local array_distinct
+    # with no shuffle, and with an explicit repartition — both ran ~2×
+    # slower end-to-end: the map-side partial dedup plus exchange reuse
+    # beats recomputing or re-shuffling the exploded shingles.
     return (
         exploded.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
         .dropDuplicates(["doc_id", "shingle"])
@@ -104,13 +110,19 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """MinHash signature per doc: one groupBy pass, N_PERMS min-aggregates
-    over seeded xxhash64 values."""
+    """MinHash signature per doc: one groupBy pass, N_PERMS min-aggregates.
+
+    The variable-length shingle string is hashed ONCE; each permutation
+    re-hashes the resulting fixed-width long with a seed — far cheaper
+    than 32 string hashes, and overflow-free under ANSI mode (an affine
+    a*h+b permutation family would throw on long overflow there).
+    """
+    base = sh.select("doc_id", F.xxhash64("shingle").alias("__h"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}")
         for i in range(N_PERMS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return base.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
