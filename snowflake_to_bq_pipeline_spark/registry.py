@@ -1512,3 +1512,48 @@ def embedding_doc_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_activity_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS value trend from exact sufficient statistics."""
     return dashboard.user_activity_trend(load_table(spark, sf_dir, "events"))
+
+
+from .operators import asof  # noqa: E402
+
+
+@query(
+    "asof_join_last_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, ts, user_id, value FROM events
+      WHERE event_type = 'click'
+    ),
+    purch0 AS (
+      SELECT event_id, ts, user_id, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    purch AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, ts ORDER BY event_id DESC
+        ) AS rn FROM purch0
+      ) WHERE rn = 1
+    )
+    SELECT c.event_id, c.ts, c.user_id, c.value,
+           p.event_id AS asof_event_id,
+           p.value AS asof_value,
+           p.ts AS asof_ts
+    FROM clicks c
+    ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click annotated with the user's newest purchase at
+    or before it — the point-in-time operator Spark lacks natively,
+    expressed as union + carry-forward (one shuffle, no range explosion)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return asof.asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", ["event_id", "value", "ts"]
+    )
