@@ -152,3 +152,54 @@ def length_histogram(
             "doc_count",
         )
     )
+
+
+def tfidf_top_terms(
+    documents: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = term count / doc length, idf = ln(N / df) — every factor derives
+    from exact integer counts, so scores are engine-reproducible. Corpus
+    stats (N, df) are aggregates joined back; the per-doc top-k is one
+    window over the (doc, token) partition.
+
+    Scale: token counts partial-aggregate on (doc_id, token); df is a
+    second partial aggregate of that (already-reduced) output; N is a
+    1-row broadcast. Nothing touches the driver.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    tok_counts = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("term_count")
+    )
+    doc_totals = tok_counts.groupBy("doc_id").agg(
+        F.sum("term_count").alias("doc_tokens")
+    )
+    df_counts = tok_counts.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).alias("__n_docs"))
+
+    tf = F.col("term_count").cast("double") / F.col("doc_tokens").cast("double")
+    idf = F.log(F.col("__n_docs").cast("double") / F.col("doc_freq").cast("double"))
+    scored = (
+        tok_counts.join(doc_totals, "doc_id")
+        .join(df_counts, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "term_count",
+            "doc_freq",
+            F.round(tf * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

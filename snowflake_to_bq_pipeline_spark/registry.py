@@ -1557,3 +1557,40 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.asof_join(
         clicks, purchases, ["user_id"], "ts", "ts", ["event_id", "value", "ts"]
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, token, COUNT(*) AS term_count
+      FROM toks GROUP BY doc_id, token
+    ),
+    dt AS (
+      SELECT doc_id, CAST(SUM(term_count) AS BIGINT) AS doc_tokens
+      FROM tc GROUP BY doc_id
+    ),
+    dfc AS (SELECT token, COUNT(*) AS doc_freq FROM tc GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tc.doc_id, tc.token, tc.term_count, dfc.doc_freq,
+             ROUND((CAST(tc.term_count AS DOUBLE) / CAST(dt.doc_tokens AS DOUBLE))
+                   * LN(CAST(n.n_docs AS DOUBLE) / CAST(dfc.doc_freq AS DOUBLE)),
+                   6) AS tfidf
+      FROM tc JOIN dt USING (doc_id) JOIN dfc USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, term_count, doc_freq, tfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by TF-IDF."""
+    return text_ops.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
