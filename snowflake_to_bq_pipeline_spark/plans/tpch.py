@@ -252,3 +252,86 @@ def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         money(F.col("__total_dec")).alias("total_revenue"),
         F.when(total > 0, F.round(promo / total * 100, 4)).alias("promo_pct"),
     )
+
+
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+Q7_START, Q7_END = "1996-01-01", "1998-01-01"
+
+
+def q7_nation_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 (adapted): shipped volume between two nations by year and
+    direction (supplier nation → customer nation)."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    joined = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(Q7_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q7_END).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                F.year("l_shipdate").alias("ship_year"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == Q7_NATION_A)
+                & (F.col("cust_nation") == Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q7_NATION_B)
+                & (F.col("cust_nation") == Q7_NATION_A)
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.col("ship_year").cast("long").alias("ship_year")
+    ).agg(money(F.sum(net)).alias("revenue"), F.count(F.lit(1)).alias("line_count"))
+
+
+def q19_bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 (adapted): disjunctive brand/size/quantity brackets — the
+    OR-of-ANDs predicate shape that stresses predicate simplification."""
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    joined = lineitem.select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(5, 20))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(10, 40))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    return joined.filter(cond).agg(
+        money(F.sum(net)).alias("revenue"), F.count(F.lit(1)).alias("line_count")
+    )

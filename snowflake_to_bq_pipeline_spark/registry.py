@@ -1594,3 +1594,53 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by TF-IDF."""
     return text_ops.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(ROUND(SUM({_NET}), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '{tpch.Q7_START}'
+      AND l.l_shipdate < TIMESTAMP '{tpch.Q7_END}'
+      AND ((n1.n_name = '{tpch.Q7_NATION_A}' AND n2.n_name = '{tpch.Q7_NATION_B}')
+           OR (n1.n_name = '{tpch.Q7_NATION_B}' AND n2.n_name = '{tpch.Q7_NATION_A}'))
+    GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT)
+    """,
+)
+def q7_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q7_nation_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "q19_bracket_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM({_NET}), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q19_bracket_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
