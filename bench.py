@@ -33,10 +33,16 @@ BENCH_QUERIES = [
     "sync_date_dedup",
     "monthly_hours_pivot",
     "volume_anomaly",
-    # LLM-data ops (present once implemented)
+    "asof_join_last_purchase",
+    "user_activity_trend",
+    "q7_nation_volume",
+    "q14_promo_revenue",
+    # LLM-data ops
     "dedup_exact",
     "dedup_minhash_lsh",
+    "ngram_jaccard_dups",
     "ann_cosine_topk",
+    "tfidf_top_terms",
     "text_quality_score",
 ]
 

@@ -335,3 +335,55 @@ def q19_bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     return joined.filter(cond).agg(
         money(F.sum(net)).alias("revenue"), F.count(F.lit(1)).alias("line_count")
     )
+
+
+Q12_START, Q12_END = "1997-01-01", "1998-01-01"
+Q15_START, Q15_END = "1997-01-01", "1997-04-01"
+
+
+def q12_priority_shipping(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 (adapted): per return-flag class, how many high- vs
+    low-priority orders shipped — the conditional-count CASE aggregation."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(Q12_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_END).cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    joined = li.join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.when(high, F.lit(1))).alias("high_priority_count"),
+        F.count(F.when(~high, F.lit(1))).alias("low_priority_count"),
+    )
+
+
+def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q15 (adapted): supplier(s) with maximum revenue in a quarter —
+    an aggregate joined against its own maximum (the view + subquery
+    pattern), expressed with one extra 1-row broadcast instead of a
+    correlated subquery."""
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(money(F.sum(net)).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            rev.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("l_suppkey").alias("supplier_key"),
+            F.col("s_name").alias("supplier_name"),
+            "total_revenue",
+        )
+    )

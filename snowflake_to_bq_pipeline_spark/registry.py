@@ -1644,3 +1644,46 @@ def q19_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.q19_bracket_revenue(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_priority_count,
+           COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_priority_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '{tpch.Q12_START}'
+      AND l.l_shipdate < TIMESTAMP '{tpch.Q12_END}'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q12_priority_shipping(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(ROUND(SUM({_NET}), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{tpch.Q15_START}'
+        AND l_shipdate < TIMESTAMP '{tpch.Q15_END}'
+      GROUP BY l_suppkey
+    )
+    SELECT r.l_suppkey AS supplier_key, s.s_name AS supplier_name,
+           r.total_revenue
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q15_top_supplier(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
