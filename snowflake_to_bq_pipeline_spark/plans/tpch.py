@@ -387,3 +387,45 @@ def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
             "total_revenue",
         )
     )
+
+
+def q13_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count (including
+    zero-order customers) — the left-join + double-aggregation shape."""
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            customer.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(
+        F.count(F.lit(1)).alias("customer_count")
+    )
+
+
+def q22_idle_accounts(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 (adapted): positive-balance customers with no orders,
+    grouped by nation — anti-join against a scalar-average filter."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(dec(F.col("c_acctbal"))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__avg_bal")
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+    )
+    idle = rich.join(
+        orders.select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("customer_count"),
+        money(F.sum(dec(F.col("c_acctbal")))).alias("total_acctbal"),
+    )

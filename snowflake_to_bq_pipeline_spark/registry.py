@@ -1687,3 +1687,44 @@ def q15_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.q15_top_supplier(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
     )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT order_count, COUNT(*) AS customer_count
+    FROM per_cust GROUP BY order_count
+    """,
+)
+def q13_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q13_order_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "q22_idle_accounts",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey, COUNT(*) AS customer_count,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_acctbal
+    FROM customer c CROSS JOIN a
+    WHERE c.c_acctbal > a.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q22_idle_accounts(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
