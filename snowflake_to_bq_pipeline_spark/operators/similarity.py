@@ -173,28 +173,76 @@ def lsh_topk(
     )
 
 
+def dup_candidate_pairs(
+    v: DataFrame, n_tables: int, n_planes: int
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs sharing ≥1 LSH (table, bucket) cell.
+
+    The self-join keys on (table, bucket) — an equi-join that shuffles each
+    vector id n_tables times, never the cross product. A pair at cosine c
+    collides per table with probability (1 - acos(c)/π)^n_planes and is
+    missed everywhere with (1 - (1-acos(c)/π)^n_planes)^n_tables — pick
+    few planes / many tables for low-τ regimes, many planes (fine, cheap
+    buckets) for near-dup regimes (τ ≥ 0.9). Hyperplanes derive from
+    seeded xxhash64, so candidacy is deterministic for a given corpus.
+    """
+    vb = _lsh_buckets(v, n_tables, n_planes).select("vec_id", "table", "bucket")
+    a = vb.select(F.col("vec_id").alias("id_a"), "table", "bucket")
+    b = vb.select(F.col("vec_id").alias("id_b"), "table", "bucket")
+    return (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
 def dup_pairs(
     embeddings: DataFrame,
     threshold: float,
     sample_mod: int | None = None,
+    method: str = "lsh",
+    n_tables: int = 32,
+    n_planes: int = 2,
 ) -> DataFrame:
     """All vector pairs with cosine ≥ threshold (a < b).
 
-    ``sample_mod`` keeps a deterministic keyspace sample (vec_id % mod == 0)
-    so the exactness oracle stays tractable; None = all pairs.
+    ``method='lsh'`` (the production path) generates candidates with
+    multi-table hyperplane LSH, then exact-cosine-verifies candidates only
+    — no cartesian product anywhere in the plan. ``method='exact'`` is the
+    all-pairs oracle baseline; it REQUIRES ``sample_mod`` (a deterministic
+    keyspace sample, vec_id % mod == 0) because an ungated cross join is
+    quadratic and must never run at corpus scale.
     """
     v = _vectors(embeddings)
     if sample_mod:
         v = v.filter(F.col("vec_id") % sample_mod == 0)
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    cos = _cosine(F.col("ea"), F.col("eb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    if method == "exact":
+        if not sample_mod:
+            raise ValueError(
+                "method='exact' is the all-pairs oracle baseline; pass "
+                "sample_mod to bound the cross join (use method='lsh' at scale)"
+            )
+        a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+        b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+        cos = _cosine(F.col("ea"), F.col("eb"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+    cand = dup_candidate_pairs(v, n_tables, n_planes)
+    scored = (
+        cand.join(v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea")), "id_a")
+        .join(v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb")), "id_b")
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            _cosine(F.col("ea"), F.col("eb")).alias("cosine"),
+        )
     )
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 def ivf_topk(

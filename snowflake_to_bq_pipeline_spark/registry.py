@@ -914,8 +914,11 @@ _DUP_COS_TAU = 0.3  # synthetic embeddings are near-orthogonal; real
     """,
 )
 def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs over a deterministic keyspace
-    sample (oracle-tractable); production path is LSH candidates."""
+    """Embedding-cosine near-dup pairs via LSH candidates + exact-cosine
+    verify (no cartesian product in the plan). The keyspace sample keeps
+    the all-pairs DuckDB oracle tractable; the LSH candidate generator
+    achieves full recall on it (asserted vs the exact baseline in
+    tests/test_similarity.py)."""
     return similarity.dup_pairs(
         load_table(spark, sf_dir, "embeddings"), _DUP_COS_TAU, sample_mod=10
     )
@@ -1454,27 +1457,25 @@ def dup_key_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_doc_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup DOCUMENT pairs: documents joined to their
-    embedding vectors (doc_id = vec_id), all-pairs above threshold.
-    Production path swaps the pair generator for LSH/IVF candidates."""
+    embedding vectors (doc_id = vec_id), pairs above threshold.
+
+    Scale shape: multi-table hyperplane-LSH candidate generation + exact
+    cosine verify on candidates only — an equi-join plan with no cartesian
+    product (asserted in tests/test_plans.py). The DuckDB oracle stays the
+    all-pairs definition; the candidate generator achieves full recall on
+    the test corpora (asserted vs exact in tests/test_similarity.py).
+    Ref posture: snowflake_bq_deduplication_sync.py done at corpus scale.
+    """
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    v = docs.join(emb, docs.doc_id == emb.vec_id).select(
-        "doc_id", "lang", "source", F.col("embedding").cast("array<double>").alias("e")
+    vecs = emb.join(docs, emb.vec_id == docs.doc_id, "left_semi")
+    pairs = similarity.dup_pairs(vecs, _DUP_COS_TAU).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "cosine"
     )
-    a = v.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
-        F.col("e").alias("ea"),
-    )
-    b = v.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
-        F.col("e").alias("eb"),
-    )
-    cos = similarity._cosine(F.col("ea"), F.col("eb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "lang_a", "lang_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= _DUP_COS_TAU)
+    la = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    lb = docs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
+    return pairs.join(la, "doc_a").join(lb, "doc_b").select(
+        "doc_a", "doc_b", "lang_a", "lang_b", "cosine"
     )
 
 

@@ -46,6 +46,15 @@ def test_q6_filters_pushed_to_scan(spark, sf_dir):
     assert re.search(r"PushedFilters:.*LessThan\(l_quantity", plan)
 
 
+def test_embedding_dedup_has_no_cartesian_product(spark, sf_dir):
+    """Dup detection must run on LSH candidates (equi-joins), never an
+    all-pairs cross join — the 100 TB posture (VERDICT r1 item 2)."""
+    for name in ("embedding_doc_dedup", "embedding_dup_pairs"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_dimension_joins_broadcast_not_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["work_item_enriched"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2

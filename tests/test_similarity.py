@@ -44,3 +44,28 @@ def test_dup_pairs_symmetric_threshold(spark, sf_dir):
     for r in rows:
         assert r.vec_a < r.vec_b
         assert r.cosine >= 0.3
+
+
+def test_dup_pairs_lsh_full_recall_vs_exact(spark, sf_dir):
+    """The LSH candidate path must reproduce the exact all-pairs output on
+    the test corpus — same pairs, same cosines (the oracle hash-compares)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.dup_pairs(
+            emb, 0.3, sample_mod=1, method="exact"
+        ).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.dup_pairs(emb, 0.3).collect()
+    }
+    assert lsh == exact
+
+
+def test_dup_pairs_exact_requires_sample_gate(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    import pytest
+
+    with pytest.raises(ValueError, match="sample_mod"):
+        similarity.dup_pairs(emb, 0.3, method="exact")
