@@ -40,18 +40,26 @@ def asof_join(
     payload columns come back as ``{prefix}{col}``, NULL when no right
     row precedes the left row.
     """
+    from pyspark.sql.types import StructField, StructType
+
     right_unique = latest_record(
         right.select(*key_cols, right_ts, *right_payload),
         [*key_cols, right_ts],
         right_payload[0] if right_payload else right_ts,
     )
 
+    # The payload travels as ONE struct so every column of the result comes
+    # from the SAME matched right row. Carrying columns independently with
+    # last(ignorenulls) would back-fill a NULL payload field from an older
+    # right row — stitching values across rows and breaking ASOF semantics.
+    payload_type = StructType(
+        [StructField(c, right_unique.schema[c].dataType) for c in right_payload]
+    )
     l_tagged = left.select(
         *left.columns,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right_unique.schema[c].dataType).alias(f"{prefix}{c}")
-          for c in right_payload],
+        F.lit(None).cast(payload_type).alias("__payload"),
     )
     # Key columns (same names on both sides) carry the right row's keys;
     # every other left column is NULL on right-side rows.
@@ -63,7 +71,7 @@ def asof_join(
         ],
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_payload],
+        F.struct(*[F.col(c).alias(c) for c in right_payload]).alias("__payload"),
     )
 
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
@@ -75,11 +83,12 @@ def asof_join(
     carried = unioned.select(
         *left.columns,
         "__side",
+        F.last(F.col("__payload"), ignorenulls=True).over(w).alias("__payload"),
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *left.columns,
         *[
-            F.last(F.col(f"{prefix}{c}"), ignorenulls=True)
-            .over(w)
-            .alias(f"{prefix}{c}")
+            F.col("__payload").getField(c).alias(f"{prefix}{c}")
             for c in right_payload
         ],
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
