@@ -20,9 +20,11 @@ affected partitions.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import tempfile
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,6 +65,7 @@ def merge_into_path(
     key_cols: Sequence[str],
     order_col: str | None = None,
     tiebreak_cols: Sequence[str] = (),
+    delete_absent_keys: bool = False,
 ) -> None:
     """MERGE ``updates`` into the parquet directory at ``path``.
 
@@ -71,13 +74,25 @@ def merge_into_path(
     WHEN-MATCHED-AND-NEWER: the row with the greatest (order_col,
     tiebreaks) survives per key, so replaying an old batch can never
     clobber newer target rows (required for out-of-order streaming
-    upserts). Without it, updates win unconditionally. Prod note: swap
-    for Delta/Iceberg MERGE INTO to get ACID + concurrent readers.
+    upserts). Without it, updates win unconditionally.
+
+    ``delete_absent_keys=True`` is the full-reconciliation mode (ref:
+    snowflake_bq_deduplication_sync.py:270 — delete target orphans, insert
+    missing): ``updates`` is treated as the complete source keyspace, so
+    target rows whose keys no longer appear in it are dropped. The
+    orphan drop is a left_semi join on the keys — one shuffle, no
+    collect. Prod note: swap for Delta/Iceberg MERGE INTO to get ACID +
+    concurrent readers.
     """
+    _recover_dangling_swap(path)
     if not os.path.exists(path):
         write_snapshot(updates, path)
         return
     base = spark.read.parquet(path)
+    if delete_absent_keys:
+        base = base.join(
+            updates.select(*key_cols).dropDuplicates(), list(key_cols), "left_semi"
+        )
     if order_col is not None:
         from ..operators.dedup import latest_record
 
@@ -95,12 +110,35 @@ def merge_into_path(
     try:
         out = os.path.join(tmp, "data")
         merged.write.mode("overwrite").parquet(out)
-        old = path.rstrip("/") + ".old"
+        # Unique suffix: a leftover old dir from a prior crash can never
+        # collide with this swap's rename.
+        old = f"{path.rstrip('/')}.old.{uuid.uuid4().hex}"
         os.rename(path, old)
         os.rename(out, path)
         shutil.rmtree(old, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _recover_dangling_swap(path: str) -> None:
+    """Heal a crash inside merge_into_path's two-rename swap.
+
+    A crash between ``rename(path, old)`` and ``rename(out, path)`` leaves
+    the target missing and the data parked in ``path.old.*``. Without
+    recovery, the replayed batch (its checkpoint never committed) would see
+    no target and write_snapshot() only itself — silently discarding all
+    previously merged history. If the target exists, any ``.old.*`` dirs
+    are post-swap leftovers and are safe to drop.
+    """
+    dangling = sorted(glob.glob(glob.escape(path.rstrip("/")) + ".old.*"))
+    if not dangling:
+        return
+    if not os.path.exists(path):
+        newest = max(dangling, key=os.path.getmtime)
+        os.rename(newest, path)
+        dangling.remove(newest)
+    for leftover in dangling:
+        shutil.rmtree(leftover, ignore_errors=True)
 
 
 def write_bucketed(

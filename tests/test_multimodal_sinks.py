@@ -60,6 +60,51 @@ def test_merge_into_path_roundtrip(spark, sf_dir, tmp_path):
     assert merged.select("o_orderkey").distinct().count() == merged.count()
 
 
+def test_merge_into_path_delete_absent_keys(spark, sf_dir, tmp_path):
+    """Full reconciliation: orphans deleted, missing inserted, matched
+    updated (ref: snowflake_bq_deduplication_sync.py:270 posture)."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = str(tmp_path / "orders_recon")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)  # evens
+    writers.write_snapshot(base, target)
+
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_orderpriority", F.lit("RECONCILED")
+    )  # multiples of 3
+    writers.merge_into_path(
+        spark, source, target, ["o_orderkey"], delete_absent_keys=True
+    )
+
+    merged = spark.read.parquet(target)
+    # Target keyspace == source keyspace: orphans (evens not div by 3) gone.
+    assert merged.count() == source.count()
+    assert merged.filter(F.col("o_orderkey") % 3 != 0).count() == 0
+    # Missing keys (odd multiples of 3) inserted, and every row carries the
+    # source payload.
+    assert merged.filter(F.col("o_orderpriority") != "RECONCILED").count() == 0
+    assert merged.select("o_orderkey").distinct().count() == merged.count()
+
+
+def test_merge_into_path_recovers_dangling_swap(spark, sf_dir, tmp_path):
+    """A crash between the two swap renames must not lose merged history."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = str(tmp_path / "orders_crash")
+    base = orders.filter(F.col("o_orderkey") <= 1000)
+    writers.write_snapshot(base, target)
+
+    # Simulate the crash window: target renamed aside, new data never landed.
+    os.rename(target, target + ".old.deadbeef")
+    updates = orders.filter(F.col("o_orderkey") <= 10).withColumn(
+        "o_orderpriority", F.lit("REPLAYED")
+    )
+    writers.merge_into_path(spark, updates, target, ["o_orderkey"])
+
+    merged = spark.read.parquet(target)
+    # Without recovery this would be just the replayed batch (10 rows).
+    assert merged.count() == base.count()
+    assert not os.path.exists(target + ".old.deadbeef")
+
+
 def test_write_partitioned_dynamic_overwrite(spark, sf_dir, tmp_path):
     events = load_table(spark, sf_dir, "events")
     target = str(tmp_path / "events_part")
