@@ -71,6 +71,15 @@ def schedule_status(due: Column, completed_flag: Column, now: Column, due_soon_d
     )
 
 
+def is_overdue(due: Column, completed_flag: Column, now: Column) -> Column:
+    """IS_WORK_ITEM_OVERDUE (v5 view L179): due date passed, not completed.
+
+    Non-null boolean: a NULL due date means not overdue (FALSE, not NULL),
+    matching the view's COALESCE posture.
+    """
+    return due.isNotNull() & (due < now) & ~completed_flag
+
+
 def month_bucket_sum(value: Column, date_col: Column, year: int, month: int) -> Column:
     """SUM(CASE WHEN year/month matches THEN value ELSE 0) (v5 view L23-34)."""
     cond = (F.year(date_col) == year) & (F.month(date_col) == month)

@@ -29,9 +29,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import DEC, budget_status, money, net_price
+from ..functions import (
+    DEC,
+    budget_status,
+    is_overdue,
+    money,
+    net_price,
+    schedule_status,
+)
 
 APPROACH_FRAC = 0.8
+
+# Schedule-status mapping (v5 view L376-382, IS_WORK_ITEM_OVERDUE L179):
+# a work item is due DUE_DAYS after it opens; completed items (status 'F')
+# are never overdue. "Now" is a fixed as-of timestamp so results are
+# deterministic and oracle-comparable — production would bind it to the
+# run's logical date.
+DUE_DAYS = 30
+DUE_SOON_DAYS = 3
+SCHEDULE_AS_OF = "1998-06-17 00:00:00"
+
+
+def _due_date(order_date):
+    return F.timestamp_add("DAY", F.lit(DUE_DAYS), order_date)
+
+
+def _schedule_now():
+    return F.lit(SCHEDULE_AS_OF).cast("timestamp_ntz")
 
 
 def budget_vs_actual(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
@@ -79,6 +103,18 @@ def budget_vs_actual(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         money(budget - actual).alias("variance_amount"),
         F.when(budget > 0, money(actual / budget * 100)).alias("utilization_pct"),
         budget_status(budget, actual, APPROACH_FRAC).alias("budget_status"),
+        _due_date(F.col("o_orderdate")).alias("due_date"),
+        schedule_status(
+            _due_date(F.col("o_orderdate")),
+            F.col("o_orderstatus") == "F",
+            _schedule_now(),
+            DUE_SOON_DAYS,
+        ).alias("schedule_status"),
+        is_overdue(
+            _due_date(F.col("o_orderdate")),
+            F.col("o_orderstatus") == "F",
+            _schedule_now(),
+        ).alias("is_overdue"),
     )
 
 
@@ -179,7 +215,8 @@ def individual_budget_tracking(orders: DataFrame, lineitem: DataFrame) -> DataFr
     # 100 TB); AQE picks broadcast automatically when it is small enough.
     joined = grouped.join(
         orders.select(
-            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice",
+            "o_orderdate",
         ),
         grouped.l_orderkey == F.col("o_orderkey"),
         "left",
@@ -218,4 +255,16 @@ def individual_budget_tracking(orders: DataFrame, lineitem: DataFrame) -> DataFr
         .alias("budget_source"),
         F.col("ind_budget_amount").isNotNull().alias("has_individual_budget"),
         F.col("ind_actual_amount").isNotNull().alias("has_time_logged"),
+        _due_date(F.col("o_orderdate")).alias("order_due_date"),
+        schedule_status(
+            _due_date(F.col("o_orderdate")),
+            F.col("o_orderstatus") == "F",
+            _schedule_now(),
+            DUE_SOON_DAYS,
+        ).alias("order_schedule_status"),
+        is_overdue(
+            _due_date(F.col("o_orderdate")),
+            F.col("o_orderstatus") == "F",
+            _schedule_now(),
+        ).alias("is_order_overdue"),
     )

@@ -229,7 +229,18 @@ _NET = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
           THEN 'APPROACHING_BUDGET'
         WHEN ROUND(o.o_totalprice, 2) > 0 THEN 'WITHIN_BUDGET'
         ELSE 'NO_BUDGET_SET'
-      END AS budget_status
+      END AS budget_status,
+      o.o_orderdate + INTERVAL 30 DAY AS due_date,
+      CASE
+        WHEN o.o_orderdate + INTERVAL 30 DAY < TIMESTAMP '1998-06-17 00:00:00'
+             AND o.o_orderstatus <> 'F' THEN 'OVERDUE'
+        WHEN o.o_orderdate + INTERVAL 30 DAY
+               <= TIMESTAMP '1998-06-17 00:00:00' + INTERVAL 3 DAY
+             AND o.o_orderstatus <> 'F' THEN 'DUE_SOON'
+        ELSE 'ON_TRACK'
+      END AS schedule_status,
+      COALESCE(o.o_orderdate + INTERVAL 30 DAY < TIMESTAMP '1998-06-17 00:00:00'
+               AND o.o_orderstatus <> 'F', FALSE) AS is_overdue
     FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
     """,
 )
@@ -308,7 +319,18 @@ def budget_vs_actual_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE WHEN a.ind_budget_amount IS NOT NULL THEN 'INDIVIDUAL_BUDGET'
            ELSE 'NO_BUDGET' END AS budget_source,
       a.ind_budget_amount IS NOT NULL AS has_individual_budget,
-      t.ind_actual_amount IS NOT NULL AS has_time_logged
+      t.ind_actual_amount IS NOT NULL AS has_time_logged,
+      o.o_orderdate + INTERVAL 30 DAY AS order_due_date,
+      CASE
+        WHEN o.o_orderdate + INTERVAL 30 DAY < TIMESTAMP '1998-06-17 00:00:00'
+             AND o.o_orderstatus <> 'F' THEN 'OVERDUE'
+        WHEN o.o_orderdate + INTERVAL 30 DAY
+               <= TIMESTAMP '1998-06-17 00:00:00' + INTERVAL 3 DAY
+             AND o.o_orderstatus <> 'F' THEN 'DUE_SOON'
+        ELSE 'ON_TRACK'
+      END AS order_schedule_status,
+      COALESCE(o.o_orderdate + INTERVAL 30 DAY < TIMESTAMP '1998-06-17 00:00:00'
+               AND o.o_orderstatus <> 'F', FALSE) AS is_order_overdue
     FROM contributors c
     LEFT JOIN alloc a ON c.l_orderkey = a.l_orderkey AND c.l_suppkey = a.l_suppkey
     LEFT JOIN time_ t ON c.l_orderkey = t.l_orderkey AND c.l_suppkey = t.l_suppkey
