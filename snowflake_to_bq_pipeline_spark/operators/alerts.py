@@ -1,0 +1,120 @@
+"""Unified pipeline-alert dataset.
+
+The reference's monitors don't stop at metrics — they fold anomalies,
+staleness, duplicate keys, and count drift into alert payloads that get
+delivered (pipeline_fallback_monitor.py main flow,
+slack_integration_agent.py, dashboard email digests). Transport is out of
+scope for a query engine; the alert DATASET is not. This operator folds
+the four monitoring operators into one severity-ranked table — the thing
+an on-call user actually consumes:
+
+    (alert_source, entity, metric, observed, threshold, severity)
+
+Scale: each component is itself a partial aggregation over its source
+(daily counts, per-type watermarks, key-group counts, day-level compare);
+the fold is a union of already-tiny violation sets — no extra scan over
+the raw tables beyond what the components do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .anomaly import volume_anomaly
+from .quality import dup_key_audit, freshness_check, row_count_compare
+
+SEVERITY_CRITICAL = "CRITICAL"
+SEVERITY_WARNING = "WARNING"
+
+
+def pipeline_alerts(
+    events: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    z_threshold: float = 2.0,
+    z_critical: float = 3.0,
+    stale_after_seconds: int = 1800,
+    dup_key_cols: tuple[str, ...] = ("user_id", "event_type", "value"),
+    drift_critical_frac: float = 0.5,
+) -> DataFrame:
+    """Violations from all four monitors, one row per alert.
+
+    Severity: each monitor has a WARNING bound (its own flag) and a
+    CRITICAL bound (z beyond ``z_critical``, lag beyond twice the stale
+    window, more than one extra duplicate, drift beyond
+    ``drift_critical_frac`` of the source count).
+    """
+    crit = F.lit(SEVERITY_CRITICAL)
+    warn = F.lit(SEVERITY_WARNING)
+
+    va = (
+        volume_anomaly(events, "ts", z_threshold)
+        .filter(F.col("is_anomaly"))
+        .select(
+            F.lit("volume").alias("alert_source"),
+            F.col("day").cast("string").alias("entity"),
+            F.lit("daily_volume_z").alias("metric"),
+            F.abs(F.col("z_score")).alias("observed"),
+            F.lit(float(z_threshold)).alias("threshold"),
+            F.when(F.abs(F.col("z_score")) > z_critical, crit)
+            .otherwise(warn)
+            .alias("severity"),
+        )
+    )
+
+    fr = (
+        freshness_check(events, "ts", "event_type", stale_after_seconds)
+        .filter(F.col("is_stale"))
+        .select(
+            F.lit("freshness").alias("alert_source"),
+            F.col("event_type").alias("entity"),
+            F.lit("watermark_lag_seconds").alias("metric"),
+            F.col("lag_seconds").cast("double").alias("observed"),
+            F.lit(float(stale_after_seconds)).alias("threshold"),
+            F.when(F.col("lag_seconds") > 2 * stale_after_seconds, crit)
+            .otherwise(warn)
+            .alias("severity"),
+        )
+    )
+
+    # Float key parts print through a fixed %.6f so the entity string is
+    # engine-independent (bare double→string rendering differs).
+    dup_entity = F.concat_ws(
+        "|",
+        *[
+            F.format_string("%.6f", F.col(c))
+            if dict(events.dtypes)[c] in ("double", "float")
+            else F.col(c).cast("string")
+            for c in dup_key_cols
+        ],
+    )
+    dk = dup_key_audit(events, list(dup_key_cols)).select(
+        F.lit("dedup").alias("alert_source"),
+        dup_entity.alias("entity"),
+        F.lit("duplicate_key_count").alias("metric"),
+        F.col("dup_count").cast("double").alias("observed"),
+        F.lit(1.0).alias("threshold"),
+        F.when(F.col("dup_count") > 2, crit).otherwise(warn).alias("severity"),
+    )
+
+    rc = (
+        row_count_compare(orders, lineitem, "o_orderdate", "l_shipdate")
+        .filter(~F.col("counts_match"))
+        .select(
+            F.lit("reconciliation").alias("alert_source"),
+            F.col("day").cast("string").alias("entity"),
+            F.lit("day_count_drift").alias("metric"),
+            F.abs(F.col("count_diff")).cast("double").alias("observed"),
+            F.lit(0.0).alias("threshold"),
+            F.when(
+                F.abs(F.col("count_diff")).cast("double")
+                > drift_critical_frac * F.col("source_count").cast("double"),
+                crit,
+            )
+            .otherwise(warn)
+            .alias("severity"),
+        )
+    )
+
+    return va.unionByName(fr).unionByName(dk).unionByName(rc)

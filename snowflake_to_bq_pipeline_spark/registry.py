@@ -593,6 +593,102 @@ def row_count_compare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators import alerts as alerts_op  # noqa: E402
+
+
+@query(
+    "pipeline_alerts",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS event_count
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(event_count) AS s,
+             SUM(event_count * event_count) AS ss
+      FROM daily
+    ),
+    derived AS (
+      SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS msq
+      FROM stats
+    ),
+    d2 AS (
+      SELECT n, mean,
+             SQRT(GREATEST((msq - mean * mean)
+                  * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)), 0.0)) AS sd
+      FROM derived
+    ),
+    flagged AS (
+      SELECT d, event_count,
+             CASE WHEN n > 1 AND sd > 0
+                  THEN ROUND((CAST(event_count AS DOUBLE) - mean) / sd, 4)
+             END AS z
+      FROM daily CROSS JOIN d2
+    ),
+    per_type AS (
+      SELECT event_type, MAX(ts) AS last_ts FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(ts) AS gmax FROM events),
+    fresh AS (
+      SELECT event_type,
+             CAST(FLOOR((epoch_us(gmax) - epoch_us(last_ts)) / 1000000)
+                  AS BIGINT) AS lag_s
+      FROM per_type CROSS JOIN g
+    ),
+    dup AS (
+      SELECT user_id, event_type, value, COUNT(*) AS dup_count FROM events
+      GROUP BY user_id, event_type, value HAVING COUNT(*) > 1
+    ),
+    s AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS source_count
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS target_count
+      FROM lineitem GROUP BY 1
+    ),
+    recon AS (
+      SELECT COALESCE(s.d, t.d) AS d, COALESCE(s.source_count, 0) AS sc,
+             COALESCE(t.target_count, 0) AS tc
+      FROM s FULL OUTER JOIN t ON s.d = t.d
+    )
+    SELECT 'volume' AS alert_source, CAST(d AS VARCHAR) AS entity,
+           'daily_volume_z' AS metric, ABS(z) AS observed,
+           CAST(2.0 AS DOUBLE) AS threshold,
+           CASE WHEN ABS(z) > 3.0 THEN 'CRITICAL' ELSE 'WARNING' END AS severity
+    FROM flagged WHERE COALESCE(ABS(z) > 2.0, FALSE)
+    UNION ALL
+    SELECT 'freshness', event_type, 'watermark_lag_seconds',
+           CAST(lag_s AS DOUBLE), CAST(1800.0 AS DOUBLE),
+           CASE WHEN lag_s > 3600 THEN 'CRITICAL' ELSE 'WARNING' END
+    FROM fresh WHERE lag_s > 1800
+    UNION ALL
+    SELECT 'dedup',
+           CAST(user_id AS VARCHAR) || '|' || event_type || '|'
+             || printf('%.6f', value),
+           'duplicate_key_count', CAST(dup_count AS DOUBLE), CAST(1.0 AS DOUBLE),
+           CASE WHEN dup_count > 2 THEN 'CRITICAL' ELSE 'WARNING' END
+    FROM dup
+    UNION ALL
+    SELECT 'reconciliation', CAST(d AS VARCHAR), 'day_count_drift',
+           CAST(ABS(sc - tc) AS DOUBLE), CAST(0.0 AS DOUBLE),
+           CASE WHEN CAST(ABS(sc - tc) AS DOUBLE) > 0.5 * CAST(sc AS DOUBLE)
+                THEN 'CRITICAL' ELSE 'WARNING' END
+    FROM recon WHERE sc != tc
+    """,
+)
+def pipeline_alerts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified severity-ranked alert dataset folding the four monitors
+    (ref: pipeline_fallback_monitor.py main flow + slack_integration_agent
+    payloads, minus the delivery transport)."""
+    return alerts_op.pipeline_alerts(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2-D  Classic analytics (bench headliners)
 # ---------------------------------------------------------------------------
