@@ -49,6 +49,73 @@ def client_budget_rollup(orders: DataFrame, lineitem: DataFrame, customer: DataF
     )
 
 
+def contributor_utilization_rollup(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-contributor (member) utilization rollup with team attributes —
+    the dashboard's member grain (dashboard/main.py member/team tables;
+    the v5 individual view's primary consumer).
+
+    One conditional aggregation over lineitem at the contributor grain
+    (allocation lines vs time lines, same mapping as the flagship), then a
+    broadcast join to the supplier/nation dims for member name and team.
+    Utilization buckets are derived from the already-rounded percentage so
+    the bucket boundaries are engine-exact. Team-level rollups are a
+    trivial groupBy("team_name") over this output — same shuffle key.
+
+    Scale: one shuffle on l_suppkey (map-side combined), two broadcast
+    dim joins; countDistinct(l_orderkey) is exact-distinct per contributor
+    (orders-per-contributor is unbounded at scale, so no collect_set).
+    """
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    is_alloc = F.col("l_returnflag").isin("A", "R")
+    is_time = F.col("l_returnflag") == "N"
+    per = lineitem.groupBy(F.col("l_suppkey").alias("contributor_key")).agg(
+        F.countDistinct("l_orderkey").alias("orders_contributed"),
+        money(F.sum(F.when(is_alloc, net))).alias("__alloc_n"),
+        money(F.sum(F.when(is_time, net))).alias("__actual_n"),
+        money(F.sum(F.when(is_time & (F.col("l_tax") > 0), net))).alias(
+            "__billable_n"
+        ),
+        F.count(F.when(is_alloc, F.lit(1))).alias("allocation_count"),
+        F.count(F.when(is_time, F.lit(1))).alias("time_entry_count"),
+        F.min(F.when(is_time, F.col("l_shipdate"))).alias("first_entry_date"),
+        F.max(F.when(is_time, F.col("l_shipdate"))).alias("last_entry_date"),
+    )
+    dims = supplier.select("s_suppkey", "s_name", "s_nationkey").join(
+        nation.select("n_nationkey", "n_name"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    joined = per.join(
+        F.broadcast(dims), per.contributor_key == F.col("s_suppkey"), "left"
+    )
+    alloc = F.coalesce(F.col("__alloc_n"), F.lit(0.0))
+    actual = F.coalesce(F.col("__actual_n"), F.lit(0.0))
+    util = F.when(alloc > 0, money(actual / alloc * 100))
+    bucket = (
+        F.when(alloc <= 0, F.lit("NO_BUDGET"))
+        .when(util > 100, F.lit("OVER_ALLOCATED"))
+        .when(util >= 80, F.lit("HIGH"))
+        .when(util >= 50, F.lit("HEALTHY"))
+        .otherwise(F.lit("UNDER_UTILIZED"))
+    )
+    return joined.select(
+        "contributor_key",
+        F.col("s_name").alias("contributor_name"),
+        F.col("n_name").alias("team_name"),
+        "orders_contributed",
+        alloc.alias("alloc_amount"),
+        actual.alias("actual_amount"),
+        F.coalesce(F.col("__billable_n"), F.lit(0.0)).alias("billable_amount"),
+        "allocation_count",
+        "time_entry_count",
+        "first_entry_date",
+        "last_entry_date",
+        util.alias("utilization_pct"),
+        bucket.alias("utilization_bucket"),
+    )
+
+
 def view_variance_detection(lineitem: DataFrame) -> DataFrame:
     """Per-contributor totals through two 'view' definitions, with the
     variance between them — detects a view silently dropping entries.

@@ -1105,6 +1105,67 @@ def client_budget_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contributor_utilization_rollup",
+    oracle=f"""
+    WITH per AS (
+      SELECT l_suppkey AS contributor_key,
+             COUNT(DISTINCT l_orderkey) AS orders_contributed,
+             CAST(ROUND(SUM(CASE WHEN l_returnflag IN ('A', 'R')
+                                 THEN {_NET} END), 2) AS DOUBLE) AS alloc_n,
+             CAST(ROUND(SUM(CASE WHEN l_returnflag = 'N'
+                                 THEN {_NET} END), 2) AS DOUBLE) AS actual_n,
+             CAST(ROUND(SUM(CASE WHEN l_returnflag = 'N' AND l_tax > 0
+                                 THEN {_NET} END), 2) AS DOUBLE) AS billable_n,
+             COUNT(CASE WHEN l_returnflag IN ('A', 'R') THEN 1 END)
+               AS allocation_count,
+             COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END)
+               AS time_entry_count,
+             MIN(CASE WHEN l_returnflag = 'N' THEN l_shipdate END)
+               AS first_entry_date,
+             MAX(CASE WHEN l_returnflag = 'N' THEN l_shipdate END)
+               AS last_entry_date
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    en AS (
+      SELECT p.*, d.s_name, d.n_name,
+             COALESCE(p.alloc_n, 0.0) AS alloc_amount,
+             COALESCE(p.actual_n, 0.0) AS actual_amount,
+             CASE WHEN COALESCE(p.alloc_n, 0.0) > 0 THEN
+               CAST(ROUND(COALESCE(p.actual_n, 0.0)
+                          / COALESCE(p.alloc_n, 0.0) * 100, 2) AS DOUBLE)
+             END AS util
+      FROM per p
+      LEFT JOIN (
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      ) d ON p.contributor_key = d.s_suppkey
+    )
+    SELECT contributor_key, s_name AS contributor_name, n_name AS team_name,
+           orders_contributed, alloc_amount, actual_amount,
+           COALESCE(billable_n, 0.0) AS billable_amount,
+           allocation_count, time_entry_count,
+           first_entry_date, last_entry_date,
+           util AS utilization_pct,
+           CASE WHEN alloc_amount <= 0 THEN 'NO_BUDGET'
+                WHEN util > 100 THEN 'OVER_ALLOCATED'
+                WHEN util >= 80 THEN 'HIGH'
+                WHEN util >= 50 THEN 'HEALTHY'
+                ELSE 'UNDER_UTILIZED'
+           END AS utilization_bucket
+    FROM en
+    """,
+)
+def contributor_utilization_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-member utilization with team attributes (ref: dashboard/main.py
+    member/team grain tables; v5 view's primary dashboard consumer)."""
+    return dashboard.contributor_utilization_rollup(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
     "view_variance_detection",
     oracle=f"""
     WITH per AS (
