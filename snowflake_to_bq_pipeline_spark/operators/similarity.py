@@ -245,48 +245,99 @@ def dup_pairs(
     return scored.filter(F.col("cosine") >= threshold)
 
 
+def _assign(
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, keep: int
+) -> DataFrame:
+    """Attach each row's ``keep`` nearest centroids (broadcast pass)."""
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "cent_id",
+        _cosine(F.col(vec_col), F.col("ce")).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("cent_id")
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= keep)
+        .drop("__r", "__sim")
+    )
+
+
+def train_centroids(
+    v: DataFrame, n_centroids: int, n_iters: int = 3
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over (vec_id, e) as DataFrame ops.
+
+    Init is a deterministic keyspace sample (first ``n_centroids``
+    vec_ids); each iteration assigns every vector to its nearest centroid
+    (broadcast pass, ties broken by cent_id) and recomputes element-wise
+    means via posexplode → groupBy(cent, dim). Means accumulate in exact
+    decimal so the trained model is bit-identical on any partitioning —
+    a rerun anywhere reproduces the same inverted lists. Empty clusters
+    drop out (fewer, better-populated lists).
+
+    Scale: per iteration one broadcast assign + one shuffle keyed on
+    (cent_id, dim) — the standard distributed k-means shape; centroid
+    count stays driver-side tiny.
+    """
+    cents = v.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+    )
+    for _ in range(n_iters):
+        assigned = _assign(v, cents, "vec_id", "e", 1)
+        means = (
+            assigned.select("cent_id", F.posexplode("e").alias("dim", "x"))
+            .groupBy("cent_id", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,20)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
+        )
+        cents = (
+            means.groupBy("cent_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm")
+            )
+            .select(
+                "cent_id",
+                F.transform(F.col("dm"), lambda s: s.m).alias("ce"),
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_pred: Column,
     k: int = 5,
     n_centroids: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 6,
+    train_iters: int = 3,
 ) -> DataFrame:
-    """IVF-style ANN: partition vectors into inverted lists by nearest
-    seed centroid; queries probe only the ``n_probe`` nearest lists.
+    """IVF ANN: k-means inverted lists; queries probe the ``n_probe``
+    nearest lists only.
 
-    Centroid seeds are a deterministic keyspace sample (first
-    ``n_centroids`` vec_ids) rather than trained k-means — the partition/
-    probe machinery is identical, and a trained model would slot in as a
-    different centroid DataFrame. Scale: assignment is one broadcast pass;
-    the probe join touches n_probe/n_centroids of the corpus per query.
+    Centroids are Lloyd-trained (``train_centroids``) from a
+    deterministic keyspace init — on clustered corpora untrained seed
+    centroids crater recall because list populations are arbitrary.
+    Scale: assignment is one broadcast pass; the probe join touches
+    ~n_probe/n_centroids of the corpus per query.
     """
     v = _vectors(embeddings)
-    cents = v.limit(0).unionByName(
-        v.filter(F.col("vec_id") < n_centroids)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"))
+    cents = train_centroids(v, n_centroids, train_iters)
 
-    def assign(df: DataFrame, id_col: str, vec_col: str, keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            id_col,
-            vec_col,
-            "cent_id",
-            _cosine(F.col(vec_col), F.col("ce")).alias("__sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("__sim").desc(), F.col("cent_id")
-        )
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= keep)
-            .drop("__r", "__sim")
-        )
-
-    assigned = assign(v, "vec_id", "e", 1)
-    probes = assign(
+    assigned = _assign(v, cents, "vec_id", "e", 1)
+    probes = _assign(
         v.filter(query_pred).select(
             F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
         ),
+        cents,
         "query_id",
         "qe",
         n_probe,

@@ -68,6 +68,6 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
         for r in similarity.ivf_topk(emb, pred, k=5).collect()
     }
     recall = len(ivf & exact) / len(exact)
-    # Near-orthogonal data + seed (untrained) centroids: probing 4/16 lists
-    # should still recover a meaningful fraction of true neighbors.
-    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+    # Lloyd-trained centroids, probing 6/16 lists: near-orthogonal data is
+    # the hard case and still clears 0.9 (untrained seeds sat near 0.2).
+    assert recall >= 0.9, f"IVF recall collapsed: {recall}"
