@@ -17,34 +17,10 @@ import time
 from snowflake_to_bq_pipeline_spark.registry import QUERIES
 from snowflake_to_bq_pipeline_spark.session import get_spark
 
-BENCH_QUERIES = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_supplier_volume",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "sales_rollup_sets",
-    "event_sessions",
-    "budget_vs_actual",
-    "individual_budget_tracking",
-    "utilization_rollup",
-    "dedup_latest_record",
-    "merge_upsert",
-    "sync_date_dedup",
-    "monthly_hours_pivot",
-    "volume_anomaly",
-    "asof_join_last_purchase",
-    "user_activity_trend",
-    "q7_nation_volume",
-    "q14_promo_revenue",
-    # LLM-data ops
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "ngram_jaccard_dups",
-    "ann_cosine_topk",
-    "tfidf_top_terms",
-    "text_quality_score",
-]
+# Every registry query is benched (sorted for stable ordering) so
+# per-query deltas are comparable round over round and no registered
+# operator escapes the perf signal.
+BENCH_QUERIES = sorted(QUERIES)
 
 
 def main() -> None:

@@ -30,7 +30,20 @@ def salted_join(
 
     The small side is exploded ``salt_buckets``× — keep it broadcastable
     (after explosion) or the cure costs more than the disease.
+
+    Left-oriented joins only: with the small side replicated per salt, a
+    right/full outer join would emit each unmatched small-side key once
+    PER SALT — salt_buckets duplicate null-extended rows. (left_semi/
+    left_anti stay correct: every key carries all salts on the replicated
+    side, so per-left-row match status is unchanged.)
     """
+    allowed = ("inner", "left", "left_outer", "left_semi", "leftsemi",
+               "left_anti", "leftanti")
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {allowed}, got {how!r}: replicating "
+            "the small side duplicates unmatched keys in right/full joins"
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in key_cols], F.monotonically_increasing_id()),
         F.lit(salt_buckets),

@@ -103,12 +103,16 @@ def q5_supplier_volume(
         .select("n_nationkey", "n_name")
     )
     net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    # customer/supplier grow with scale factor in real TPC-H — no broadcast
+    # hint (never hint a growing table); size estimates/AQE broadcast them
+    # while they fit and fall back to shuffle joins beyond the threshold.
+    # Only region-filtered nations (true dimension) keep the hint.
     return (
         lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(ords, F.col("l_orderkey") == ords.o_orderkey)
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        .join(customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        .join(supplier.select("s_suppkey", "s_nationkey"),
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(nations_in_region),
@@ -407,9 +411,14 @@ def q13_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+Q22_IDLE_SINCE = "2000-01-01"
+
+
 def q22_idle_accounts(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """TPC-H Q22 (adapted): positive-balance customers with no orders,
-    grouped by nation — anti-join against a scalar-average filter."""
+    """TPC-H Q22 (adapted): above-average-balance customers with no orders
+    since ``Q22_IDLE_SINCE`` (dormant accounts), grouped by nation —
+    anti-join against a scalar-average filter. (The classic "no orders
+    ever" form is degenerate on this dataset: every customer orders.)"""
     avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
         (
             F.sum(dec(F.col("c_acctbal"))).cast("double")
@@ -420,8 +429,11 @@ def q22_idle_accounts(customer: DataFrame, orders: DataFrame) -> DataFrame:
         customer.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("__avg_bal"))
     )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(Q22_IDLE_SINCE).cast("timestamp")
+    ).select("o_custkey")
     idle = rich.join(
-        orders.select("o_custkey"),
+        recent,
         rich.c_custkey == F.col("o_custkey"),
         "left_anti",
     )

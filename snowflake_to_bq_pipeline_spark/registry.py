@@ -1900,7 +1900,9 @@ def q13_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS total_acctbal
     FROM customer c CROSS JOIN a
     WHERE c.c_acctbal > a.avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c.c_nationkey
     """,
 )

@@ -46,6 +46,14 @@ def test_q6_filters_pushed_to_scan(spark, sf_dir):
     assert re.search(r"PushedFilters:.*LessThan\(l_quantity", plan)
 
 
+def test_q5_broadcasts_unhinted_dims_at_test_scale(spark, sf_dir):
+    """customer/supplier carry no broadcast hint (they grow with SF);
+    size-based planning must still broadcast them while they fit."""
+    plan = _plan(QUERIES["q5_supplier_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
 def test_embedding_dedup_has_no_cartesian_product(spark, sf_dir):
     """Dup detection must run on LSH candidates (equi-joins), never an
     all-pairs cross join — the 100 TB posture (VERDICT r1 item 2)."""
