@@ -441,3 +441,132 @@ def q22_idle_accounts(customer: DataFrame, orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("customer_count"),
         money(F.sum(dec(F.col("c_acctbal")))).alias("total_acctbal"),
     )
+
+
+Q8_REGION = "ASIA"
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_2"
+Q8_START, Q8_END = "1996-01-01", "1998-01-01"
+
+
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q8 (adapted): one nation's market share of a part type sold
+    into one region, by order year.
+
+    Share is the conditional/total ratio of the SAME decimal aggregate —
+    one scan, one shuffle (lineitem⋈orders), every dimension broadcast.
+    The ratio divides the already-rounded money doubles so both engines
+    see identical IEEE inputs.
+    """
+    pts = part.filter(F.col("p_type") == Q8_TYPE).select("p_partkey")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q8_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q8_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year"))
+    region_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == Q8_REGION)),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    supp_nations = supplier.join(
+        F.broadcast(
+            nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))
+        ),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    vol = (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(F.broadcast(pts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(region_nations), F.col("c_nationkey") == F.col("cust_nk"))
+        .join(F.broadcast(supp_nations), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    agg = vol.groupBy(F.col("order_year").cast("long").alias("order_year")).agg(
+        money(
+            F.coalesce(
+                F.sum(F.when(F.col("supp_nation") == Q8_NATION, net)),
+                F.lit(0).cast(DEC),
+            )
+        ).alias("nation_revenue"),
+        money(F.sum(net)).alias("total_revenue"),
+    )
+    return agg.select(
+        "order_year",
+        "nation_revenue",
+        "total_revenue",
+        F.round(F.col("nation_revenue") / F.col("total_revenue"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+Q9_PART_TOKEN = "widget"
+Q9_COST_FACTOR = 0.5
+
+
+def q9_product_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q9 (adapted): profit on a part-name family by supplier nation
+    and order year. The testdata has no partsupp/ps_supplycost, so cost is
+    proxied as ``p_retailprice * Q9_COST_FACTOR * l_quantity`` — same join
+    topology and aggregation grain as the original.
+
+    Profit is a per-row double expression cast to exact decimal before the
+    sum (add-order-independent), mirroring Q1's charge column.
+    """
+    pts = part.filter(F.col("p_name").contains(Q9_PART_TOKEN)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nations = supplier.join(
+        F.broadcast(
+            nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))
+        ),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(Q9_COST_FACTOR) * F.col("l_quantity")
+    ).cast(DEC)
+    return (
+        lineitem.select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+        .join(F.broadcast(pts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("order_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp_nations), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("supp_nation", F.col("order_year").cast("long").alias("order_year"))
+        .agg(
+            money(F.sum(amount)).alias("profit"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )

@@ -1910,3 +1910,74 @@ def q22_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.q22_idle_accounts(
         load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
     )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH agg AS (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS order_year,
+             CAST(ROUND(COALESCE(SUM(CASE WHEN n2.n_name = '{tpch.Q8_NATION}'
+                            THEN {_NET} END), 0), 2) AS DOUBLE)
+               AS nation_revenue,
+             CAST(ROUND(SUM({_NET}), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE p.p_type = '{tpch.Q8_TYPE}'
+        AND r.r_name = '{tpch.Q8_REGION}'
+        AND o.o_orderdate >= TIMESTAMP '{tpch.Q8_START}'
+        AND o.o_orderdate < TIMESTAMP '{tpch.Q8_END}'
+      GROUP BY CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)
+    )
+    SELECT order_year, nation_revenue, total_revenue,
+           ROUND(nation_revenue / total_revenue, 6) AS mkt_share
+    FROM agg
+    """,
+)
+def q8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 adapted (ref has no bench suite; plan-shape showcase)."""
+    return tpch.q8_market_share(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS supp_nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(ROUND(SUM(CAST(
+             l.l_extendedprice * (1.0 - l.l_discount)
+               - p.p_retailprice * {tpch.Q9_COST_FACTOR} * l.l_quantity
+             AS DECIMAL(18,6))), 2) AS DOUBLE) AS profit,
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%{tpch.Q9_PART_TOKEN}%'
+    GROUP BY n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)
+    """,
+)
+def q9_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted: p_retailprice cost proxy (testdata lacks partsupp)."""
+    return tpch.q9_product_profit(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
