@@ -570,3 +570,287 @@ def q9_product_profit(
             F.count(F.lit(1)).alias("line_count"),
         )
     )
+
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "STANDARD"
+Q2_MAX_SIZE = 10
+
+
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q2 (adapted): cheapest regional supplier per part.
+
+    The testdata has no partsupp, so supply cost is the supplier's minimum
+    observed unit price (``l_extendedprice / l_quantity``) from lineitem.
+    The correlated MIN subquery of the original becomes two aggregations
+    over the same child (Catalyst reuses the exchange) joined on
+    (part, cost=best) — the standard decorrelation Spark's optimizer
+    applies to IN/scalar subqueries anyway, written explicitly.
+
+    Unit price is a per-row double division rounded to 6dp (deterministic,
+    no add-order dependence); MIN commutes, so no decimal pass is needed.
+    """
+    region_suppliers = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == Q2_REGION)),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", F.col("n_name").alias("supp_nation"))
+            ),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "supp_nation", "s_acctbal")
+    )
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+    ps = (
+        lineitem.select("l_partkey", "l_suppkey", unit.alias("__unit"))
+        .join(F.broadcast(region_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("__unit").alias("supply_cost"))
+    )
+    best = ps.groupBy("l_partkey").agg(F.min("supply_cost").alias("__best"))
+    best = best.select(F.col("l_partkey").alias("__pk"), "__best")
+    wanted_parts = part.filter(
+        (F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE)
+    ).select("p_partkey", "p_name")
+    return (
+        ps.join(
+            best,
+            (F.col("l_partkey") == F.col("__pk"))
+            & (F.col("supply_cost") == F.col("__best")),
+        )
+        .join(F.broadcast(wanted_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(region_suppliers), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier_name"),
+            "supp_nation",
+            F.col("s_acctbal").alias("supplier_acctbal"),
+            "supply_cost",
+        )
+    )
+
+
+Q11_NATION = "NATION_7"
+Q11_FRACTION = 0.001
+
+
+def q11_important_parts(
+    supplier: DataFrame, lineitem: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q11 (adapted): parts representing a significant share of one
+    nation's traded value (lineitem net price stands in for
+    ps_supplycost * ps_availqty).
+
+    Part value and grand total come from the same decimal aggregate (one
+    rounded per part, one rounded once overall) so the share comparison
+    sees identical doubles on both engines; the total is a 1-row broadcast.
+    """
+    nation_suppliers = supplier.join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == Q11_NATION).select("n_nationkey")
+        ),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    traded = lineitem.select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    ).join(F.broadcast(nation_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = traded.groupBy("l_partkey").agg(money(F.sum(net)).alias("part_value"))
+    total = traded.agg(money(F.sum(net)).alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__total") * F.lit(Q11_FRACTION))
+        .select(F.col("l_partkey").alias("part_key"), "part_value")
+    )
+
+
+Q16_EXCLUDE_BRAND = "Brand#1"
+Q16_EXCLUDE_TYPE = "PROMO"
+Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 49)
+
+
+def q16_supplier_part_counts(
+    part: DataFrame, supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 (adapted): distinct-supplier counts per (brand, type,
+    size) bucket, excluding one brand/type and suppliers in bad standing
+    (negative account balance proxies the original's complaint filter;
+    lineitem links parts to suppliers in lieu of partsupp)."""
+    parts = part.filter(
+        (F.col("p_brand") != Q16_EXCLUDE_BRAND)
+        & (F.col("p_type") != Q16_EXCLUDE_TYPE)
+        & F.col("p_size").isin(*Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    links = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        links.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("long").alias("p_size"),
+            "supplier_cnt",
+        )
+    )
+
+
+Q17_BRAND = "Brand#3"
+Q17_TYPE = "SMALL"
+
+
+def q17_small_quantity_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q17 (adapted): average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average quantity) were not taken.
+    p_type stands in for the original's p_container.
+
+    The per-part average is the classic self-aggregate: both passes hang
+    off the same part-filtered join, so the exchange is reused; the
+    average divides an exact decimal sum by the count before the 0.2
+    scale, keeping both engines bit-identical.
+    """
+    parts = part.filter(
+        (F.col("p_brand") == Q17_BRAND) & (F.col("p_type") == Q17_TYPE)
+    ).select("p_partkey")
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    limits = li.groupBy("l_partkey").agg(
+        (
+            F.sum(dec(F.col("l_quantity"))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * F.lit(0.2)
+        ).alias("__qty_limit")
+    )
+    small = li.join(limits, "l_partkey").filter(
+        F.col("l_quantity") < F.col("__qty_limit")
+    )
+    agg = small.agg(
+        F.sum(dec(F.col("l_extendedprice"))).alias("__rev"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+    return agg.select(
+        F.round(
+            F.coalesce(F.col("__rev").cast("double"), F.lit(0.0)) / F.lit(7.0), 2
+        ).alias("avg_yearly"),
+        "line_count",
+    )
+
+
+Q20_TOKEN = "red"
+Q20_SHARE = 0.3
+Q20_START, Q20_END = "1997-01-01", "1998-01-01"
+
+
+def q20_dominant_suppliers(
+    part: DataFrame, supplier: DataFrame, lineitem: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q20 (adapted): suppliers who shipped more than ``Q20_SHARE``
+    of some matching part's total quantity in a year — the nested
+    semi-join of the original expressed as two decimal aggregates over
+    the same filtered child joined on part, then a distinct supplier
+    projection with dimensions broadcast."""
+    parts = part.filter(F.col("p_name").contains(Q20_TOKEN)).select("p_partkey")
+    li = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(Q20_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q20_END).cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum(dec(F.col("l_quantity"))), 2).cast("double").alias("__supp_qty")
+    )
+    per_p = li.groupBy("l_partkey").agg(
+        F.round(F.sum(dec(F.col("l_quantity"))), 2).cast("double").alias("__part_qty")
+    )
+    dominant = (
+        per_ps.join(per_p.withColumnRenamed("l_partkey", "__pk"),
+                    per_ps.l_partkey == F.col("__pk"))
+        .filter(F.col("__supp_qty") > F.col("__part_qty") * F.lit(Q20_SHARE))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return dominant.join(
+        F.broadcast(
+            supplier.join(
+                F.broadcast(
+                    nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))
+                ),
+                supplier.s_nationkey == F.col("n_nationkey"),
+            ).select("s_suppkey", "s_name", "supp_nation")
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select(
+        F.col("s_suppkey").alias("supplier_key"),
+        F.col("s_name").alias("supplier_name"),
+        "supp_nation",
+    )
+
+
+Q21_LATE_DAYS = 90
+
+
+def q21_waiting_suppliers(
+    supplier: DataFrame, lineitem: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q21 (adapted): suppliers who were the SOLE late shipper on a
+    finished multi-supplier order. The testdata lacks commit/receipt
+    dates, so "late" is shipping more than ``Q21_LATE_DAYS`` days after
+    the order date.
+
+    The original's EXISTS / NOT EXISTS pair over lineitem collapses into
+    one per-order aggregate (distinct suppliers, distinct late suppliers)
+    joined back to the late (order, supplier) pairs — two shuffles on
+    l_orderkey total, no correlated re-scans.
+    """
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > Q21_LATE_DAYS
+    flagged = li.select("l_orderkey", "l_suppkey", late.alias("__late"))
+    order_stats = flagged.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__n_supp"),
+        F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late"
+        ),
+    )
+    sole_late = (
+        flagged.filter(F.col("__late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(order_stats, "l_orderkey")
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey").alias("supplier_key"),
+            F.col("s_name").alias("supplier_name"),
+            "numwait",
+        )
+    )

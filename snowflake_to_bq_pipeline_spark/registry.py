@@ -1981,3 +1981,206 @@ def q9_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH region_supp AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name AS supp_nation, s.s_acctbal
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = '{tpch.Q2_REGION}'
+    ),
+    ps AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(ROUND(l.l_extendedprice / l.l_quantity, 6)) AS supply_cost
+      FROM lineitem l JOIN region_supp rs ON l.l_suppkey = rs.s_suppkey
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(supply_cost) AS best_cost FROM ps GROUP BY l_partkey
+    )
+    SELECT p.p_partkey AS part_key, p.p_name AS part_name,
+           rs.s_name AS supplier_name, rs.supp_nation,
+           rs.s_acctbal AS supplier_acctbal, ps.supply_cost
+    FROM ps
+    JOIN best b ON ps.l_partkey = b.l_partkey AND ps.supply_cost = b.best_cost
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    JOIN region_supp rs ON ps.l_suppkey = rs.s_suppkey
+    WHERE p.p_type = '{tpch.Q2_TYPE}' AND p.p_size <= {tpch.Q2_MAX_SIZE}
+    """,
+)
+def q2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted: lineitem unit price proxies ps_supplycost."""
+    return tpch.q2_min_cost_supplier(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH traded AS (
+      SELECT l.l_partkey, l.l_extendedprice, l.l_discount
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = '{tpch.Q11_NATION}'
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(ROUND(SUM({_NET}), 2) AS DOUBLE) AS part_value
+      FROM traded GROUP BY l_partkey
+    ),
+    total AS (
+      SELECT CAST(ROUND(SUM({_NET}), 2) AS DOUBLE) AS total_value FROM traded
+    )
+    SELECT p.l_partkey AS part_key, p.part_value
+    FROM per_part p CROSS JOIN total t
+    WHERE p.part_value > t.total_value * {tpch.Q11_FRACTION}
+    """,
+)
+def q11_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: traded net value proxies stock value."""
+    return tpch.q11_important_parts(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle=f"""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> '{tpch.Q16_EXCLUDE_BRAND}'
+      AND p.p_type <> '{tpch.Q16_EXCLUDE_TYPE}'
+      AND p.p_size IN {tpch.Q16_SIZES}
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, CAST(p.p_size AS BIGINT)
+    """,
+)
+def q16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: negative balance proxies complaint filter."""
+    return tpch.q16_supplier_part_counts(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH li AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = '{tpch.Q17_BRAND}' AND p.p_type = '{tpch.Q17_TYPE}'
+    ),
+    limits AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) * 0.2 AS qty_limit
+      FROM li GROUP BY l_partkey
+    )
+    SELECT ROUND(COALESCE(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,6)))
+                               AS DOUBLE), 0.0) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS line_count
+    FROM li JOIN limits ON li.l_partkey = limits.l_partkey
+    WHERE li.l_quantity < limits.qty_limit
+    """,
+)
+def q17_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 adapted: p_type stands in for p_container."""
+    return tpch.q17_small_quantity_revenue(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle=f"""
+    WITH li AS (
+      SELECT l.l_partkey, l.l_suppkey, l.l_quantity
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%{tpch.Q20_TOKEN}%'
+        AND l.l_shipdate >= TIMESTAMP '{tpch.Q20_START}'
+        AND l.l_shipdate < TIMESTAMP '{tpch.Q20_END}'
+    ),
+    per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS supp_qty
+      FROM li GROUP BY l_partkey, l_suppkey
+    ),
+    per_p AS (
+      SELECT l_partkey,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS part_qty
+      FROM li GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey AS supplier_key, s.s_name AS supplier_name,
+           n.n_name AS supp_nation
+    FROM per_ps ps
+    JOIN per_p p ON ps.l_partkey = p.l_partkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE ps.supp_qty > p.part_qty * {tpch.Q20_SHARE}
+    """,
+)
+def q20_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted: shipped-quantity share proxies availqty."""
+    return tpch.q20_dominant_suppliers(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             DATEDIFF('day', o.o_orderdate, l.l_shipdate)
+               > {tpch.Q21_LATE_DAYS} AS late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    order_stats AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+      FROM flagged GROUP BY l_orderkey
+    ),
+    sole_late AS (
+      SELECT DISTINCT f.l_orderkey, f.l_suppkey
+      FROM flagged f JOIN order_stats os ON f.l_orderkey = os.l_orderkey
+      WHERE f.late AND os.n_supp > 1 AND os.n_late = 1
+    )
+    SELECT s.s_suppkey AS supplier_key, s.s_name AS supplier_name,
+           COUNT(*) AS numwait
+    FROM sole_late sl JOIN supplier s ON sl.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def q21_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted: ship-lag lateness (no commit/receipt dates)."""
+    return tpch.q21_waiting_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
