@@ -2184,3 +2184,56 @@ def q21_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+from .operators import graph  # noqa: E402
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS intersection_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(intersection_size AS DOUBLE)
+            / (sa.sz + sb.sz - intersection_size) >= {_JACCARD_TAU}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    lab AS (SELECT node AS doc_id, MIN(r) AS canonical_id
+            FROM reach GROUP BY node)
+    SELECT l.doc_id, l.canonical_id, c.cluster_size,
+           l.doc_id = l.canonical_id AS is_canonical
+    FROM lab l
+    JOIN (SELECT canonical_id, COUNT(*) AS cluster_size
+          FROM lab GROUP BY canonical_id) c USING (canonical_id)
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup-cluster resolution over exact Jaccard pairs — the
+    KEEP/DROP worklist (ref: snowflake_bq_deduplication_sync.py:214
+    keep-one-per-key, generalized to fuzzy matches). The oracle computes
+    the same closure with a recursive CTE; Spark uses pointer-jumping
+    label propagation (operators/graph.py) — both converge to the exact
+    per-component minimum, so values hash-match."""
+    pairs = neardup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), _JACCARD_TAU
+    )
+    return graph.dup_clusters(pairs)
