@@ -2237,3 +2237,179 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), _JACCARD_TAU
     )
     return graph.dup_clusters(pairs)
+
+
+from .operators import curation  # noqa: E402
+
+# The synthetic corpus contains no identifier-shaped strings, so the PII
+# fixture deterministically appends synthetic contact details (same
+# expression in both engines) — the operator is exercised with nonzero
+# counts while staying oracle-checkable on read-only testdata.
+_PII_AUG_SPARK = lambda: F.concat(  # noqa: E731
+    F.col("text"),
+    F.lit(" contact user"),
+    F.col("doc_id").cast("string"),
+    F.lit("@mail.example.com or 555-010-"),
+    F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    F.lit(" from 10.0."),
+    F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+    F.lit(".1 ref "),
+    F.lpad((F.col("doc_id") + F.lit(100000000)).cast("string"), 9, "0"),
+)
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com or 555-010-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 ref '"
+    " || lpad(CAST(doc_id + 100000000 AS VARCHAR), 9, '0')"
+)
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             '{curation.PII_PATTERNS[0][1]}', '<EMAIL>', 'g'),
+             '{curation.PII_PATTERNS[1][1]}', '<PHONE>', 'g'),
+             '{curation.PII_PATTERNS[2][1]}', '<IP>', 'g'),
+             '{curation.PII_PATTERNS[3][1]}', '<ID>', 'g') AS redacted_text,
+           len(regexp_extract_all(t, '{curation.PII_PATTERNS[0][1]}'))
+             AS n_email,
+           len(regexp_extract_all(t, '{curation.PII_PATTERNS[1][1]}'))
+             AS n_phone,
+           len(regexp_extract_all(t, '{curation.PII_PATTERNS[2][1]}')) AS n_ip,
+           len(regexp_extract_all(t, '{curation.PII_PATTERNS[3][1]}'))
+             AS n_id_number,
+           len(regexp_extract_all(t, '{curation.PII_PATTERNS[0][1]}'))
+             + len(regexp_extract_all(t, '{curation.PII_PATTERNS[1][1]}'))
+             + len(regexp_extract_all(t, '{curation.PII_PATTERNS[2][1]}'))
+             + len(regexp_extract_all(t, '{curation.PII_PATTERNS[3][1]}'))
+             AS total_redactions
+    FROM aug
+    """,
+)
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus (chained JVM regexp_replace)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _PII_AUG_SPARK().alias("text")
+    )
+    return curation.pii_redact(docs)
+
+
+_FUNNEL_TOKEN_RE = "[a-z0-9]+"
+
+
+@query(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT len(regexp_extract_all(text, '{_FUNNEL_TOKEN_RE}')) AS nt,
+             len(list_distinct(regexp_extract_all(text, '{_FUNNEL_TOKEN_RE}')))
+               AS nd,
+             lang
+      FROM documents
+    ),
+    a AS (
+      SELECT COUNT(*) AS total,
+             COUNT(CASE WHEN nt >= 20 THEN 1 END) AS s1,
+             COUNT(CASE WHEN nt >= 20 AND nt <= 90 THEN 1 END) AS s2,
+             COUNT(CASE WHEN nt >= 20 AND nt <= 90
+                        AND CAST(nd AS DOUBLE) / nt >= 0.5 THEN 1 END) AS s3,
+             COUNT(CASE WHEN nt >= 20 AND nt <= 90
+                        AND CAST(nd AS DOUBLE) / nt >= 0.5
+                        AND lang = 'en' THEN 1 END) AS s4
+      FROM t
+    ),
+    staged AS (
+      SELECT CAST(1 AS BIGINT) AS stage, 'min_tokens' AS gate_name,
+             total AS docs_in, s1 AS docs_kept FROM a
+      UNION ALL SELECT 2, 'max_tokens', s1, s2 FROM a
+      UNION ALL SELECT 3, 'diversity', s2, s3 FROM a
+      UNION ALL SELECT 4, 'lang_en', s3, s4 FROM a
+    )
+    SELECT stage, gate_name, docs_in, docs_kept,
+           docs_in - docs_kept AS docs_dropped,
+           CASE WHEN docs_in > 0
+                THEN ROUND(CAST(docs_in - docs_kept AS DOUBLE)
+                           / CAST(docs_in AS DOUBLE), 4)
+                ELSE 0.0 END AS drop_rate
+    FROM staged
+    """,
+)
+def quality_filter_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel: per-gate survivor counts in one aggregate pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_FUNNEL_TOKEN_RE), 0)
+    nt = F.array_size(toks)
+    nd = F.array_size(F.array_distinct(toks))
+    flagged = docs.select(
+        nt.alias("__nt"), nd.alias("__nd"), F.col("lang")
+    )
+    gates = [
+        ("min_tokens", F.col("__nt") >= 20),
+        ("max_tokens", F.col("__nt") <= 90),
+        (
+            "diversity",
+            (F.col("__nd").cast("double") / F.col("__nt").cast("double"))
+            >= 0.5,
+        ),
+        ("lang_en", F.col("lang") == "en"),
+    ]
+    return curation.quality_funnel(flagged, gates)
+
+
+_MIX_RATES = {"en": 1.0, "zh": 0.5, "fr": 0.25, "es": 0.1, "de": 0.05}
+
+
+@query(
+    "stratified_sample_mix",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CASE lang
+            WHEN 'en' THEN TRUE
+            WHEN 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '800'
+            WHEN 'fr' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '400'
+            WHEN 'es' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '199'
+            WHEN 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '0cc'
+            ELSE TRUE END
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix downsampling: deterministic md5-bucket sampling so the
+    selected training mix is reproducible on any engine/partitioning."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return curation.stratified_sample(docs, "doc_id", "lang", _MIX_RATES)
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, nt,
+             SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - nt AS start
+      FROM t
+    )
+    SELECT doc_id, source, nt AS n_tokens,
+           start // {curation.PACK_BUDGET} AS pack_id,
+           start % {curation.PACK_BUDGET} AS offset_in_pack
+    FROM c
+    """,
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk pack assignment per source stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.array_size(
+        F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+    )
+    return curation.sequence_packing(docs, nt)
