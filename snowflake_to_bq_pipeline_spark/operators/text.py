@@ -203,3 +203,69 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+#: Wide decimal for similarity dot products: tfidf weights sit near zero,
+#: so 6 fractional digits would round products like 0.004*0.003 into the
+#: tie-breaking zone; 12 digits keeps the exact-sum trick safely above it.
+SIM_DEC = "decimal(28,12)"
+
+
+def tfidf_doc_similarity(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc-doc cosine similarity on top-k TF-IDF terms (sparse vectors).
+
+    The classic inverted-index plan: keeping only each document's k most
+    characteristic terms bounds both the per-doc vector and — because
+    high-tfidf terms are by construction rare — the per-token join bucket,
+    so the token self-join stays far from quadratic. Dot products and
+    norms sum exact decimals (add-order-independent); cosine divides the
+    resulting doubles with a textually fixed expression, so the oracle
+    hash-matches.
+
+    Scale: shuffle on token (bounded buckets), then one shuffle on the
+    pair key. For corpora with residual hot terms, add a max-df prune
+    before the join — at high τ those terms can't carry a match anyway.
+    """
+    topk = tfidf_top_terms(documents, k, text_col).select(
+        "doc_id", "token", F.col("tfidf").alias("w")
+    )
+    norms = topk.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast(SIM_DEC)).cast("double")
+        ).alias("nrm")
+    )
+    a = topk.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("wa")
+    )
+    b = topk.select(
+        F.col("doc_id").alias("doc_b"), "token", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast(SIM_DEC))
+            .cast("double")
+            .alias("__dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("__na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("__nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

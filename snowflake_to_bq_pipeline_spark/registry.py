@@ -2413,3 +2413,62 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
     )
     return curation.sequence_packing(docs, nt)
+
+
+_TFIDF_SIM_TAU = 0.7
+
+
+@query(
+    "tfidf_doc_similarity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, token, COUNT(*) AS term_count
+      FROM toks GROUP BY doc_id, token
+    ),
+    dt AS (
+      SELECT doc_id, CAST(SUM(term_count) AS BIGINT) AS doc_tokens
+      FROM tc GROUP BY doc_id
+    ),
+    dfc AS (SELECT token, COUNT(*) AS doc_freq FROM tc GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tc.doc_id, tc.token,
+             ROUND((CAST(tc.term_count AS DOUBLE) / CAST(dt.doc_tokens AS DOUBLE))
+                   * LN(CAST(n.n_docs AS DOUBLE) / CAST(dfc.doc_freq AS DOUBLE)),
+                   6) AS w
+      FROM tc JOIN dt USING (doc_id) JOIN dfc USING (token) CROSS JOIN n
+    ),
+    topk AS (
+      SELECT doc_id, token, w FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY w DESC, token
+        ) AS rank FROM scored
+      ) WHERE rank <= 10
+    ),
+    norms AS (
+      SELECT doc_id,
+             SQRT(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+      FROM topk GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CAST(a.w * b.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      FROM topk a JOIN topk b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON doc_a = na.doc_id
+    JOIN norms nb ON doc_b = nb.doc_id
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= {_TFIDF_SIM_TAU}
+    """,
+)
+def tfidf_doc_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector doc similarity over top-10 TF-IDF terms."""
+    return text_ops.tfidf_doc_similarity(
+        load_table(spark, sf_dir, "documents"), _TFIDF_SIM_TAU, k=10
+    )
