@@ -2472,3 +2472,58 @@ def tfidf_doc_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.tfidf_doc_similarity(
         load_table(spark, sf_dir, "documents"), _TFIDF_SIM_TAU, k=10
     )
+
+
+from .operators import ranges  # noqa: E402
+
+
+@query(
+    "error_window_events",
+    oracle="""
+    WITH err AS (
+      SELECT event_id AS window_id, ts AS window_start,
+             ts + INTERVAL 5 MINUTE AS wend
+      FROM events WHERE event_type = 'error'
+    ),
+    pts AS (SELECT ts, event_type, value FROM events
+            WHERE event_type <> 'error'),
+    j AS (
+      SELECT e.window_id, e.window_start, p.event_type, p.value
+      FROM err e JOIN pts p ON p.ts >= e.window_start AND p.ts < e.wend
+    )
+    SELECT window_id, window_start, COUNT(*) AS n_events,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS total_value
+    FROM j GROUP BY window_id, window_start
+    """,
+)
+def error_window_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity inside the 5 minutes after each error — a keyless
+    point-in-interval join, planned as a binned equi-join (no nested-loop;
+    see operators/ranges.py)."""
+    events = load_table(spark, sf_dir, "events")
+    err = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("window_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("__wend"),
+    )
+    pts = events.filter(F.col("event_type") != "error").select(
+        F.col("ts").alias("__pts"), "event_type", "value"
+    )
+    joined = ranges.interval_join(
+        pts, err, "__pts", "window_start", "__wend", bin_seconds=300
+    )
+    return joined.groupBy("window_id", "window_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", F.lit(1))).alias(
+            "n_purchases"
+        ),
+        F.count(F.when(F.col("event_type") == "click", F.lit(1))).alias(
+            "n_clicks"
+        ),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("total_value"),
+    )
