@@ -216,23 +216,65 @@ def tfidf_doc_similarity(
     threshold: float = 0.7,
     k: int = 10,
     text_col: str = "text",
+    ngram: int = 3,
 ) -> DataFrame:
     """Doc-doc cosine similarity on top-k TF-IDF terms (sparse vectors).
 
     The classic inverted-index plan: keeping only each document's k most
-    characteristic terms bounds both the per-doc vector and — because
-    high-tfidf terms are by construction rare — the per-token join bucket,
-    so the token self-join stays far from quadratic. Dot products and
-    norms sum exact decimals (add-order-independent); cosine divides the
-    resulting doubles with a textually fixed expression, so the oracle
-    hash-matches.
+    characteristic terms bounds the per-doc vector, and using word
+    ``ngram``-grams as terms keeps the per-term join bucket sparse — the
+    term space grows as vocab^n, so document frequencies collapse and the
+    term self-join stays far from quadratic. (Unigram terms measured 30×
+    slower on this corpus: a small vocabulary makes every inverted-index
+    bucket a sizable fraction of the corpus — the hot-key join in
+    disguise.) Dot products and norms sum exact decimals
+    (add-order-independent); cosine divides the resulting doubles with a
+    textually fixed expression, so the oracle hash-matches.
 
-    Scale: shuffle on token (bounded buckets), then one shuffle on the
-    pair key. For corpora with residual hot terms, add a max-df prune
-    before the join — at high τ those terms can't carry a match anyway.
+    Scale: shuffle on term (sparse buckets), then one shuffle on the pair
+    key. For corpora with residual hot n-grams (boilerplate headers), add
+    a max-df prune before the join — at high τ those terms can't carry a
+    match anyway.
     """
-    topk = tfidf_top_terms(documents, k, text_col).select(
-        "doc_id", "token", F.col("tfidf").alias("w")
+    from pyspark.sql import Window
+
+    w = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.array_size(w) >= ngram,
+        F.sequence(F.lit(1), F.array_size(w) - (ngram - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    parts = [F.element_at(F.col("__w"), F.col("i") + j) for j in range(ngram)]
+    grams = documents.select(
+        "doc_id", w.alias("__w"), F.explode(idx).alias("i")
+    ).select("doc_id", F.concat_ws(" ", *parts).alias("token"))
+
+    tok_counts = grams.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("term_count")
+    )
+    doc_totals = tok_counts.groupBy("doc_id").agg(
+        F.sum("term_count").alias("doc_tokens")
+    )
+    df_counts = tok_counts.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).alias("__n_docs"))
+    tf = F.col("term_count").cast("double") / F.col("doc_tokens").cast("double")
+    idf = F.log(
+        F.col("__n_docs").cast("double") / F.col("doc_freq").cast("double")
+    )
+    scored = (
+        tok_counts.join(doc_totals, "doc_id")
+        .join(df_counts, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "token", F.round(tf * idf, 6).alias("w"))
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("w").desc(), F.col("token")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "w")
     )
     norms = topk.groupBy("doc_id").agg(
         F.sqrt(

@@ -1032,13 +1032,17 @@ _DUP_COS_TAU = 0.3  # synthetic embeddings are near-orthogonal; real
     """,
 )
 def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH candidates + exact-cosine
-    verify (no cartesian product in the plan). The keyspace sample keeps
-    the all-pairs DuckDB oracle tractable; the LSH candidate generator
-    achieves full recall on it (asserted vs the exact baseline in
-    tests/test_similarity.py)."""
+    """Embedding-cosine near-dup pairs. τ=0.3 sits in the BULK of this
+    corpus's cosine distribution, so no candidate generator can prune —
+    the blocked exact scan (block-grid equi-join + BLAS-scored cells, no
+    CartesianProduct node) is the honest plan; the LSH path stays the
+    high-τ route and keeps full-recall tests. The keyspace sample keeps
+    the all-pairs DuckDB oracle tractable."""
     return similarity.dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), _DUP_COS_TAU, sample_mod=10
+        load_table(spark, sf_dir, "embeddings"),
+        _DUP_COS_TAU,
+        sample_mod=10,
+        method="blocked",
     )
 
 
@@ -1638,17 +1642,18 @@ def embedding_doc_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup DOCUMENT pairs: documents joined to their
     embedding vectors (doc_id = vec_id), pairs above threshold.
 
-    Scale shape: multi-table hyperplane-LSH candidate generation + exact
-    cosine verify on candidates only — an equi-join plan with no cartesian
-    product (asserted in tests/test_plans.py). The DuckDB oracle stays the
-    all-pairs definition; the candidate generator achieves full recall on
-    the test corpora (asserted vs exact in tests/test_similarity.py).
+    Scale shape: blocked exact scan (block-grid equi-join, one BLAS matmul
+    per cell) — at τ=0.3 the candidate set ≈ all pairs, so structured
+    O(n²) beats any pruning attempt; no CartesianProduct node (asserted in
+    tests/test_plans.py). The DuckDB oracle stays the all-pairs
+    definition. At realistic dedup thresholds (τ ≥ 0.9) switch
+    method='lsh', which prunes and keeps full recall (recall-tested).
     Ref posture: snowflake_bq_deduplication_sync.py done at corpus scale.
     """
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.join(docs, emb.vec_id == docs.doc_id, "left_semi")
-    pairs = similarity.dup_pairs(vecs, _DUP_COS_TAU).select(
+    pairs = similarity.dup_pairs(vecs, _DUP_COS_TAU, method="blocked").select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "cosine"
     )
     la = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
@@ -2421,9 +2426,12 @@ _TFIDF_SIM_TAU = 0.7
 @query(
     "tfidf_doc_similarity",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
-      FROM documents
+    WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS token
+      FROM sp
     ),
     tc AS (
       SELECT doc_id, token, COUNT(*) AS term_count
@@ -2468,9 +2476,9 @@ _TFIDF_SIM_TAU = 0.7
     """,
 )
 def tfidf_doc_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse-vector doc similarity over top-10 TF-IDF terms."""
+    """Sparse-vector doc similarity over top-10 TF-IDF 3-gram terms."""
     return text_ops.tfidf_doc_similarity(
-        load_table(spark, sf_dir, "documents"), _TFIDF_SIM_TAU, k=10
+        load_table(spark, sf_dir, "documents"), _TFIDF_SIM_TAU, k=10, ngram=3
     )
 
 

@@ -69,3 +69,20 @@ def test_dup_pairs_exact_requires_sample_gate(spark, sf_dir):
 
     with pytest.raises(ValueError, match="sample_mod"):
         similarity.dup_pairs(emb, 0.3, method="exact")
+
+
+def test_dup_pairs_blocked_equals_exact(spark, sf_dir):
+    """The block-grid BLAS path is exact: same pairs, same 6dp cosines as
+    the all-pairs baseline (this is what the oracle hash-compares)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.dup_pairs(
+            emb, 0.3, sample_mod=1, method="exact"
+        ).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.dup_pairs(emb, 0.3, method="blocked").collect()
+    }
+    assert blocked == exact
