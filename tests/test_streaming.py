@@ -124,3 +124,38 @@ def test_streaming_merge_sink_converges_to_latest(spark, sf_dir, tmp_path):
         for r in latest_record(events, ["user_id"], "ts", ["event_id"]).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_drops_in_horizon_duplicates(spark, sf_dir, tmp_path):
+    from snowflake_to_bq_pipeline_spark.streaming import dedup
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "dedup_in")
+    os.makedirs(src)
+    # The same rows twice in two files: every duplicate's reappearance is
+    # within the watermark horizon of its first occurrence when both files
+    # land in one availableNow drain.
+    sample = events.filter(F.col("event_id") < 500)
+    sample.coalesce(1).write.parquet(os.path.join(src, "a.parquet"))
+    sample.coalesce(1).write.parquet(os.path.join(src, "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src + "/*/")
+    )
+    out = dedup.dedup_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)), "duplicates survived the stream"
+    assert set(ids) == {r.event_id for r in sample.select("event_id").collect()}
