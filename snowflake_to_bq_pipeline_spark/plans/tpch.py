@@ -827,17 +827,22 @@ def q21_waiting_suppliers(
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > Q21_LATE_DAYS
-    flagged = li.select("l_orderkey", "l_suppkey", late.alias("__late"))
-    order_stats = flagged.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("__n_supp"),
-        F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
-            "__n_late"
-        ),
+    # One (order, supplier) reduction feeds everything: the two DISTINCT
+    # aggregates become plain conditional counts over it (no Expand
+    # doubling the input), and the late-pair set IS its filtered rows —
+    # the reduction's exchange is reused for both consumers.
+    pair_stats = (
+        li.select("l_orderkey", "l_suppkey", late.alias("__late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg((F.max(F.col("__late").cast("int")) == 1).alias("__was_late"))
+    )
+    order_stats = pair_stats.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.count(F.when(F.col("__was_late"), F.lit(1))).alias("__n_late"),
     )
     sole_late = (
-        flagged.filter(F.col("__late"))
+        pair_stats.filter(F.col("__was_late"))
         .select("l_orderkey", "l_suppkey")
-        .distinct()
         .join(order_stats, "l_orderkey")
         .filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
     )

@@ -161,3 +161,53 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def delta_available() -> bool:
+    """True when the delta-spark package is importable (env gate — the
+    test container ships without it; see also read_jdbc)."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def merge_into_delta(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    order_col: str | None = None,
+) -> None:
+    """ACID MERGE INTO a Delta table — the production upgrade of
+    ``merge_into_path`` (same semantics, no swap window, concurrent
+    readers). With ``order_col`` the update applies only when strictly
+    newer (out-of-order replay safety, matching the parquet path's
+    newer-wins merge).
+
+    Requires delta-spark AND a session built with the Delta SQL extension
+    + catalog; raises with guidance otherwise so callers fall back to
+    ``merge_into_path`` explicitly rather than silently losing ACID.
+    """
+    if not delta_available():
+        raise RuntimeError(
+            "delta-spark is not installed; use merge_into_path (parquet "
+            "swap merge) or install delta-spark and build the session with "
+            "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension"
+        )
+    from delta.tables import DeltaTable
+
+    if not DeltaTable.isDeltaTable(spark, path):
+        updates.write.format("delta").mode("overwrite").save(path)
+        return
+    target = DeltaTable.forPath(spark, path)
+    cond = " AND ".join(f"t.{k} = u.{k}" for k in key_cols)
+    merge = target.alias("t").merge(updates.alias("u"), cond)
+    if order_col is not None:
+        merge = merge.whenMatchedUpdateAll(
+            condition=f"u.{order_col} > t.{order_col}"
+        )
+    else:
+        merge = merge.whenMatchedUpdateAll()
+    merge.whenNotMatchedInsertAll().execute()

@@ -119,3 +119,20 @@ def test_write_partitioned_dynamic_overwrite(spark, sf_dir, tmp_path):
     writers.write_partitioned(one_day.limit(max(n_day - 1, 1)), target, ["day"])
     total_after = spark.read.parquet(target).count()
     assert total_after == n_all - n_day + max(n_day - 1, 1)
+
+
+def test_delta_merge_env_gate(spark, sf_dir, tmp_path):
+    """Without delta-spark the Delta sink must refuse loudly (and point at
+    the parquet fallback), never silently degrade."""
+    import pytest
+
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.sinks import writers
+
+    orders = load_table(spark, sf_dir, "orders").limit(10)
+    if writers.delta_available():
+        pytest.skip("delta-spark present; gate not exercised")
+    with pytest.raises(RuntimeError, match="merge_into_path"):
+        writers.merge_into_delta(
+            spark, orders, str(tmp_path / "t"), ["o_orderkey"]
+        )
