@@ -2535,3 +2535,43 @@ def error_window_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "pack_fill_summary",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, nt,
+             SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - nt AS start
+      FROM t
+    ),
+    packed AS (
+      SELECT source, start // {curation.PACK_BUDGET} AS pack_id, nt FROM c
+    )
+    SELECT source, pack_id, COUNT(*) AS n_docs,
+           SUM(nt) AS tokens_started,
+           ROUND(CAST(SUM(nt) AS DOUBLE) / {curation.PACK_BUDGET}, 4)
+             AS fill_ratio
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def pack_fill_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-level fill statistics over sequence_packing assignments: how
+    many docs START in each pack and the token mass they contribute —
+    the calibration view for choosing the pack budget (fill_ratio ≈ 1
+    means clean chunking; >> 1 means long docs straddle many windows)."""
+    packed = sequence_packing_q(spark, sf_dir)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_started"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.lit(float(curation.PACK_BUDGET)),
+            4,
+        ).alias("fill_ratio"),
+    )
