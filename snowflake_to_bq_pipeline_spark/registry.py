@@ -2575,3 +2575,63 @@ def pack_fill_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fill_ratio"),
     )
+
+
+@query(
+    "source_language_mix",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             SUM(CAST(n_chars AS BIGINT)) AS chars_total
+      FROM documents GROUP BY source, lang
+    ),
+    t AS (SELECT source, SUM(n_docs) AS src_docs FROM c GROUP BY source),
+    p AS (
+      SELECT c.source, c.lang, c.n_docs, c.chars_total, t.src_docs,
+             CAST(c.n_docs AS DOUBLE) / CAST(t.src_docs AS DOUBLE) AS frac
+      FROM c JOIN t USING (source)
+    ),
+    h AS (
+      SELECT source,
+             ROUND(-SUM(frac * LN(frac)), 6) AS lang_entropy
+      FROM p GROUP BY source
+    )
+    SELECT p.source, p.lang, p.n_docs, p.chars_total,
+           ROUND(p.frac, 6) AS doc_share, h.lang_entropy
+    FROM p JOIN h USING (source)
+    """,
+)
+def source_language_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language composition with per-source entropy — the
+    training-mix monitoring view (are sources drifting monolingual?).
+    Entropy derives from exact integer counts through a fixed expression;
+    the per-source entropy is a second partial aggregate of the first
+    (already tiny) rollup joined back, never a window over raw docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_total"),
+    )
+    t = c.groupBy("source").agg(F.sum("n_docs").alias("src_docs"))
+    frac = F.col("n_docs").cast("double") / F.col("src_docs").cast("double")
+    p = c.join(t, "source").select(
+        "source", "lang", "n_docs", "chars_total", frac.alias("__frac")
+    )
+    h = p.groupBy("source").agg(
+        F.round(
+            -F.sum(
+                (F.col("__frac") * F.log(F.col("__frac"))).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("lang_entropy")
+    )
+    return p.join(h, "source").select(
+        "source",
+        "lang",
+        "n_docs",
+        "chars_total",
+        F.round(F.col("__frac"), 6).alias("doc_share"),
+        "lang_entropy",
+    )
