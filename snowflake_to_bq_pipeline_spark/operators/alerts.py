@@ -78,12 +78,17 @@ def pipeline_alerts(
         )
     )
 
-    # Float key parts print through a fixed %.6f so the entity string is
-    # engine-independent (bare double→string rendering differs).
+    # Float key parts render as integer micros via floor(x*1e6 + 0.5) —
+    # pure IEEE double ops, identical in every engine. Decimal FORMATTING
+    # is not engine-independent: Java's %.6f rounds ties HALF_UP while C
+    # printf rounds half-to-even, so values exactly representable with
+    # ≤ 7 fractional binary digits (e.g. 1/128) format differently.
     dup_entity = F.concat_ws(
         "|",
         *[
-            F.format_string("%.6f", F.col(c))
+            F.floor(F.col(c).cast("double") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .cast("string")
             if dict(events.dtypes)[c] in ("double", "float")
             else F.col(c).cast("string")
             for c in dup_key_cols

@@ -25,6 +25,38 @@ from pyspark.sql import functions as F
 
 ITERS = 6
 
+#: Extra verified rounds attempted when the blind ``ITERS`` rounds have not
+#: reached a fixed point (pathological diameters); each costs one count job.
+MAX_EXTRA_ROUNDS = 12
+
+
+def _propagate(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label round: neighborhood min, then pointer jump."""
+    nbr_min = (
+        edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min("label").alias("__nbr"))
+    )
+    labels = labels.join(nbr_min, "node", "left").select(
+        "node",
+        F.least(
+            F.col("label"), F.coalesce(F.col("__nbr"), F.col("label"))
+        ).alias("label"),
+    )
+    jump = labels.select(
+        F.col("node").alias("__jnode"), F.col("label").alias("__jlabel")
+    )
+    return (
+        labels.join(jump, labels.label == F.col("__jnode"), "left")
+        .select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("__jlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
 
 def connected_components(
     pairs: DataFrame,
@@ -36,6 +68,13 @@ def connected_components(
 
     ``pairs`` is an undirected edge list (one row per pair, either
     orientation); both directions are materialized internally.
+
+    Convergence is VERIFIED, not assumed: after the ``iters`` blind rounds
+    (pointer jumping covers diameter 2^iters), one extra propagation must
+    be a fixed point — if any label still moves, additional verified
+    rounds run (up to ``MAX_EXTRA_ROUNDS``) and a component that still
+    hasn't settled raises instead of silently returning split clusters.
+    The check counts over the (tiny) label set, not the raw corpus.
     """
     fwd = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     edges = fwd.union(
@@ -47,31 +86,23 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
     )
     for _ in range(iters):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("__nbr"))
+        labels = _propagate(edges, labels)
+    for _ in range(MAX_EXTRA_ROUNDS):
+        nxt = _propagate(edges, labels)
+        moved = (
+            nxt.withColumnRenamed("label", "__new")
+            .join(labels, "node")
+            .filter(F.col("__new") != F.col("label"))
+            .count()
         )
-        labels = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("__nbr"), F.col("label"))
-            ).alias("label"),
-        )
-        jump = labels.select(
-            F.col("node").alias("__jnode"), F.col("label").alias("__jlabel")
-        )
-        labels = (
-            labels.join(jump, labels.label == F.col("__jnode"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("__jlabel"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return labels
+        if moved == 0:
+            return labels
+        labels = nxt
+    raise RuntimeError(
+        "connected_components did not converge after "
+        f"{iters} + {MAX_EXTRA_ROUNDS} rounds — component diameter exceeds "
+        "the pointer-jumping reach; raise `iters` for this graph"
+    )
 
 
 def dup_clusters(pairs: DataFrame) -> DataFrame:

@@ -4,9 +4,10 @@
   baseline. Query side is broadcast; each partition scans its vectors once
   and the per-query top-k is taken with one window over (query, score).
 - ``lsh_topk``: random-hyperplane LSH — the 100 TB path. Vectors hash to
-  sign-pattern buckets; only same-bucket pairs are scored. Hyperplanes are
-  derived from seeded xxhash64 so the operator is deterministic without a
-  stored model.
+  sign-pattern buckets; only same-bucket pairs are scored. Hyperplane
+  weights come from a driver-side splitmix64 integer scramble of
+  (table, plane, dim), so the operator is deterministic without a stored
+  model and without any per-row hash work.
 - ``dup_pairs``: all pairs above a cosine threshold (a deterministic
   keyspace sample keeps the oracle cross-join tractable; production runs
   use the LSH candidate path instead).
@@ -77,13 +78,6 @@ def cosine_topk(
     )
 
 
-#: Embedding dimensionality of the corpus tables. Hyperplane weights are
-#: generated per (table, plane) as LITERAL arrays — computing them driver-
-#: side removes ~dims× per-row hash work from every bucket pass (measured
-#: ~5× on the dedup bench) while staying fully deterministic.
-DIMS = 64
-
-
 def _plane_weights(table: int, plane: int, dims: int) -> list[float]:
     """Deterministic pseudo-random weights in [-0.5, 0.5).
 
@@ -122,21 +116,29 @@ def _lsh_buckets(v: DataFrame, n_tables: int, n_planes: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    planes = np.array(
-        [
-            _plane_weights(t, p, DIMS)
-            for t in range(n_tables)
-            for p in range(n_planes)
-        ]
-    )  # (T*P) x D
+    def make_planes(dims: int):
+        return np.array(
+            [
+                _plane_weights(t, p, dims)
+                for t in range(n_tables)
+                for p in range(n_planes)
+            ]
+        )  # (T*P) x D
+
     pows = 1 << np.arange(n_planes, dtype=np.int64)
     tables = np.arange(n_tables, dtype=np.int32)
 
     def bucketize(batches):
+        # Dims come from the data (first batch's e.shape[1]), not a
+        # constant, so any corpus width hashes correctly; the plane matrix
+        # is deterministic per dims, so every task builds the same one.
+        planes = None
         for pdf in batches:
             if not len(pdf):
                 continue
             e = np.array(pdf["e"].tolist(), dtype=np.float64)
+            if planes is None or planes.shape[1] != e.shape[1]:
+                planes = make_planes(e.shape[1])
             bits = (e @ planes.T >= 0).reshape(len(pdf), n_tables, n_planes)
             buckets = (bits * pows).sum(axis=2)  # n x T
             yield pd.DataFrame(
@@ -214,8 +216,9 @@ def dup_candidate_pairs(
     collides per table with probability (1 - acos(c)/π)^n_planes and is
     missed everywhere with (1 - (1-acos(c)/π)^n_planes)^n_tables — pick
     few planes / many tables for low-τ regimes, many planes (fine, cheap
-    buckets) for near-dup regimes (τ ≥ 0.9). Hyperplanes derive from
-    seeded xxhash64, so candidacy is deterministic for a given corpus.
+    buckets) for near-dup regimes (τ ≥ 0.9). Hyperplane weights come from
+    the driver-side splitmix64 scramble in ``_plane_weights``, so candidacy
+    is deterministic for a given corpus with no stored model.
     """
     vb = _lsh_buckets(v, n_tables, n_planes).select("vec_id", "table", "bucket")
     a = vb.select(F.col("vec_id").alias("id_a"), "table", "bucket")

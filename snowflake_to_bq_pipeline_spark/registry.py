@@ -540,6 +540,56 @@ def volume_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "volume_anomaly_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS event_count
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    d2 AS (
+      SELECT day, event_count, CAST(dayofweek(day) AS INT) AS dow FROM daily
+    ),
+    stats AS (
+      SELECT dow, COUNT(*) AS n, SUM(event_count) AS s,
+             SUM(event_count * event_count) AS ss
+      FROM d2 GROUP BY dow
+    ),
+    derived AS (
+      SELECT dow, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS msq
+      FROM stats
+    ),
+    d3 AS (
+      SELECT dow, n, mean,
+             SQRT(GREATEST((msq - mean * mean)
+                  * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)), 0.0)) AS sd
+      FROM derived
+    ),
+    z AS (
+      SELECT day, d2.dow, event_count, mean, sd,
+             CASE WHEN n > 1 AND sd > 0
+                  THEN ROUND((CAST(event_count AS DOUBLE) - mean) / sd, 4)
+             END AS z_score
+      FROM d2 JOIN d3 USING (dow)
+    )
+    SELECT day, dow, event_count,
+           ROUND(mean, 4) AS mean_count,
+           ROUND(sd, 4) AS stddev_count,
+           z_score,
+           COALESCE(ABS(z_score) > 2.0, FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def volume_anomaly_dow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume anomalies — each day vs its own weekday's
+    history (ref: anomaly_detection_agent.py:109-110,223 features
+    sync_day_of_week before flagging)."""
+    return anomaly.volume_anomaly_dow(
+        load_table(spark, sf_dir, "events"), "ts"
+    )
+
+
+@query(
     "freshness_check",
     oracle="""
     WITH per_type AS (
@@ -666,7 +716,7 @@ from .operators import alerts as alerts_op  # noqa: E402
     UNION ALL
     SELECT 'dedup',
            CAST(user_id AS VARCHAR) || '|' || event_type || '|'
-             || printf('%.6f', value),
+             || CAST(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
            'duplicate_key_count', CAST(dup_count AS DOUBLE), CAST(1.0 AS DOUBLE),
            CASE WHEN dup_count > 2 THEN 'CRITICAL' ELSE 'WARNING' END
     FROM dup
@@ -2635,3 +2685,126 @@ def source_language_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__frac"), 6).alias("doc_share"),
         "lang_entropy",
     )
+
+
+# ---------------------------------------------------------------------------
+# Registration order = the driver's correctness window.
+#
+# The driver's CORRECTNESS gate hash-checks only the FIRST 50 entries of
+# ``queries()`` (dict insertion order).  Definition order above is narrative
+# (grouped by SURVEY §2 family), so we rebuild QUERIES here with an explicit
+# priority order:
+#   slots 1-31  — queries that have never had a driver correctness row
+#                 (registered after the r02 cutoff, VERDICT r02 §"What's
+#                 wrong" #1), including q4/q10 which fell out of the window;
+#   slots 32-.. — the flagship + queries whose code changes this round and
+#                 therefore needs a fresh hard signal;
+#   fill to 50  — long-stable passers for continuous coverage;
+#   51-81       — remaining stable §A/§C/§E passers, then the six rows-only
+#                 (no-oracle-by-design) ops, which can never produce a hash
+#                 verdict and must not occupy window slots.
+#
+# Every registered query MUST appear exactly once; the assertion below makes
+# an unlisted (or stale) name a loud import-time failure so new queries are
+# placed deliberately.
+# ---------------------------------------------------------------------------
+
+_WINDOW_ORDER = [
+    # -- never driver-checked (31) -----------------------------------------
+    "q4_order_priority",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "dup_key_audit",
+    "embedding_doc_dedup",
+    "user_activity_trend",
+    "asof_join_last_purchase",
+    "tfidf_top_terms",
+    "q7_nation_volume",
+    "q19_bracket_revenue",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q13_order_distribution",
+    "q22_idle_accounts",
+    "q8_market_share",
+    "q9_product_profit",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "dedup_clusters",
+    "pii_redaction",
+    "quality_filter_funnel",
+    "stratified_sample_mix",
+    "sequence_packing",
+    "tfidf_doc_similarity",
+    "error_window_events",
+    "pack_fill_summary",
+    "source_language_mix",
+    # -- flagship + touched-this-round -------------------------------------
+    "individual_budget_tracking",
+    "pipeline_alerts",
+    "volume_anomaly",
+    "volume_anomaly_dow",
+    # -- stable passers filling the window to 50 ---------------------------
+    "budget_vs_actual",
+    "work_item_enriched",
+    "monthly_hours_pivot",
+    "utilization_rollup",
+    "client_budget_rollup",
+    "contributor_utilization_rollup",
+    "view_variance_detection",
+    "sales_rollup_sets",
+    "event_sessions",
+    "user_running_totals",
+    "events_windowed_counts",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    # -- beyond the window: stable passers ---------------------------------
+    "freshness_check",
+    "row_count_compare",
+    "row_count_by_day",
+    "data_quality_metrics",
+    "dedup_exact",
+    "doc_fingerprint",
+    "text_stats",
+    "text_quality_score",
+    "lang_id",
+    "ngram_jaccard_dups",
+    "ann_cosine_topk",
+    "embedding_dup_pairs",
+    "vocab_top_k",
+    "doc_length_histogram",
+    "paginated_extract",
+    "chunked_backfill_plan",
+    "cdc_fold_snapshot",
+    "incremental_agg_maintenance",
+    "full_sync_snapshot",
+    "incremental_sync_window",
+    "merge_upsert",
+    "orphaned_records",
+    "missing_records",
+    "dedup_latest_record",
+    "sync_date_dedup",
+    # -- rows-only by design (no oracle possible) --------------------------
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "sketch_distinct_users",
+    "sketch_value_quantiles",
+]
+
+assert set(_WINDOW_ORDER) == set(QUERIES), (
+    "registry window order out of sync: "
+    f"missing={sorted(set(QUERIES) - set(_WINDOW_ORDER))} "
+    f"stale={sorted(set(_WINDOW_ORDER) - set(QUERIES))}"
+)
+assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
+
+QUERIES = {name: QUERIES[name] for name in _WINDOW_ORDER}
+ORACLES = {name: ORACLES[name] for name in _WINDOW_ORDER if name in ORACLES}
