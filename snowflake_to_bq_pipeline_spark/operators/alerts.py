@@ -122,4 +122,38 @@ def pipeline_alerts(
         )
     )
 
-    return va.unionByName(fr).unionByName(dk).unionByName(rc)
+    alerts = va.unionByName(fr).unionByName(dk).unionByName(rc)
+
+    # The reference doesn't stop at alerting: freshness violations map to a
+    # NAMED fallback sync per table and trigger it
+    # (pipeline_fallback_monitor.py:459 freshness→fallback mapping, :203
+    # trigger_fallback_function). Transport stays out of scope; the
+    # remediation PLAN is part of the dataset — per alert, what to run and
+    # against which pipeline.
+    src = F.col("alert_source")
+    is_crit = F.col("severity") == SEVERITY_CRITICAL
+    action = (
+        F.when(src == "freshness",
+               F.when(is_crit, F.lit("trigger_fallback_sync"))
+               .otherwise(F.lit("schedule_catchup_sync")))
+        .when(src == "volume",
+              F.when(is_crit, F.lit("trigger_full_resync"))
+              .otherwise(F.lit("flag_for_review")))
+        .when(src == "dedup", F.lit("run_dedup_cleanup"))
+        .otherwise(  # reconciliation
+            F.when(is_crit, F.lit("backfill_date_window"))
+            .otherwise(F.lit("flag_for_review"))
+        )
+    )
+    target = (
+        F.when(src == "freshness",
+               F.concat(F.col("entity"), F.lit("_fallback_daily_sync")))
+        .when(src == "volume", F.lit("events_full_sync"))
+        .when(src == "dedup", F.lit("dedup_reconciliation_sync"))
+        .otherwise(F.lit("daily_incremental_sync"))
+    )
+    return alerts.select(
+        "*",
+        action.alias("recommended_action"),
+        target.alias("target_pipeline"),
+    )

@@ -1,0 +1,125 @@
+"""Bloom-filter semi-join pruning — a runtime row filter for shuffle joins.
+
+The classic 100 TB problem: a selective dimension/subquery side joins a
+huge fact side, but the fact still pays a FULL shuffle before the join
+drops most of its rows. Engines solve this with runtime Bloom filters
+(Spark's own `spark.sql.optimizer.runtime.bloomFilter.*` rule does exactly
+this for shuffle joins, but its `bloom_filter_agg` expression is not
+exposed to the public SQL/DataFrame API). This operator builds the same
+structure from public primitives:
+
+1. BUILD (distributed): each build-side key hashes to ``n_hashes``
+   positions in an ``n_bits`` bitmap; positions aggregate into
+   ``n_bits/64`` long words with ``bit_or`` — one partial-aggregated
+   shuffle whose output is the bitmap, NOT the key set.
+2. COLLECT: the bitmap (e.g. 2^20 bits = 16 K longs = 128 KB) is pulled to
+   the driver and embedded as a literal array — the same driver-resident
+   model pattern as the runtime-filter rule (and our IVF centroids). The
+   collect is O(n_bits), independent of build-side row count.
+3. PROBE (pure JVM expressions): each probe row checks its ``n_hashes``
+   bits with element_at + shift + mask — whole-stage-codegen'd, no UDF,
+   applied BEFORE the shuffle so pruned rows never leave the scan stage.
+
+No false negatives (every build key sets its bits), so composing with the
+exact join afterwards preserves results bit-for-bit; false positives only
+cost shuffle bytes. Size ``n_bits`` ≥ ~10× distinct build keys for <1% FP
+(k=3). When the build side is small enough to broadcast, prefer a plain
+broadcast semi-join — this operator targets the regime where the build
+side is too big to broadcast as keys but its bitmap is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BITS_DEFAULT = 1 << 20
+N_HASHES_DEFAULT = 3
+
+
+def _positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits))
+        for i in range(n_hashes)
+    ]
+
+
+def build_bloom(
+    build: DataFrame,
+    key_col: str,
+    n_bits: int = N_BITS_DEFAULT,
+    n_hashes: int = N_HASHES_DEFAULT,
+) -> list[int]:
+    """Aggregate the build side into a bitmap of ``n_bits`` bits.
+
+    Returns the bitmap as a list of ``n_bits/64`` Python ints (one action:
+    a partial-aggregated groupBy to at most n_bits/64 rows, then a bounded
+    collect — the build side's ROWS never reach the driver).
+    """
+    assert n_bits % 64 == 0
+    pos = F.explode(
+        F.array(*_positions(F.col(key_col), n_bits, n_hashes))
+    ).alias("pos")
+    # shiftleft by a COLUMN is SQL-only (the python wrapper takes an int).
+    words = (
+        build.select(pos)
+        .groupBy((F.col("pos") / 64).cast("int").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")
+            ).alias("word")
+        )
+        .collect()
+    )
+    bitmap = [0] * (n_bits // 64)
+    for r in words:
+        bitmap[r["word_idx"]] = r["word"]
+    return bitmap
+
+
+def apply_bloom(
+    probe: DataFrame,
+    probe_key: str,
+    bitmap: list[int],
+    n_hashes: int = N_HASHES_DEFAULT,
+) -> DataFrame:
+    """Filter ``probe`` with the bitmap: TRUE unless some hash position's
+    bit is unset.
+
+    The bitmap rides along as a literal array column (shipped with the
+    plan, no join); each probe is element_at + shift + mask — pure JVM
+    expressions inside whole-stage codegen. Column-valued shifts are
+    SQL-only, so the probe positions land in temp columns first.
+    """
+    n_bits = len(bitmap) * 64
+    out = probe.withColumn("__bloom", F.lit(bitmap))
+    cond = F.lit(True)
+    for i, p in enumerate(_positions(F.col(probe_key), n_bits, n_hashes)):
+        out = out.withColumn(f"__bp{i}", p)
+        cond = cond & F.expr(
+            f"(shiftrightunsigned(element_at(__bloom, CAST(__bp{i} / 64 AS INT) + 1),"
+            f" CAST(__bp{i} % 64 AS INT)) & 1L) = 1L"
+        )
+    return out.filter(cond).drop(
+        "__bloom", *[f"__bp{i}" for i in range(n_hashes)]
+    )
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    n_bits: int = N_BITS_DEFAULT,
+    n_hashes: int = N_HASHES_DEFAULT,
+) -> DataFrame:
+    """Prune ``probe`` to rows whose key MIGHT appear in ``build``.
+
+    False-positive-only: always compose with the exact join downstream —
+    the result is identical, the shuffle is smaller. Worth it when the
+    probe side is much larger than the post-join row count and the build
+    side is too large to broadcast; skip it when the join is already
+    broadcast (nothing to prune before).
+    """
+    bitmap = build_bloom(build, build_key, n_bits, n_hashes)
+    return apply_bloom(probe, probe_key, bitmap, n_hashes)

@@ -219,20 +219,47 @@ def simhash_pairs(
     h = shingles(documents, text_col, k=3).select(
         "doc_id", F.xxhash64("shingle").alias("th")
     )
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b_{i}")
-        for i in range(64)
-    ]
-    bits = h.groupBy("doc_id").agg(*bit_aggs)
+    # Pack the 64 per-bit counters into 16 SUM aggregates, 4 × 16-bit
+    # lanes each: lane k of aggregate j counts set bits at position
+    # 4j + k, shifted to bit 16k. Lanes never carry into each other while
+    # per-doc shingle counts stay under 2^16 (and the doc_id grain
+    # guarantees that by orders of magnitude), so one long addition
+    # advances four counters. This quarters the aggregation-buffer width —
+    # the cost driver for a 64-aggregate groupBy — without leaving
+    # whole-stage codegen. Bit i of the signature is then set iff
+    # 2·ones(i) > n_shingles, which is exactly the old sign-sum > 0 rule
+    # (ones − (n − ones) > 0), ties unset on both formulations.
+    lanes = 4
+    pack_aggs = []
+    for j in range(64 // lanes):
+        expr = None
+        for kk in range(lanes):
+            bit = j * lanes + kk
+            lane = F.shiftleft(
+                F.shiftrightunsigned(F.col("th"), bit)
+                .bitwiseAND(F.lit(1))
+                .cast("long"),
+                16 * kk,
+            )
+            expr = lane if expr is None else expr + lane
+        pack_aggs.append(F.sum(expr).alias(f"p_{j}"))
+    bits = h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n"), *pack_aggs
+    )
+
+    def ones(i: int):
+        return F.shiftrightunsigned(
+            F.col(f"p_{i // lanes}"), 16 * (i % lanes)
+        ).bitwiseAND(F.lit(65535))
+
     sig = bits.select(
         "doc_id",
         sum(
             [
-                F.when(F.col(f"b_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
-                .otherwise(F.lit(0).cast("long"))
+                F.when(
+                    ones(i) * 2 > F.col("__n"),
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
                 for i in range(64)
             ],
             F.lit(0).cast("long"),

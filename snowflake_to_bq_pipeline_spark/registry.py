@@ -590,6 +590,62 @@ def volume_anomaly_dow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_filtered_entries",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS entry_count,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        AND o_orderdate < TIMESTAMP '1997-10-01'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_filtered_entries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sync-window entry rollup through a runtime Bloom filter: the fact
+    side is pruned by the window's order-key bitmap BEFORE the shuffle,
+    then exactly verified with a left-semi join (operators/bloom.py). The
+    Bloom pass has false positives only, so the result is identical to the
+    oracle's plain IN-subquery — what changes is the bytes shuffled at
+    100 TB. Mirrors the reference's windowed incremental sync scoping
+    (*_sync_daily date-window delete+insert)."""
+    from .operators import bloom as bloom_op
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    window_orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    ).select("o_orderkey")
+    pruned = bloom_op.bloom_prefilter(
+        lineitem.select("l_orderkey", "l_returnflag", "l_quantity"),
+        "l_orderkey",
+        window_orders,
+        "o_orderkey",
+    )
+    from .functions import DEC
+
+    return (
+        pruned.join(
+            window_orders,
+            pruned.l_orderkey == window_orders.o_orderkey,
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("entry_count"),
+            F.round(F.sum(F.col("l_quantity").cast(DEC)), 2)
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
+
+
+@query(
     "freshness_check",
     oracle="""
     WITH per_type AS (
@@ -702,30 +758,52 @@ from .operators import alerts as alerts_op  # noqa: E402
       SELECT COALESCE(s.d, t.d) AS d, COALESCE(s.source_count, 0) AS sc,
              COALESCE(t.target_count, 0) AS tc
       FROM s FULL OUTER JOIN t ON s.d = t.d
+    ),
+    unioned AS (
+      SELECT 'volume' AS alert_source, CAST(d AS VARCHAR) AS entity,
+             'daily_volume_z' AS metric, ABS(z) AS observed,
+             CAST(2.0 AS DOUBLE) AS threshold,
+             CASE WHEN ABS(z) > 3.0 THEN 'CRITICAL' ELSE 'WARNING' END AS severity
+      FROM flagged WHERE COALESCE(ABS(z) > 2.0, FALSE)
+      UNION ALL
+      SELECT 'freshness', event_type, 'watermark_lag_seconds',
+             CAST(lag_s AS DOUBLE), CAST(1800.0 AS DOUBLE),
+             CASE WHEN lag_s > 3600 THEN 'CRITICAL' ELSE 'WARNING' END
+      FROM fresh WHERE lag_s > 1800
+      UNION ALL
+      SELECT 'dedup',
+             CAST(user_id AS VARCHAR) || '|' || event_type || '|'
+               || CAST(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+             'duplicate_key_count', CAST(dup_count AS DOUBLE), CAST(1.0 AS DOUBLE),
+             CASE WHEN dup_count > 2 THEN 'CRITICAL' ELSE 'WARNING' END
+      FROM dup
+      UNION ALL
+      SELECT 'reconciliation', CAST(d AS VARCHAR), 'day_count_drift',
+             CAST(ABS(sc - tc) AS DOUBLE), CAST(0.0 AS DOUBLE),
+             CASE WHEN CAST(ABS(sc - tc) AS DOUBLE) > 0.5 * CAST(sc AS DOUBLE)
+                  THEN 'CRITICAL' ELSE 'WARNING' END
+      FROM recon WHERE sc != tc
     )
-    SELECT 'volume' AS alert_source, CAST(d AS VARCHAR) AS entity,
-           'daily_volume_z' AS metric, ABS(z) AS observed,
-           CAST(2.0 AS DOUBLE) AS threshold,
-           CASE WHEN ABS(z) > 3.0 THEN 'CRITICAL' ELSE 'WARNING' END AS severity
-    FROM flagged WHERE COALESCE(ABS(z) > 2.0, FALSE)
-    UNION ALL
-    SELECT 'freshness', event_type, 'watermark_lag_seconds',
-           CAST(lag_s AS DOUBLE), CAST(1800.0 AS DOUBLE),
-           CASE WHEN lag_s > 3600 THEN 'CRITICAL' ELSE 'WARNING' END
-    FROM fresh WHERE lag_s > 1800
-    UNION ALL
-    SELECT 'dedup',
-           CAST(user_id AS VARCHAR) || '|' || event_type || '|'
-             || CAST(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
-           'duplicate_key_count', CAST(dup_count AS DOUBLE), CAST(1.0 AS DOUBLE),
-           CASE WHEN dup_count > 2 THEN 'CRITICAL' ELSE 'WARNING' END
-    FROM dup
-    UNION ALL
-    SELECT 'reconciliation', CAST(d AS VARCHAR), 'day_count_drift',
-           CAST(ABS(sc - tc) AS DOUBLE), CAST(0.0 AS DOUBLE),
-           CASE WHEN CAST(ABS(sc - tc) AS DOUBLE) > 0.5 * CAST(sc AS DOUBLE)
-                THEN 'CRITICAL' ELSE 'WARNING' END
-    FROM recon WHERE sc != tc
+    SELECT *,
+           CASE
+             WHEN alert_source = 'freshness' AND severity = 'CRITICAL'
+               THEN 'trigger_fallback_sync'
+             WHEN alert_source = 'freshness' THEN 'schedule_catchup_sync'
+             WHEN alert_source = 'volume' AND severity = 'CRITICAL'
+               THEN 'trigger_full_resync'
+             WHEN alert_source = 'volume' THEN 'flag_for_review'
+             WHEN alert_source = 'dedup' THEN 'run_dedup_cleanup'
+             WHEN severity = 'CRITICAL' THEN 'backfill_date_window'
+             ELSE 'flag_for_review'
+           END AS recommended_action,
+           CASE
+             WHEN alert_source = 'freshness'
+               THEN entity || '_fallback_daily_sync'
+             WHEN alert_source = 'volume' THEN 'events_full_sync'
+             WHEN alert_source = 'dedup' THEN 'dedup_reconciliation_sync'
+             ELSE 'daily_incremental_sync'
+           END AS target_pipeline
+    FROM unioned
     """,
 )
 def pipeline_alerts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2747,6 +2825,7 @@ _WINDOW_ORDER = [
     "pipeline_alerts",
     "volume_anomaly",
     "volume_anomaly_dow",
+    "bloom_filtered_entries",
     # -- stable passers filling the window to 50 ---------------------------
     "budget_vs_actual",
     "work_item_enriched",
