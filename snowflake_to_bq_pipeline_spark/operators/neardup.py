@@ -10,11 +10,17 @@ Scale posture:
 - ``shingles`` is a per-row transform (no shuffle); the Jaccard self-join
   shuffles on the shingle value, which is the standard scalable plan — the
   cross product never materializes, only per-shingle buckets.
+- Multi-consumer intermediates (the shingle table, the SimHash signature)
+  are persisted with managed lifecycle (``_swap_cache``): the round-2
+  executed plans showed 0 ReusedExchange — every consumer recomputed the
+  explode+dedup subtree, costing 2x wall-time and 2-8s run-to-run
+  variance at sf0.1.
 - ``minhash_lsh_pairs`` is the 100 TB path: signature computation is one
-  groupBy over exploded shingles (32 aggregates, single shuffle), banding
-  explodes to B small rows per doc, and candidate generation joins on
-  (band, band_hash) buckets only. Candidates are then verified with exact
-  Jaccard — no false positives, LSH-bounded false-negative rate.
+  groupBy over exploded shingles (32 min-aggregates + the shingle count,
+  single shuffle), banding explodes to B small rows per doc, and candidate
+  generation joins on (band, band_hash) buckets only. Candidates are then
+  verified with exact Jaccard — no false positives, LSH-bounded
+  false-negative rate.
 - ``simhash_pairs`` bands the 64-bit signature into 8 byte-chunks; only
   chunk-equal pairs are candidates (pigeonhole-exact for hamming ≤ 7).
 """
@@ -23,10 +29,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 N_PERMS = 32
 N_BANDS = 8  # 4 rows per band
 SIMHASH_CHUNKS = 8
+
+# Handles for the one persisted intermediate each near-dup query keeps
+# alive while its plan executes. Round-2 bench showed the "exchange reuse
+# dedups the repeated shingle shuffle" assumption is FALSE in the executed
+# plan (0 ReusedExchange nodes; the explode+dedup subtree ran 5x and
+# wall-time swung 2-8s run to run). A persisted hashed-shingle table is
+# ~16 bytes/row — a few percent of input size — and MEMORY_AND_DISK spills
+# rather than OOMs at scale. The previous handle is released on the next
+# call, so a long-lived session holds at most one table per operator.
+_LIVE_CACHE: dict[str, DataFrame] = {}
+
+
+def _swap_cache(key: str, df: DataFrame) -> DataFrame:
+    """Persist df, releasing the previous persisted handle for this key."""
+    prev = _LIVE_CACHE.get(key)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHE[key] = df
+    return df
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -83,7 +110,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold (exact, via shingle join)."""
-    sh = shingles(documents, text_col, k)
+    sh = _swap_cache("jaccard", shingles(documents, text_col, k))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -136,16 +163,33 @@ def minhash_lsh_pairs(
     Output schema matches ``ngram_jaccard_pairs``; the difference is the
     candidate set (LSH buckets vs full shingle join) — at 100 TB only this
     path is viable.
+
+    The hashed-shingle table (doc_id, xxhash64(shingle)) is computed once
+    and persisted: it feeds the signature groupBy and both sides of the
+    verification join, and the round-2 executed plan proved Spark does NOT
+    reuse the explode+dedup exchange across those consumers (0
+    ReusedExchange; 3-5 recomputes, 2x wall-time variance). Shingle sizes
+    ride along in the signature groupBy instead of a separate pass, and
+    verification intersects 8-byte hashes rather than shingle strings —
+    a 64-bit collision would off-by-one an intersection count with
+    probability ~n²/2⁶⁴ per doc pair, which the banded-candidate volume
+    keeps negligible.
     """
-    # The shingle table feeds signatures, sizes, and both sides of the
-    # verification join; Spark's exchange reuse dedups the repeated
-    # explode+dedup shuffle within the plan, so no explicit persist (which
-    # measured slower one-shot: cache materialization cost > reuse gain).
-    sh = shingles(documents, text_col, k)
-    sigs = minhash_signatures(sh)
+    sh = _swap_cache(
+        "minhash",
+        shingles(documents, text_col, k).select(
+            "doc_id", F.xxhash64("shingle").alias("__h")
+        ),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}")
+        for i in range(N_PERMS)
+    ]
+    sigs = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"), *aggs)
     rows_per_band = N_PERMS // N_BANDS
     bands = sigs.select(
         "doc_id",
+        "sz",
         F.explode(
             F.array(
                 *[
@@ -162,40 +206,41 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bh"),
-    ).select("doc_id", "bh.band", "bh.band_hash")
+    ).select("doc_id", "sz", "bh.band", "bh.band_hash")
 
     left = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", "band_hash"
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("size_a"),
+        "band",
+        "band_hash",
     )
     right = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", "band_hash"
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("size_b"),
+        "band",
+        "band_hash",
     )
     candidates = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates()
+        .select("doc_a", "doc_b", "size_a", "size_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
     # Exact verification restricted to candidates only.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "__h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "__h")
     inter = (
         candidates.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .join(b, ["doc_b", "__h"])
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("intersection_size"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
     j = F.col("intersection_size").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("intersection_size")
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(j >= threshold)
+        inter.filter(j >= threshold)
         .select(
             "doc_a", "doc_b", "intersection_size", "size_a", "size_b",
             j.alias("jaccard"),
@@ -252,18 +297,25 @@ def simhash_pairs(
             F.col(f"p_{i // lanes}"), 16 * (i % lanes)
         ).bitwiseAND(F.lit(65535))
 
-    sig = bits.select(
-        "doc_id",
-        sum(
-            [
-                F.when(
-                    ones(i) * 2 > F.col("__n"),
-                    F.shiftleft(F.lit(1).cast("long"), i),
-                ).otherwise(F.lit(0).cast("long"))
-                for i in range(64)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+    # Persisted: the candidate join consumes this twice (left/right), and
+    # without the persist each side recomputes the whole shingle explode +
+    # 16-aggregate groupBy (no ReusedExchange in the executed plan). The
+    # table is 16 bytes/doc — trivially cacheable at any scale.
+    sig = _swap_cache(
+        "simhash",
+        bits.select(
+            "doc_id",
+            sum(
+                [
+                    F.when(
+                        ones(i) * 2 > F.col("__n"),
+                        F.shiftleft(F.lit(1).cast("long"), i),
+                    ).otherwise(F.lit(0).cast("long"))
+                    for i in range(64)
+                ],
+                F.lit(0).cast("long"),
+            ).alias("simhash"),
+        ),
     )
     chunks = sig.select(
         "doc_id",

@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions to the advisory SIZE instead of
+        # preserving parallelism: with the default (true), AQE keeps tiny
+        # shuffle partitions alive to fill cores, and measured at sf0.1 the
+        # resulting task-dispatch churn dominated small-stage runtime and
+        # produced 2-4x run-to-run variance on minhash/simhash. Spark's own
+        # docs recommend false for busy clusters; a 1000-executor run wants
+        # size-based coalescing too.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
