@@ -158,6 +158,195 @@ def stratified_sample(
     return df.filter(keep)
 
 
+#: Gopher-style repetition gates (word-level adaptation of the published
+#: MassiveText character-fraction rules).
+TOP_BIGRAM_FRAC_MAX = 0.10
+DUP_TRIGRAM_FRAC_MAX = 0.50
+
+
+def repetition_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc repetition metrics: top-bigram share and duplicate-trigram share.
+
+    Word-level adaptation of the Gopher/MassiveText repetition filters:
+    a document is repetitive when one 2-gram dominates its 2-gram stream
+    (``top_bigram_frac`` = occurrences of the most frequent 2-gram / total
+    2-gram occurrences) or when most of its 3-gram occurrences are repeats
+    (``dup_trigram_frac`` = occurrences of 3-grams seen more than once /
+    total 3-gram occurrences).
+
+    One explode produces both gram sizes tagged with ``k`` (so the corpus
+    is scanned once), one (doc_id, k, gram) count, one per-doc conditional
+    rollup, then a doc_id equi-join back to documents keeps docs too short
+    to form a gram (ratios 0). Every shuffle key is bounded-width; no
+    all-pairs path. All ratios are exact integer divisions evaluated
+    identically by any IEEE engine — no rounding needed for oracle parity.
+    """
+    w = F.split(F.col(text_col), " ")
+
+    def gram_structs(k: int):
+        empty = F.array().cast("array<struct<k:int,gram:string>>")
+        return F.when(
+            F.array_size(w) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.array_size(w) - (k - 1)),
+                lambda i: F.struct(
+                    F.lit(k).alias("k"),
+                    F.concat_ws(
+                        " ", *[F.element_at(w, i + j) for j in range(k)]
+                    ).alias("gram"),
+                ),
+            ),
+        ).otherwise(empty)
+
+    counts = (
+        documents.select(
+            "doc_id",
+            F.explode(F.concat(gram_structs(2), gram_structs(3))).alias("g"),
+        )
+        .select("doc_id", F.col("g.k").alias("k"), F.col("g.gram").alias("gram"))
+        .groupBy("doc_id", "k", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = counts.groupBy("doc_id").agg(
+        F.max(F.when(F.col("k") == 2, F.col("cnt"))).alias("__m2"),
+        F.sum(F.when(F.col("k") == 2, F.col("cnt"))).alias("__t2"),
+        F.sum(
+            F.when((F.col("k") == 3) & (F.col("cnt") > 1), F.col("cnt"))
+        ).alias("__d3"),
+        F.sum(F.when(F.col("k") == 3, F.col("cnt"))).alias("__t3"),
+    )
+    top_bigram = F.when(
+        F.col("__t2") > 0,
+        F.col("__m2").cast("double") / F.col("__t2").cast("double"),
+    ).otherwise(F.lit(0.0))
+    dup_trigram = F.when(
+        F.col("__t3") > 0,
+        F.coalesce(F.col("__d3"), F.lit(0)).cast("double")
+        / F.col("__t3").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        documents.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(top_bigram, F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce(dup_trigram, F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("top_bigram_frac") > TOP_BIGRAM_FRAC_MAX)
+            | (F.col("dup_trigram_frac") > DUP_TRIGRAM_FRAC_MAX),
+        )
+    )
+
+
+DECONTAM_NGRAM = 5
+
+
+def decontamination_overlap(
+    documents: DataFrame,
+    eval_source: str,
+    text_col: str = "text",
+    k: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """Flag training docs sharing any word-k-gram with a held-out eval set.
+
+    The GPT-3-style decontamination check: the eval slice (rows whose
+    ``source`` equals ``eval_source``) contributes a distinct-k-gram set;
+    every remaining doc reports how many of its distinct k-grams appear in
+    that set and a ``contaminated`` flag. Distinct grams on both sides
+    keep the join input minimal; the gram equi-join is the standard
+    inverted-index plan, and the eval side is a small fraction of the
+    corpus, so at scale it broadcast-joins. Zero-overlap docs are kept via
+    a left join on doc_id.
+    """
+    w = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.array_size(w) >= k, F.sequence(F.lit(1), F.array_size(w) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    parts = [F.element_at(F.col("__w"), F.col("i") + j) for j in range(k)]
+    grams = (
+        documents.select(
+            "doc_id", "source", w.alias("__w"), F.explode(idx).alias("i")
+        )
+        .select("doc_id", "source", F.concat_ws(" ", *parts).alias("gram"))
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    eval_grams = (
+        grams.filter(F.col("source") == eval_source)
+        .select("gram")
+        .dropDuplicates()
+    )
+    train = grams.filter(F.col("source") != eval_source)
+    shared = (
+        train.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+    return (
+        documents.filter(F.col("source") != eval_source)
+        .select("doc_id", "source")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_shared_ngrams"), F.lit(0)).alias(
+                "n_shared_ngrams"
+            ),
+            (F.coalesce(F.col("n_shared_ngrams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+#: Cap on per-source upsampling (max effective epochs over a source).
+MIX_WEIGHT_CAP = 5.0
+
+
+def source_mix_weights(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-source token shares and sampling weights for a uniform target mix.
+
+    Training-mix planning: each source reports docs, whitespace-token
+    count, its share of corpus tokens, the uniform target share, and the
+    sampling weight ``target_share / token_share`` (capped to bound
+    effective epochs over any source). One groupBy plus a 1-row broadcast
+    totals join — no data-sized shuffle beyond the source rollup.
+    """
+    per_source = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.array_size(F.split(F.col(text_col), " ")).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("__total_tokens"),
+        F.count(F.lit(1)).alias("__n_sources"),
+    )
+    weight = (F.lit(1.0) / F.col("__n_sources").cast("double")) / (
+        F.col("n_tokens").cast("double") / F.col("__total_tokens").cast("double")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double")
+                / F.col("__total_tokens").cast("double")
+            ).alias("token_share"),
+            (F.lit(1.0) / F.col("__n_sources").cast("double")).alias(
+                "target_share"
+            ),
+            weight.alias("sample_weight"),
+            F.least(weight, F.lit(MIX_WEIGHT_CAP)).alias("capped_weight"),
+        )
+    )
+
+
 PACK_BUDGET = 256
 
 

@@ -2765,6 +2765,125 @@ def source_language_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "repetition_filter",
+    oracle="""
+    WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, k, gram FROM (
+        SELECT doc_id, 2 AS k,
+               unnest(list_transform(range(1, greatest(len(w), 1)),
+                      i -> w[i] || ' ' || w[i+1])) AS gram
+        FROM sp WHERE len(w) >= 2
+        UNION ALL
+        SELECT doc_id, 3 AS k,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM sp WHERE len(w) >= 3
+      )
+    ),
+    c AS (
+      SELECT doc_id, k, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, k, gram
+    ),
+    s AS (
+      SELECT doc_id,
+             MAX(CASE WHEN k = 2 THEN cnt END) AS m2,
+             SUM(CASE WHEN k = 2 THEN cnt END) AS t2,
+             SUM(CASE WHEN k = 3 AND cnt > 1 THEN cnt END) AS d3,
+             SUM(CASE WHEN k = 3 THEN cnt END) AS t3
+      FROM c GROUP BY doc_id
+    ),
+    r AS (
+      SELECT d.doc_id,
+             COALESCE(CASE WHEN s.t2 > 0
+               THEN CAST(s.m2 AS DOUBLE) / CAST(s.t2 AS DOUBLE) END, 0.0)
+               AS top_bigram_frac,
+             COALESCE(CASE WHEN s.t3 > 0
+               THEN CAST(COALESCE(s.d3, 0) AS DOUBLE)
+                    / CAST(s.t3 AS DOUBLE) END, 0.0) AS dup_trigram_frac
+      FROM documents d LEFT JOIN s USING (doc_id)
+    )
+    SELECT doc_id, top_bigram_frac, dup_trigram_frac,
+           top_bigram_frac > 0.10 OR dup_trigram_frac > 0.50 AS repetitive
+    FROM r
+    """,
+)
+def repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (top-bigram / duplicate-trigram
+    shares) per document — curation gate for boilerplate-heavy docs."""
+    return curation.repetition_score(load_table(spark, sf_dir, "documents"))
+
+
+_EVAL_SOURCE = "src19"
+
+
+@query(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, source, gram FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                           || w[i+3] || ' ' || w[i+4])) AS gram
+        FROM sp WHERE len(w) >= 5
+      )
+    ),
+    e AS (SELECT DISTINCT gram FROM g WHERE source = '{_EVAL_SOURCE}'),
+    sh AS (
+      SELECT g.doc_id, COUNT(*) AS n
+      FROM g JOIN e USING (gram) WHERE g.source <> '{_EVAL_SOURCE}'
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, d.source,
+           COALESCE(sh.n, 0) AS n_shared_ngrams,
+           COALESCE(sh.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN sh USING (doc_id)
+    WHERE d.source <> '{_EVAL_SOURCE}'
+    """,
+)
+def decontamination_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style eval-set decontamination: flag training docs sharing
+    any word-5-gram with the held-out source's documents."""
+    return curation.decontamination_overlap(
+        load_table(spark, sf_dir, "documents"), _EVAL_SOURCE
+    )
+
+
+@query(
+    "source_mix_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens,
+             COUNT(*) AS n_sources
+      FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+           CAST(1 AS DOUBLE) / n_sources AS target_share,
+           (CAST(1 AS DOUBLE) / n_sources)
+             / (CAST(n_tokens AS DOUBLE) / total_tokens) AS sample_weight,
+           LEAST((CAST(1 AS DOUBLE) / n_sources)
+             / (CAST(n_tokens AS DOUBLE) / total_tokens), 5.0)
+             AS capped_weight
+    FROM s CROSS JOIN t
+    """,
+)
+def source_mix_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token shares and capped sampling weights for a uniform
+    training mix — the reweighting plan a data pipeline feeds its
+    sampler."""
+    return curation.source_mix_weights(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the driver's correctness window.
 #
@@ -2788,6 +2907,10 @@ def source_language_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW_ORDER = [
+    # -- new this round (no correctness row yet) ---------------------------
+    "repetition_filter",
+    "decontamination_overlap",
+    "source_mix_weights",
     # -- never driver-checked (31) -----------------------------------------
     "q4_order_priority",
     "q10_returned_items",

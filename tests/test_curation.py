@@ -58,3 +58,61 @@ def test_pii_redact_counts_and_text(spark):
     assert r.n_email == 1 and r.n_phone == 1 and r.total_redactions == 2
     assert "<EMAIL>" in r.redacted_text and "<PHONE>" in r.redacted_text
     assert "bob@x.org" not in r.redacted_text
+
+
+def test_repetition_score_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: "a b"x3, "b a"x2 -> top 3/5
+            (2, "a b c d e f"),      # all grams unique
+            (3, "x"),                # too short for any gram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curation.repetition_score(docs).collect()}
+    assert abs(rows[1].top_bigram_frac - 3 / 5) < 1e-12
+    # trigrams of doc1: "a b a","b a b","a b a","b a b" -> all repeated
+    assert abs(rows[1].dup_trigram_frac - 1.0) < 1e-12
+    assert rows[1].repetitive
+    assert rows[2].top_bigram_frac == 1 / 5  # unique bigrams, max cnt 1 of 5
+    assert rows[2].dup_trigram_frac == 0.0
+    assert not rows[2].repetitive or rows[2].top_bigram_frac > 0.10
+    assert rows[3].top_bigram_frac == 0.0 and not rows[3].repetitive
+
+
+def test_decontamination_overlap_flags_shared_ngrams(spark):
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, "eval", f"{shared} tail words here"),
+            (2, "train", f"prefix {shared} suffix"),
+            (3, "train", "totally different words with no overlap at all"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in curation.decontamination_overlap(docs, "eval").collect()
+    }
+    assert set(out) == {2, 3}
+    assert out[2].contaminated and out[2].n_shared_ngrams >= 1
+    assert not out[3].contaminated and out[3].n_shared_ngrams == 0
+
+
+def test_source_mix_weights_uniform_target(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "w " * 30),
+            (2, "a", "w " * 30),
+            (3, "b", "w " * 20),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in curation.source_mix_weights(docs).collect()}
+    # "w " * 30 -> split on space gives 30 'w' tokens + 1 trailing empty
+    total = out["a"].n_tokens + out["b"].n_tokens
+    assert abs(out["a"].token_share - out["a"].n_tokens / total) < 1e-12
+    assert abs(out["a"].target_share - 0.5) < 1e-12
+    # source below target share gets upweighted, above gets downweighted
+    assert out["b"].sample_weight > 1.0 > out["a"].sample_weight
+    assert out["b"].capped_weight <= curation.MIX_WEIGHT_CAP
