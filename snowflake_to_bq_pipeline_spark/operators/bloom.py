@@ -86,13 +86,24 @@ def apply_bloom(
     """Filter ``probe`` with the bitmap: TRUE unless some hash position's
     bit is unset.
 
-    The bitmap rides along as a literal array column (shipped with the
+    The bitmap rides along as a constant array column (shipped with the
     plan, no join); each probe is element_at + shift + mask — pure JVM
     expressions inside whole-stage codegen. Column-valued shifts are
     SQL-only, so the probe positions land in temp columns first.
+
+    The bitmap crosses the Python/JVM boundary as ONE json string decoded
+    by ``from_json`` (which Catalyst constant-folds to an array literal):
+    ``F.lit(list)`` transfers element-by-element over py4j and measured
+    ~7s for a 16K-word bitmap, while the json round-trip is ~10ms and the
+    fold keeps per-row evaluation free.
     """
+    import json as _json
+
     n_bits = len(bitmap) * 64
-    out = probe.withColumn("__bloom", F.lit(bitmap))
+    out = probe.withColumn(
+        "__bloom",
+        F.from_json(F.lit(_json.dumps(bitmap)), "array<bigint>"),
+    )
     cond = F.lit(True)
     for i, p in enumerate(_positions(F.col(probe_key), n_bits, n_hashes)):
         out = out.withColumn(f"__bp{i}", p)

@@ -29,31 +29,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+from ._cache import swap_cache as _swap_cache
 
 N_PERMS = 32
 N_BANDS = 8  # 4 rows per band
 SIMHASH_CHUNKS = 8
-
-# Handles for the one persisted intermediate each near-dup query keeps
-# alive while its plan executes. Round-2 bench showed the "exchange reuse
-# dedups the repeated shingle shuffle" assumption is FALSE in the executed
-# plan (0 ReusedExchange nodes; the explode+dedup subtree ran 5x and
-# wall-time swung 2-8s run to run). A persisted hashed-shingle table is
-# ~16 bytes/row — a few percent of input size — and MEMORY_AND_DISK spills
-# rather than OOMs at scale. The previous handle is released on the next
-# call, so a long-lived session holds at most one table per operator.
-_LIVE_CACHE: dict[str, DataFrame] = {}
-
-
-def _swap_cache(key: str, df: DataFrame) -> DataFrame:
-    """Persist df, releasing the previous persisted handle for this key."""
-    prev = _LIVE_CACHE.get(key)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE_CACHE[key] = df
-    return df
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:

@@ -271,10 +271,16 @@ def tfidf_doc_similarity(
     rank_w = Window.partitionBy("doc_id").orderBy(
         F.col("w").desc(), F.col("token")
     )
-    topk = (
+    # Persisted: norms and both self-join sides consume this chain
+    # (explode -> counts -> idf joins -> window rank), and the executed
+    # plan does not reuse the exchange across them. k rows per doc.
+    from ._cache import swap_cache
+
+    topk = swap_cache(
+        "tfidf_topk",
         scored.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
-        .select("doc_id", "token", "w")
+        .select("doc_id", "token", "w"),
     )
     norms = topk.groupBy("doc_id").agg(
         F.sqrt(
