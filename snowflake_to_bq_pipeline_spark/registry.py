@@ -2534,8 +2534,8 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, source, nt AS n_tokens,
-           start // {curation.PACK_BUDGET} AS pack_id,
-           start % {curation.PACK_BUDGET} AS offset_in_pack
+           CAST(start // {curation.PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(start % {curation.PACK_BUDGET} AS BIGINT) AS offset_in_pack
     FROM c
     """,
 )
@@ -2680,10 +2680,11 @@ def error_window_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     ),
     packed AS (
-      SELECT source, start // {curation.PACK_BUDGET} AS pack_id, nt FROM c
+      SELECT source, CAST(start // {curation.PACK_BUDGET} AS BIGINT) AS pack_id,
+             nt FROM c
     )
     SELECT source, pack_id, COUNT(*) AS n_docs,
-           SUM(nt) AS tokens_started,
+           CAST(SUM(nt) AS BIGINT) AS tokens_started,
            ROUND(CAST(SUM(nt) AS DOUBLE) / {curation.PACK_BUDGET}, 4)
              AS fill_ratio
     FROM packed GROUP BY source, pack_id
@@ -2710,7 +2711,7 @@ def pack_fill_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT source, lang, COUNT(*) AS n_docs,
-             SUM(CAST(n_chars AS BIGINT)) AS chars_total
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_total
       FROM documents GROUP BY source, lang
     ),
     t AS (SELECT source, SUM(n_docs) AS src_docs FROM c GROUP BY source),
