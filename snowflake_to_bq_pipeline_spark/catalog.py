@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -33,9 +33,13 @@ DIMENSIONS = frozenset({"region", "nation", "customer", "supplier", "part"})
 
 
 # Columns written as parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-# natively. We read them as raw nanos (legacy conf) and truncate to
-# microsecond timestamps — exactly what DuckDB does when it reads the same
-# files, so oracle comparisons stay bit-identical.
+# natively. Depending on how a given testdata generation wrote the files,
+# these arrive as raw nanos (legacy conf), as TIMESTAMP_NTZ (parquet
+# timestamp[us] with isAdjustedToUTC=false), or already as TIMESTAMP_LTZ.
+# All three normalize to microsecond TIMESTAMP_LTZ under the UTC session
+# timezone — the same wall-clock values DuckDB sees in its naive TIMESTAMP,
+# so oracle comparisons stay bit-identical and downstream epoch math
+# (``unix_micros``) always sees the type it requires.
 NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -47,8 +51,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in nano_cols:
-        if isinstance(df.schema[c].dataType, LongType):
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # Wall-clock-exact under the UTC session timezone.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -164,6 +164,51 @@ TOP_BIGRAM_FRAC_MAX = 0.10
 DUP_TRIGRAM_FRAC_MAX = 0.50
 
 
+def _run_length_stats(sorted_grams: Column) -> Column:
+    """Single-pass run-length scan over a SORTED gram array.
+
+    Returns ``struct(maxrun bigint, dup bigint)`` where ``maxrun`` is the
+    longest run (= count of the most frequent gram) and ``dup`` is the
+    total length of all runs longer than 1 (= occurrences of grams that
+    appear more than once). Pure row-local Catalyst ``aggregate`` — no
+    explode, no shuffle; this is what makes :func:`repetition_score` a
+    zero-exchange scan.
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+        F.lit(0).cast("bigint").alias("dup"),
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        same = acc["prev"].eqNullSafe(e)
+        run = F.when(same, acc["run"] + F.lit(1)).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        # When a run closes (gram changes), bank it into dup if it repeated.
+        closed = F.when(
+            ~same & (acc["run"] > 1), acc["run"]
+        ).otherwise(F.lit(0).cast("bigint"))
+        return F.struct(
+            e.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["dup"] + closed).alias("dup"),
+        )
+
+    def finish(acc: Column) -> Column:
+        tail = F.when(acc["run"] > 1, acc["run"]).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        return F.struct(
+            acc["best"].alias("maxrun"),
+            (acc["dup"] + tail).alias("dup"),
+        )
+
+    return F.aggregate(sorted_grams, init, step, finish)
+
+
 def repetition_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc repetition metrics: top-bigram share and duplicate-trigram share.
 
@@ -174,69 +219,52 @@ def repetition_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
     (``dup_trigram_frac`` = occurrences of 3-grams seen more than once /
     total 3-gram occurrences).
 
-    One explode produces both gram sizes tagged with ``k`` (so the corpus
-    is scanned once), one (doc_id, k, gram) count, one per-doc conditional
-    rollup, then a doc_id equi-join back to documents keeps docs too short
-    to form a gram (ratios 0). Every shuffle key is bounded-width; no
-    all-pairs path. All ratios are exact integer divisions evaluated
-    identically by any IEEE engine — no rounding needed for oracle parity.
+    Both metrics are functions of a single row's text, so the plan is a
+    ZERO-SHUFFLE scan: build each row's gram array, ``array_sort`` it, and
+    run-length-scan it with a row-local Catalyst ``aggregate``
+    (:func:`_run_length_stats`) — the longest run in the sorted array IS
+    the top gram's count, and the summed length of runs > 1 IS the
+    duplicated-gram occurrence total. At 100 TB this replaces a
+    corpus-sized (doc_id, k, gram) hash shuffle (~2x token count rows)
+    with per-row O(g log g) compute inside the scan stage. Docs too short
+    to form a gram yield empty arrays (ratios 0) — no join needed. All
+    ratios are exact integer divisions evaluated identically by any IEEE
+    engine — no rounding needed for oracle parity.
     """
     w = F.split(F.col(text_col), " ")
 
-    def gram_structs(k: int):
-        empty = F.array().cast("array<struct<k:int,gram:string>>")
+    def grams(k: int) -> Column:
+        empty = F.array().cast("array<string>")
         return F.when(
             F.array_size(w) >= k,
             F.transform(
                 F.sequence(F.lit(1), F.array_size(w) - (k - 1)),
-                lambda i: F.struct(
-                    F.lit(k).alias("k"),
-                    F.concat_ws(
-                        " ", *[F.element_at(w, i + j) for j in range(k)]
-                    ).alias("gram"),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(k)]
                 ),
             ),
         ).otherwise(empty)
 
-    counts = (
-        documents.select(
-            "doc_id",
-            F.explode(F.concat(gram_structs(2), gram_structs(3))).alias("g"),
-        )
-        .select("doc_id", F.col("g.k").alias("k"), F.col("g.gram").alias("gram"))
-        .groupBy("doc_id", "k", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    stats = counts.groupBy("doc_id").agg(
-        F.max(F.when(F.col("k") == 2, F.col("cnt"))).alias("__m2"),
-        F.sum(F.when(F.col("k") == 2, F.col("cnt"))).alias("__t2"),
-        F.sum(
-            F.when((F.col("k") == 3) & (F.col("cnt") > 1), F.col("cnt"))
-        ).alias("__d3"),
-        F.sum(F.when(F.col("k") == 3, F.col("cnt"))).alias("__t3"),
-    )
+    g2 = F.array_sort(grams(2))
+    g3 = F.array_sort(grams(3))
+    s2 = _run_length_stats(g2)
+    s3 = _run_length_stats(g3)
+    t2 = F.array_size(g2).cast("bigint")
+    t3 = F.array_size(g3).cast("bigint")
     top_bigram = F.when(
-        F.col("__t2") > 0,
-        F.col("__m2").cast("double") / F.col("__t2").cast("double"),
+        t2 > 0, s2["maxrun"].cast("double") / t2.cast("double")
     ).otherwise(F.lit(0.0))
     dup_trigram = F.when(
-        F.col("__t3") > 0,
-        F.coalesce(F.col("__d3"), F.lit(0)).cast("double")
-        / F.col("__t3").cast("double"),
+        t3 > 0, s3["dup"].cast("double") / t3.cast("double")
     ).otherwise(F.lit(0.0))
-    return (
-        documents.select("doc_id")
-        .join(stats, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(top_bigram, F.lit(0.0)).alias("top_bigram_frac"),
-            F.coalesce(dup_trigram, F.lit(0.0)).alias("dup_trigram_frac"),
-        )
-        .withColumn(
-            "repetitive",
-            (F.col("top_bigram_frac") > TOP_BIGRAM_FRAC_MAX)
-            | (F.col("dup_trigram_frac") > DUP_TRIGRAM_FRAC_MAX),
-        )
+    return documents.select(
+        "doc_id",
+        top_bigram.alias("top_bigram_frac"),
+        dup_trigram.alias("dup_trigram_frac"),
+    ).withColumn(
+        "repetitive",
+        (F.col("top_bigram_frac") > TOP_BIGRAM_FRAC_MAX)
+        | (F.col("dup_trigram_frac") > DUP_TRIGRAM_FRAC_MAX),
     )
 
 

@@ -17,38 +17,35 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # raw nanos (parquet TIMESTAMP(NANOS))
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from pyspark.sql.types import LongType, TimestampNTZType
 
 WINDOW = "5 minutes"
 WATERMARK = "10 minutes"
 
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """File-source stream over events parquet files (nanos → µs ts)."""
+    """File-source stream over events parquet files, ``ts`` → µs TIMESTAMP.
+
+    Streaming file sources need an explicit schema, but how ``ts`` is
+    physically stored varies by generation (raw TIMESTAMP(NANOS) read as
+    long under the legacy conf, or timestamp[us] read as TIMESTAMP_NTZ),
+    so we probe the on-disk schema with a batch read (metadata only — no
+    data scan) and normalize to TIMESTAMP_LTZ exactly like
+    ``catalog.load_table``.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
         .parquet(source_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts_stream(events: DataFrame) -> DataFrame:
