@@ -13,15 +13,34 @@ edge key), then labels are compressed through one extra self-join
 (label := label(label)), doubling the collapsed distance per round. Near-
 dup clusters have tiny diameters, so ``ITERS`` rounds (distance ≥ 2^ITERS)
 converge with huge margin; the converged labeling is the exact component
-minimum — engine-independent and therefore oracle-checkable. Lineage is
-cut per round with ``localCheckpoint`` (exponential plan growth
-otherwise); on a real cluster use a reliable checkpoint dir instead.
+minimum — engine-independent and therefore oracle-checkable. Lineage must
+be cut per round (exponential plan growth otherwise); :func:`_cut_lineage`
+picks RELIABLE checkpointing automatically whenever the session has a
+checkpoint dir configured (``spark.sparkContext.setCheckpointDir``) —
+``localCheckpoint`` blocks are executor-local and one lost executor on a
+1000-node run kills the whole job's lineage — and falls back to
+``localCheckpoint`` only when no dir is set (local/dev sessions).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Truncate ``df``'s lineage: reliable checkpoint when the session has
+    a checkpoint dir (fault-tolerant — required on real clusters), else
+    ``localCheckpoint`` (fast, executor-local; dev/local only).
+
+    Reliable checkpoints are eager (they materialize to the checkpoint
+    dir); the local fallback stays lazy so small iterative runs don't pay
+    extra jobs.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=False)
 
 #: Blind warm-start rounds. Correctness does NOT depend on this constant —
 #: the verified loop below propagates until a checked fixed point — so it
@@ -50,15 +69,13 @@ def _propagate(edges: DataFrame, labels: DataFrame) -> DataFrame:
     jump = labels.select(
         F.col("node").alias("__jnode"), F.col("label").alias("__jlabel")
     )
-    return (
-        labels.join(jump, labels.label == F.col("__jnode"), "left")
-        .select(
+    return _cut_lineage(
+        labels.join(jump, labels.label == F.col("__jnode"), "left").select(
             "node",
             F.least(
                 F.col("label"), F.coalesce(F.col("__jlabel"), F.col("label"))
             ).alias("label"),
         )
-        .localCheckpoint(eager=False)
     )
 
 
@@ -81,9 +98,11 @@ def connected_components(
     The check counts over the (tiny) label set, not the raw corpus.
     """
     fwd = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    edges = _cut_lineage(
+        fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -102,7 +121,7 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("__nbr"))
         )
-        nxt = (
+        nxt = _cut_lineage(
             labels.withColumnRenamed("label", "__old")
             .join(nbr_min, "node", "left")
             .select(
@@ -112,7 +131,6 @@ def connected_components(
                     F.col("__old"), F.coalesce(F.col("__nbr"), F.col("__old"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
         )
         moved = nxt.filter(F.col("label") != F.col("__old")).count()
         if moved == 0:

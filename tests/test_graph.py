@@ -51,3 +51,25 @@ def test_edge_direction_irrelevant(spark):
     assert _labels(graph.connected_components(a)) == _labels(
         graph.connected_components(b)
     )
+
+
+def test_reliable_checkpoint_used_when_dir_set(spark, tmp_path):
+    """With a checkpoint dir configured, lineage cuts must go through the
+    fault-tolerant reliable checkpoint, not executor-local blocks."""
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+        )
+        labels = _labels(graph.connected_components(pairs))
+        assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        import glob as _glob
+        assert _glob.glob(ckpt + "/*/*"), "no reliable checkpoint written"
+    finally:
+        # Other tests in the shared session expect the local fallback.
+        setter = getattr(sc._jsc.sc(), "checkpointDir_$eq")
+        setter(sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
