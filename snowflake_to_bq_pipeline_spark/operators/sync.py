@@ -196,3 +196,64 @@ def merge_partial_aggs(
             (F.coalesce(lc, F.lit(0)) + F.coalesce(rc, F.lit(0))).alias(c)
         )
     return merged.select(*out_cols)
+
+
+class TransientPageError(RuntimeError):
+    """A page attempt failed in a retryable way (timeout/churn)."""
+
+
+def paginated_extract_resilient(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    page_size: int,
+    run_page,
+    min_page_size: int = 1,
+    shrink: int = 2,
+) -> list[tuple[int, int, int]]:
+    """Drive a whole paged extract with deterministic page-size degradation.
+
+    The reference's paginated daily sync survives warehouse timeouts by
+    hand-picking ever-smaller batch sizes per pipeline
+    (snowflake_bq_sync_daily Time Details/main_paginated.py:235 "Increased
+    batch size since we're processing smaller date ranges", main.py:133
+    "Use a smaller batch size if memory is still a concern") — the ladder
+    is a human redeploy loop. Here it is mechanical: each page slice is
+    handed to ``run_page(page_df, offset, size)``; on
+    :class:`TransientPageError` the SAME offset retries with the size
+    divided by ``shrink``, down to ``min_page_size``, then the error
+    propagates (non-transient failure). Successful pages advance the
+    offset by the size that actually succeeded, so the sequence is
+    deterministic for a given failure pattern — replayable and testable.
+
+    Returns the executed ladder as ``[(offset, size, attempts), ...]``.
+
+    The row-number ordering is computed ONCE over the stable total order
+    (one window over one shuffle) and every page is a filter on it —
+    pages never re-sort the table. At warehouse scale prefer keyset
+    pagination on the order key (range-pruned scans); this operator's
+    shape (offset cursor + degrade-on-failure) is the same either way.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    rn = df.withColumn("__rn", F.row_number().over(w))
+    total = df.count()
+    ladder: list[tuple[int, int, int]] = []
+    offset, size = 0, page_size
+    while offset < total:
+        attempts = 0
+        while True:
+            attempts += 1
+            page = rn.filter(
+                (F.col("__rn") > offset) & (F.col("__rn") <= offset + size)
+            ).drop("__rn")
+            try:
+                run_page(page, offset, size)
+                break
+            except TransientPageError:
+                if size <= min_page_size:
+                    raise
+                size = max(size // shrink, min_page_size)
+        ladder.append((offset, size, attempts))
+        offset += size
+    return ladder

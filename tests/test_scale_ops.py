@@ -71,3 +71,51 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     # Lloyd-trained centroids, probing 6/16 lists: near-orthogonal data is
     # the hard case and still clears 0.9 (untrained seeds sat near 0.2).
     assert recall >= 0.9, f"IVF recall collapsed: {recall}"
+
+
+def test_paginated_resilient_ladder_and_equality(spark, sf_dir):
+    """Backoff ladder: page sizes halve on simulated timeouts, the same
+    offset is retried, and the union of delivered pages equals the plain
+    extract exactly (no row lost or duplicated across the degradation)."""
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.operators import sync
+
+    orders = load_table(spark, sf_dir, "orders").limit(700)
+    got = []
+
+    def run_page(page_df, offset, size):
+        # Sizes above 200 "time out" — like the reference's warehouse
+        # timeouts on too-large LIMIT/OFFSET batches.
+        if size > 200:
+            raise sync.TransientPageError(f"timeout at size {size}")
+        got.extend(r.o_orderkey for r in page_df.collect())
+
+    ladder = sync.paginated_extract_resilient(
+        orders, ["o_orderkey"], page_size=800, run_page=run_page
+    )
+    # 800 -> 400 -> 200 on the first page (3 attempts), then stays at 200;
+    # the final page is short (100 rows) but the cursor size is unchanged.
+    assert ladder[0] == (0, 200, 3)
+    assert [l[1] for l in ladder] == [200, 200, 200, 200]
+    assert [l[0] for l in ladder] == [0, 200, 400, 600]
+    assert all(l[2] == 1 for l in ladder[1:])
+    want = [r.o_orderkey for r in orders.orderBy("o_orderkey").collect()]
+    assert got == want
+
+
+def test_paginated_resilient_raises_at_floor(spark, sf_dir):
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.operators import sync
+
+    orders = load_table(spark, sf_dir, "orders").limit(10)
+
+    def always_fail(page_df, offset, size):
+        raise sync.TransientPageError("hard down")
+
+    import pytest as _pytest
+
+    with _pytest.raises(sync.TransientPageError):
+        sync.paginated_extract_resilient(
+            orders, ["o_orderkey"], page_size=8, run_page=always_fail,
+            min_page_size=2,
+        )
