@@ -165,3 +165,61 @@ def dup_key_audit(df: DataFrame, key_cols: list[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )
+
+
+def column_drift_profile(
+    source: DataFrame, target: DataFrame, num_cols: Sequence[str]
+) -> DataFrame:
+    """Per-column source-vs-target VALUE drift: min/max/sum/null-count.
+
+    The reference's validation compares values, not just counts
+    (validate_snowflake_data.py side-by-side queries,
+    DATA_COMPARISON_SETUP.md) — a row-count match can hide silently
+    corrupted or truncated columns. One aggregate pass per side computes
+    every column's metrics (no per-column jobs), each 1-row result
+    unpivots via ``stack``, and the two tiny long-format frames full-outer
+    join on column name. Two scans total regardless of column count;
+    everything after the aggregates is O(columns).
+
+    Sums follow the money discipline (exact decimal sum → round 2 →
+    double) so the drift verdict is engine- and partitioning-independent;
+    min/max/nulls are exact. ``drift`` flags any metric difference.
+    """
+    from ..functions import DEC, money
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias(f"{tag}_rows")]
+        for c in num_cols:
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nu_{c}"),
+                F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+                money(F.sum(F.col(c).cast(DEC))).alias(f"__sm_{c}"),
+            ]
+        one = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', __nu_{c}, __mn_{c}, __mx_{c}, __sm_{c}" for c in num_cols
+        )
+        return one.selectExpr(
+            f"stack({len(num_cols)}, {stack_args}) AS "
+            f"(column_name, {tag}_nulls, {tag}_min, {tag}_max, {tag}_sum)",
+            f"{tag}_rows",
+        )
+
+    s = side(source, "src")
+    t = side(target, "tgt")
+    joined = s.join(t, "column_name", "full_outer")
+    drift = (
+        (F.col("src_rows") != F.col("tgt_rows"))
+        | (F.col("src_nulls") != F.col("tgt_nulls"))
+        | ~F.col("src_min").eqNullSafe(F.col("tgt_min"))
+        | ~F.col("src_max").eqNullSafe(F.col("tgt_max"))
+        | ~F.col("src_sum").eqNullSafe(F.col("tgt_sum"))
+    )
+    return joined.select(
+        "column_name",
+        "src_rows", "tgt_rows", "src_nulls", "tgt_nulls",
+        "src_min", "tgt_min", "src_max", "tgt_max", "src_sum", "tgt_sum",
+        F.round(F.col("src_sum") - F.col("tgt_sum"), 2).alias("sum_delta"),
+        drift.alias("drift"),
+    )

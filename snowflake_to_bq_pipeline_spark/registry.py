@@ -1451,6 +1451,114 @@ def chunked_backfill_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "column_value_drift",
+    oracle="""
+    WITH c AS (SELECT MAX(o_orderdate) - INTERVAL 30 DAY AS cut FROM orders),
+    t AS (SELECT o.* FROM orders o CROSS JOIN c WHERE o.o_orderdate < cut),
+    sp AS (
+      SELECT COUNT(*) AS rows,
+        CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu1,
+        MIN(CAST(o_totalprice AS DOUBLE)) AS mn1,
+        MAX(CAST(o_totalprice AS DOUBLE)) AS mx1,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sm1,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu2,
+        MIN(CAST(o_custkey AS DOUBLE)) AS mn2,
+        MAX(CAST(o_custkey AS DOUBLE)) AS mx2,
+        CAST(ROUND(SUM(CAST(o_custkey AS DECIMAL(18,6))), 2) AS DOUBLE) AS sm2
+      FROM orders
+    ),
+    tp AS (
+      SELECT COUNT(*) AS rows,
+        CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu1,
+        MIN(CAST(o_totalprice AS DOUBLE)) AS mn1,
+        MAX(CAST(o_totalprice AS DOUBLE)) AS mx1,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sm1,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu2,
+        MIN(CAST(o_custkey AS DOUBLE)) AS mn2,
+        MAX(CAST(o_custkey AS DOUBLE)) AS mx2,
+        CAST(ROUND(SUM(CAST(o_custkey AS DECIMAL(18,6))), 2) AS DOUBLE) AS sm2
+      FROM t
+    ),
+    u AS (
+      SELECT 'o_totalprice' AS column_name,
+             sp.rows AS src_rows, tp.rows AS tgt_rows,
+             sp.nu1 AS src_nulls, tp.nu1 AS tgt_nulls,
+             sp.mn1 AS src_min, tp.mn1 AS tgt_min,
+             sp.mx1 AS src_max, tp.mx1 AS tgt_max,
+             sp.sm1 AS src_sum, tp.sm1 AS tgt_sum
+      FROM sp CROSS JOIN tp
+      UNION ALL
+      SELECT 'o_custkey',
+             sp.rows, tp.rows, sp.nu2, tp.nu2, sp.mn2, tp.mn2,
+             sp.mx2, tp.mx2, sp.sm2, tp.sm2
+      FROM sp CROSS JOIN tp
+    )
+    SELECT *,
+           ROUND(src_sum - tgt_sum, 2) AS sum_delta,
+           (src_rows IS DISTINCT FROM tgt_rows
+            OR src_nulls IS DISTINCT FROM tgt_nulls
+            OR src_min IS DISTINCT FROM tgt_min
+            OR src_max IS DISTINCT FROM tgt_max
+            OR src_sum IS DISTINCT FROM tgt_sum) AS drift
+    FROM u
+    """,
+)
+def column_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column source-vs-target value drift (ref:
+    validate_snowflake_data.py value comparisons): the target is the
+    incremental-lag scenario — missing the trailing 30 days."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = orders.agg(
+        F.timestamp_add("DAY", F.lit(-30), F.max("o_orderdate")).alias("__c")
+    )
+    target = (
+        orders.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") < F.col("__c"))
+        .drop("__c")
+    )
+    return quality.column_drift_profile(
+        orders, target, ["o_totalprice", "o_custkey"]
+    )
+
+
+@query(
+    "backfill_progress",
+    oracle="""
+    WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS mind FROM orders),
+    w AS (
+      SELECT CAST(FLOOR(date_diff('day', mind, CAST(o_orderdate AS DATE))
+                        / 7.0) AS BIGINT) AS chunk_id,
+             mind
+      FROM orders CROSS JOIN b
+    ),
+    p AS (
+      SELECT chunk_id,
+             MIN(mind) + CAST(chunk_id * 7 AS INTEGER) AS chunk_start,
+             MIN(mind) + CAST((chunk_id + 1) * 7 AS INTEGER) AS chunk_end,
+             COUNT(*) AS row_count
+      FROM w GROUP BY chunk_id
+    )
+    SELECT chunk_id, chunk_start, chunk_end, row_count,
+           CAST(SUM(row_count) OVER (ORDER BY chunk_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rows_cum,
+           ROUND(CAST(SUM(row_count) OVER (ORDER BY chunk_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(SUM(row_count) OVER () AS DOUBLE), 6) AS coverage_frac
+    FROM p
+    """,
+)
+def backfill_progress_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-advance view of the progressive backfill — the plan plus
+    cumulative coverage share (ref: main_progressive.py tracker table +
+    get_progressive_date_range weekly cycle, derived in one pass)."""
+    from .operators import backfill
+
+    return backfill.backfill_progress(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", chunk_days=7
+    )
+
+
+@query(
     "q6_forecast_revenue",
     oracle=f"""
     SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))),
@@ -2908,70 +3016,37 @@ def source_mix_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW_ORDER = [
-    # -- new this round (no correctness row yet) ---------------------------
-    "repetition_filter",
-    "decontamination_overlap",
-    "source_mix_weights",
-    # -- never driver-checked (31) -----------------------------------------
-    "q4_order_priority",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "dup_key_audit",
-    "embedding_doc_dedup",
-    "user_activity_trend",
-    "asof_join_last_purchase",
-    "tfidf_top_terms",
-    "q7_nation_volume",
-    "q19_bracket_revenue",
-    "q12_priority_shipping",
-    "q15_top_supplier",
-    "q13_order_distribution",
-    "q22_idle_accounts",
-    "q8_market_share",
-    "q9_product_profit",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "dedup_clusters",
-    "pii_redaction",
-    "quality_filter_funnel",
-    "stratified_sample_mix",
-    "sequence_packing",
-    "tfidf_doc_similarity",
-    "error_window_events",
-    "pack_fill_summary",
-    "source_language_mix",
-    # -- flagship + touched-this-round -------------------------------------
-    "individual_budget_tracking",
-    "pipeline_alerts",
-    "volume_anomaly",
-    "volume_anomaly_dow",
-    "bloom_filtered_entries",
-    # -- stable passers filling the window to 50 ---------------------------
-    "budget_vs_actual",
-    "work_item_enriched",
-    "monthly_hours_pivot",
-    "utilization_rollup",
-    "client_budget_rollup",
-    "contributor_utilization_rollup",
-    "view_variance_detection",
-    "sales_rollup_sets",
-    "event_sessions",
-    "user_running_totals",
-    "events_windowed_counts",
+    # -- r4 window: slots 1-32 = every oracle query WITHOUT a fresh r3
+    # correctness row (the r2-only set VERDICT r3 item 9 asked to rotate
+    # back in, plus the two queries new this round); slots 33-35 = the
+    # three oracles whose HUGEINT casts were fixed (need their first green
+    # hash); slots 36-50 = queries whose engine code changed this round
+    # (repetition rewrite, micros money sums, events-ts normalization) and
+    # need a fresh hard signal. 51+ = r3-green stable passers, then the
+    # six rows-only ops (no hash verdict possible) last.
+    # ------------------------------------------------------------------
+    "backfill_progress",
+    "column_value_drift",
+    "full_sync_snapshot",
+    "incremental_sync_window",
+    "merge_upsert",
+    "orphaned_records",
+    "missing_records",
+    "dedup_latest_record",
+    "sync_date_dedup",
+    "paginated_extract",
+    "chunked_backfill_plan",
+    "cdc_fold_snapshot",
+    "incremental_agg_maintenance",
+    "row_count_by_day",
+    "data_quality_metrics",
+    "freshness_check",
+    "row_count_compare",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_supplier_volume",
     "q6_forecast_revenue",
     "q18_large_orders",
-    # -- beyond the window: stable passers ---------------------------------
-    "freshness_check",
-    "row_count_compare",
-    "row_count_by_day",
-    "data_quality_metrics",
     "dedup_exact",
     "doc_fingerprint",
     "text_stats",
@@ -2982,18 +3057,60 @@ _WINDOW_ORDER = [
     "embedding_dup_pairs",
     "vocab_top_k",
     "doc_length_histogram",
-    "paginated_extract",
-    "chunked_backfill_plan",
-    "cdc_fold_snapshot",
-    "incremental_agg_maintenance",
-    "full_sync_snapshot",
-    "incremental_sync_window",
-    "merge_upsert",
-    "orphaned_records",
-    "missing_records",
-    "dedup_latest_record",
-    "sync_date_dedup",
-    # -- rows-only by design (no oracle possible) --------------------------
+    # -- oracle-cast fixes (driver-red in r3, engine verified correct) --
+    "sequence_packing",
+    "pack_fill_summary",
+    "source_language_mix",
+    # -- engine code changed this round --------------------------------
+    "repetition_filter",
+    "individual_budget_tracking",
+    "budget_vs_actual",
+    "error_window_events",
+    "event_sessions",
+    "user_running_totals",
+    "user_activity_trend",
+    "events_windowed_counts",
+    "pipeline_alerts",
+    "volume_anomaly",
+    "volume_anomaly_dow",
+    "dup_key_audit",
+    "dedup_clusters",
+    "contributor_utilization_rollup",
+    "client_budget_rollup",
+    # -- beyond the window: r3-green stable passers --------------------
+    "asof_join_last_purchase",
+    "bloom_filtered_entries",
+    "decontamination_overlap",
+    "embedding_doc_dedup",
+    "monthly_hours_pivot",
+    "pii_redaction",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_bracket_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_accounts",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_filter_funnel",
+    "sales_rollup_sets",
+    "source_mix_weights",
+    "stratified_sample_mix",
+    "tfidf_doc_similarity",
+    "tfidf_top_terms",
+    "utilization_rollup",
+    "view_variance_detection",
+    "work_item_enriched",
+    # -- rows-only by design (no oracle possible) ----------------------
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",
