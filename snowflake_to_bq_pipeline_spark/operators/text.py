@@ -102,6 +102,37 @@ def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: BPE-style pretokenizer, simplified from the GPT-2 pattern: contraction
+#: suffixes, space-prefixed letter runs, space-prefixed digit runs,
+#: space-prefixed punctuation runs, residual whitespace. The original's
+#: trailing-whitespace lookahead is dropped deliberately — lookaround is
+#: not RE2-expressible, and this must evaluate identically under Java
+#: regex (Spark) and RE2 (the DuckDB oracle).
+BPE_RE = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+
+def bpe_token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counts under the BPE-ish pretokenizer vs plain whitespace.
+
+    Training-data budgeting needs token counts under the model's
+    tokenizer family, not word counts — the pretokenizer segment count is
+    the standard cheap proxy (each segment maps to >= 1 BPE merge-table
+    token, and the ratio to whitespace words calibrates corpus token
+    budgets). One scan, all JVM-side regexp — no shuffle, no Python.
+    """
+    t = F.col(text_col)
+    n_bpe = F.array_size(F.regexp_extract_all(t, F.lit(BPE_RE), 0))
+    n_ws = F.array_size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0))
+    return documents.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.when(
+            n_ws > 0, F.round(n_bpe.cast("double") / n_ws, 4)
+        ).otherwise(F.lit(0.0)).alias("bpe_per_word"),
+    )
+
+
 def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """md5 fingerprint of whitespace-normalized lowercased text."""
     norm = F.trim(

@@ -975,6 +975,34 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_count_bpe",
+    # The pretokenizer pattern embeds a single quote (contractions) —
+    # doubled for the SQL literal.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{text.BPE_RE.replace("'", "''")}')) AS BIGINT)
+               AS n_bpe_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+               AS n_ws_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+           CASE WHEN n_ws_tokens > 0
+                THEN ROUND(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 4)
+                ELSE 0.0
+           END AS bpe_per_word
+    FROM t
+    """,
+)
+def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts under a BPE-ish pretokenizer (GPT-2-style segments,
+    lookahead-free) vs whitespace words — the token-budget calibration
+    view a training-data pipeline runs before sampling."""
+    return text.bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "text_quality_score",
     oracle=r"""
     WITH t AS (
@@ -3016,7 +3044,7 @@ def source_mix_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW_ORDER = [
-    # -- r4 window: slots 1-32 = every oracle query WITHOUT a fresh r3
+    # -- r4 window: first slots = every oracle query WITHOUT a fresh r3
     # correctness row (the r2-only set VERDICT r3 item 9 asked to rotate
     # back in, plus the two queries new this round); slots 33-35 = the
     # three oracles whose HUGEINT casts were fixed (need their first green
@@ -3027,6 +3055,7 @@ _WINDOW_ORDER = [
     # ------------------------------------------------------------------
     "backfill_progress",
     "column_value_drift",
+    "token_count_bpe",
     "full_sync_snapshot",
     "incremental_sync_window",
     "merge_upsert",
