@@ -422,3 +422,42 @@ def sequence_packing(
         F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
         F.pmod(start, F.lit(budget)).cast("long").alias("offset_in_pack"),
     )
+
+
+#: Default split fractions (train/val/test). Thresholds are cumulative
+#: hex-bucket cutoffs over the same md5 bucket as stratified sampling.
+SPLIT_FRACTIONS: tuple[tuple[str, float], ...] = (
+    ("train", 0.90),
+    ("val", 0.05),
+    ("test", 0.05),
+)
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: tuple[tuple[str, float], ...] = SPLIT_FRACTIONS,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment by key hash.
+
+    The split is a pure function of the row's KEY (md5 hex bucket against
+    cumulative cutoffs), not of partitioning, ordering, or a seed — so
+    the assignment is reproducible on any engine and any cluster size,
+    a document never migrates between splits across runs (the property
+    that keeps eval sets uncontaminated as the corpus regenerates), and
+    the same expression evaluates verbatim in the DuckDB oracle. Per-row
+    projection: no shuffle, no sampling state.
+    """
+    bucket = sample_bucket(F.col(key_col))
+    cum = 0.0
+    expr = None
+    last_name = fractions[-1][0]
+    for name, frac in fractions[:-1]:
+        cum += frac
+        thr = sample_threshold_hex(cum)
+        cond = F.lit(True) if thr is None else bucket < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    split = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    return df.withColumn("split", split)

@@ -2656,6 +2656,29 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dataset_split_assign",
+    # Cumulative cutoffs for (train .90, val .05): .90 -> e66, .95 -> f33.
+    oracle="""
+    SELECT doc_id, source,
+           CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < 'e66'
+               THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < 'f33'
+               THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def dataset_split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by key hash: a document's split
+    is a pure function of its id, so eval membership survives corpus
+    regeneration and cluster-size changes — no seed, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return curation.dataset_split(docs, "doc_id")
+
+
+@query(
     "sequence_packing",
     oracle=f"""
     WITH t AS (
@@ -3056,6 +3079,7 @@ _WINDOW_ORDER = [
     "backfill_progress",
     "column_value_drift",
     "token_count_bpe",
+    "dataset_split_assign",
     "full_sync_snapshot",
     "incremental_sync_window",
     "merge_upsert",
