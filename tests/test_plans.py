@@ -94,3 +94,28 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_repetition_filter_is_zero_shuffle_scan(spark, sf_dir):
+    """Both repetition metrics are row-local; the executed plan must have
+    no Exchange at all (the r3 version shuffled a corpus-sized gram
+    stream for this per-row quantity)."""
+    plan = _plan(QUERIES["repetition_filter"](spark, sf_dir))
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_rowlocal_text_ops_are_zero_shuffle(spark, sf_dir):
+    for name in ("token_count_bpe", "dataset_split_assign", "pii_redaction"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:1200]}"
+
+
+def test_column_value_drift_joins_tiny_profiles(spark, sf_dir):
+    """The drift compare must join two 1-row-per-column profiles, never
+    the underlying fact tables (no SortMergeJoin on scan-sized inputs)."""
+    plan = _plan(QUERIES["column_value_drift"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # Profiles are single aggregate rows: any join strategy over them is
+    # fine, but the fact table must be scanned exactly twice (src + tgt),
+    # not once per column.
+    assert plan.count("Scan parquet") <= 3, plan[:1500]
