@@ -2679,6 +2679,43 @@ def dataset_split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_session_stats",
+    # Islands oracle for native session windows. Spark merges an event
+    # into the open session when ts < prev + gap (the window [ts, ts+gap)
+    # is half-open), so the new-session condition is diff >= gap.
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def event_session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (batch twin of the streaming
+    op in streaming/sessions.py; the oracle derives the same sessions
+    with the islands algorithm)."""
+    from .streaming import sessions
+
+    return sessions.session_stats_batch(load_table(spark, sf_dir, "events"))
+
+
+@query(
     "sequence_packing",
     oracle=f"""
     WITH t AS (
@@ -3080,6 +3117,7 @@ _WINDOW_ORDER = [
     "column_value_drift",
     "token_count_bpe",
     "dataset_split_assign",
+    "event_session_stats",
     "full_sync_snapshot",
     "incremental_sync_window",
     "merge_upsert",

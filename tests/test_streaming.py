@@ -159,3 +159,46 @@ def test_streaming_dedup_drops_in_horizon_duplicates(spark, sf_dir, tmp_path):
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids)), "duplicates survived the stream"
     assert set(ids) == {r.event_id for r in sample.select("event_id").collect()}
+
+
+def test_streaming_session_windows_match_batch_twin(spark, sf_dir, tmp_path):
+    from snowflake_to_bq_pipeline_spark.streaming import sessions
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "sess_in")
+    os.makedirs(src)
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "a.parquet")
+    )
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "b.parquet")
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*/")
+    )
+    out = sessions.session_stats_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch = {
+        tuple(r)
+        for r in sessions.session_stats_batch(events).collect()
+    }
+    # Append mode emits only sessions CLOSED by the final watermark; all
+    # emitted sessions must match the batch twin exactly, and the stream
+    # must have emitted a substantial share of them.
+    assert got <= batch
+    assert len(got) > 0.5 * len(batch), (len(got), len(batch))
