@@ -461,3 +461,67 @@ def dataset_split(
         )
     split = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
     return df.withColumn("split", split)
+
+
+#: Words per pseudo-paragraph chunk for corpus-level chunk dedup.
+PARA_WORDS = 20
+
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", k: int = PARA_WORDS
+) -> DataFrame:
+    """Corpus-level duplicated-chunk removal (CCNet/RefinedWeb line dedup).
+
+    Boilerplate repeats ACROSS documents (headers, navigation, license
+    blocks) survive whole-doc dedup; the standard counter is line- or
+    paragraph-level dedup over the whole corpus: split every doc into
+    chunks, keep each distinct chunk's FIRST occurrence (global
+    (doc_id, position) order — deterministic, engine-independent), and
+    reassemble documents from their surviving chunks. The synthetic corpus
+    has no newlines, so ``k``-word windows stand in for lines; the
+    operator's shape is identical for real line splits.
+
+    Scale: one explode to chunk grain, ONE hash shuffle partitioned by the
+    chunk's md5 (constant-width key — never the chunk text), a window
+    rank inside each hash cell, then a per-doc re-aggregation that sorts
+    each doc's own chunk list row-locally. No self-joins, no all-pairs;
+    the corpus-sized state is exactly one row per chunk occurrence.
+    """
+    from pyspark.sql import Window
+
+    w = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.array_size(w) / F.lit(float(k))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(w, i * k + 1, k), " ").alias("chunk_text"),
+        ),
+    )
+    ch = df.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+    first = Window.partitionBy(F.md5(F.col("chunk_text"))).orderBy(
+        "doc_id", "chunk_idx"
+    )
+    ranked = ch.withColumn("__rn", F.row_number().over(first))
+    kept_struct = F.when(
+        F.col("__rn") == 1,
+        F.struct(F.col("chunk_idx"), F.col("chunk_text")),
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("__rn") == 1).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )

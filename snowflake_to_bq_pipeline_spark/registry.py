@@ -2679,6 +2679,44 @@ def dataset_split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "paragraph_dedup",
+    oracle=f"""
+    WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(w) / {float(curation.PARA_WORDS)}) AS BIGINT)),
+               i -> struct_pack(
+                 ci := i,
+                 ct := array_to_string(
+                   list_slice(w, i * {curation.PARA_WORDS} + 1,
+                              (i + 1) * {curation.PARA_WORDS}), ' ')))) AS c
+      FROM sp
+    ),
+    f AS (
+      SELECT doc_id, c.ci AS chunk_idx, c.ct AS chunk_text FROM ch
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                                   ORDER BY doc_id, chunk_idx) AS rn
+      FROM f
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                               ORDER BY chunk_idx), '') AS dedup_text
+    FROM r GROUP BY doc_id
+    """,
+)
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-chunk removal (CCNet/RefinedWeb line-dedup
+    pattern over k-word windows): keep each distinct chunk's first
+    occurrence, reassemble docs from survivors."""
+    return curation.paragraph_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "event_session_stats",
     # Islands oracle for native session windows. Spark merges an event
     # into the open session when ts < prev + gap (the window [ts, ts+gap)
@@ -3118,6 +3156,7 @@ _WINDOW_ORDER = [
     "token_count_bpe",
     "dataset_split_assign",
     "event_session_stats",
+    "paragraph_dedup",
     "full_sync_snapshot",
     "incremental_sync_window",
     "merge_upsert",
