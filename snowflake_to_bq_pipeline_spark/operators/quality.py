@@ -223,3 +223,70 @@ def column_drift_profile(
         F.round(F.col("src_sum") - F.col("tgt_sum"), 2).alias("sum_delta"),
         drift.alias("drift"),
     )
+
+
+#: Fixed bin edges for PSI over money-scaled columns. Fixed (not
+#: quantile-derived) edges keep the metric engine-reproducible and
+#: incremental-friendly: bin counts are additive across partitions/days.
+PSI_EDGES: tuple[float, ...] = (
+    0.0, 25_000.0, 50_000.0, 75_000.0, 100_000.0,
+    150_000.0, 200_000.0, 300_000.0,
+)
+
+#: Laplace-style floor keeping PSI finite when a bin empties on one side.
+PSI_EPS = 1e-6
+
+
+def distribution_drift_psi(
+    source: DataFrame, target: DataFrame, col: str
+) -> DataFrame:
+    """Per-bin population stability index between source and target.
+
+    Row counts and min/max miss SHAPE changes (a warehouse bug that
+    re-scales a money column can preserve both); PSI over fixed bins is
+    the standard monitor: psi_term = (p_src - p_tgt) * ln(p_src / p_tgt)
+    per bin, summed across bins (>0.2 conventionally flags drift). One
+    conditional-count aggregate per side (no shuffle beyond the 1-row
+    aggregates), joined on bin id — O(bins) rows after the scans.
+
+    Fractions use the epsilon floor on BOTH engines so empty bins stay
+    finite and identical; ln is IEEE-identical for identical doubles.
+    """
+    edges = list(PSI_EDGES)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        c = F.col(col).cast("double")
+        aggs = []
+        for i in range(len(edges)):
+            lo = edges[i]
+            hi = edges[i + 1] if i + 1 < len(edges) else None
+            cond = (c >= lo) if hi is None else ((c >= lo) & (c < hi))
+            aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"__b{i}"))
+        one = df.agg(F.count(F.lit(1)).alias(f"{tag}_total"), *aggs)
+        stack_args = ", ".join(f"{i}, __b{i}" for i in range(len(edges)))
+        return one.selectExpr(
+            f"stack({len(edges)}, {stack_args}) AS (bin_id, {tag}_count)",
+            f"{tag}_total",
+        )
+
+    s = side(source, "src")
+    t = side(target, "tgt")
+    joined = s.join(t, "bin_id")
+    p_src = F.greatest(
+        F.col("src_count").cast("double") / F.col("src_total"),
+        F.lit(PSI_EPS),
+    )
+    p_tgt = F.greatest(
+        F.col("tgt_count").cast("double") / F.col("tgt_total"),
+        F.lit(PSI_EPS),
+    )
+    lo_edge = F.element_at(
+        F.array(*[F.lit(e) for e in edges]), F.col("bin_id").cast("int") + 1
+    )
+    return joined.select(
+        "bin_id",
+        lo_edge.alias("bin_lo"),
+        "src_count",
+        "tgt_count",
+        F.round((p_src - p_tgt) * F.log(p_src / p_tgt), 8).alias("psi_term"),
+    )

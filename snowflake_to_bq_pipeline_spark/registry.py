@@ -1550,6 +1550,61 @@ def column_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "distribution_drift_psi",
+    oracle="""
+    WITH c AS (SELECT MAX(o_orderdate) - INTERVAL 30 DAY AS cut FROM orders),
+    tgt AS (SELECT o.* FROM orders o CROSS JOIN c WHERE o.o_orderdate < cut),
+    bins(bin_id, bin_lo, bin_hi) AS (VALUES
+      (0, 0.0, 25000.0), (1, 25000.0, 50000.0), (2, 50000.0, 75000.0),
+      (3, 75000.0, 100000.0), (4, 100000.0, 150000.0),
+      (5, 150000.0, 200000.0), (6, 200000.0, 300000.0),
+      (7, 300000.0, NULL)),
+    sb AS (
+      SELECT b.bin_id, b.bin_lo, COUNT(o.o_orderkey) AS src_count
+      FROM bins b LEFT JOIN orders o
+        ON CAST(o.o_totalprice AS DOUBLE) >= b.bin_lo
+       AND (b.bin_hi IS NULL OR CAST(o.o_totalprice AS DOUBLE) < b.bin_hi)
+      GROUP BY b.bin_id, b.bin_lo
+    ),
+    tb AS (
+      SELECT b.bin_id, COUNT(o.o_orderkey) AS tgt_count
+      FROM bins b LEFT JOIN tgt o
+        ON CAST(o.o_totalprice AS DOUBLE) >= b.bin_lo
+       AND (b.bin_hi IS NULL OR CAST(o.o_totalprice AS DOUBLE) < b.bin_hi)
+      GROUP BY b.bin_id
+    ),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM orders) AS st,
+             (SELECT COUNT(*) FROM tgt) AS tt
+    )
+    SELECT sb.bin_id, CAST(sb.bin_lo AS DOUBLE) AS bin_lo,
+           sb.src_count, tb.tgt_count,
+           ROUND((GREATEST(CAST(sb.src_count AS DOUBLE) / st, 1e-6)
+                  - GREATEST(CAST(tb.tgt_count AS DOUBLE) / tt, 1e-6))
+                 * LN(GREATEST(CAST(sb.src_count AS DOUBLE) / st, 1e-6)
+                      / GREATEST(CAST(tb.tgt_count AS DOUBLE) / tt, 1e-6)),
+                 8) AS psi_term
+    FROM sb JOIN tb USING (bin_id) CROSS JOIN tot
+    """,
+)
+def distribution_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between the full source and the
+    incremental-lag target over fixed money bins — the shape-sensitive
+    extension of the count/value monitors (row counts and min/max can
+    both survive a re-scaling bug; PSI cannot)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = orders.agg(
+        F.timestamp_add("DAY", F.lit(-30), F.max("o_orderdate")).alias("__c")
+    )
+    target = (
+        orders.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") < F.col("__c"))
+        .drop("__c")
+    )
+    return quality.distribution_drift_psi(orders, target, "o_totalprice")
+
+
+@query(
     "backfill_progress",
     oracle="""
     WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS mind FROM orders),
@@ -3157,6 +3212,7 @@ _WINDOW_ORDER = [
     "dataset_split_assign",
     "event_session_stats",
     "paragraph_dedup",
+    "distribution_drift_psi",
     "full_sync_snapshot",
     "incremental_sync_window",
     "merge_upsert",
