@@ -14,7 +14,7 @@ scan, no joins, a 1-row shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: (name, pattern, replacement). Applied in order; kept RE2/Java-regex
@@ -524,4 +524,54 @@ def paragraph_dedup(
                 " ",
             ).alias("dedup_text"),
         )
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    stratum_col: str,
+    k: int = 25,
+) -> DataFrame:
+    """Deterministic weighted top-``k`` per stratum (priority sampling).
+
+    Priority sampling (Duffield/Lund/Thorup, JACM 2007): each row gets
+    priority ``w / u`` with ``u`` uniform in (0, 1]; the k highest
+    priorities form a weighted sample whose inclusion probability scales
+    with weight. ``u`` here is seedless and engine-reproducible — a
+    52-bit integer from the row key's md5, so re-running on any engine
+    or partitioning selects the SAME rows (auditable training mixes,
+    like :func:`stratified_sample`).
+
+    Exactness across engines: ``h`` is an exact integer on both sides,
+    and the priority is two correctly-rounded IEEE double ops
+    (``w * 2^52`` then ``/ (h+1)``) — bit-identical everywhere, so the
+    top-k cut cannot flip between engines.
+
+    Scale: one hash shuffle on the stratum for the per-stratum
+    row_number; with very hot strata, pre-prune per partition first
+    (partial top-k) — k rows per partition per stratum bound the state.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 13),
+        16,
+        10,
+    ).cast("bigint")
+    priority = (
+        F.col(weight_col).cast("double")
+        * F.lit(float(2**52))
+        / (h + F.lit(1)).cast("double")
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        priority.desc(), F.col(key_col)
+    )
+    return (
+        df.select(
+            F.col(stratum_col),
+            F.col(key_col),
+            F.col(weight_col).alias("weight"),
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= k)
     )

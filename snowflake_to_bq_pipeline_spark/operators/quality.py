@@ -290,3 +290,35 @@ def distribution_drift_psi(
         "tgt_count",
         F.round((p_src - p_tgt) * F.log(p_src / p_tgt), 8).alias("psi_term"),
     )
+
+
+def group_percentiles_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: Sequence[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Exact linear-interpolated percentiles per group.
+
+    The exact twin of :func:`sketch_quantiles` (GK sketch): same output
+    shape, but computed with Spark's exact ``percentile`` aggregate,
+    which buffers each group's values — right for grouped/aggregated
+    data and for validating the sketch, wrong for a 100 TB raw column
+    (use the sketch there; the docstring of each points at the other).
+
+    Interpolation is the standard ``(1-g)*lo + g*hi`` both here and in
+    DuckDB's ``quantile_cont``; outputs are rounded to 6dp so last-ulp
+    formula differences cannot surface.
+    """
+    pct_arr = F.array(*[F.lit(float(p)) for p in percentiles])
+    pcts = df.groupBy(group_col).agg(
+        F.count(value_col).alias("n"),
+        F.percentile(F.col(value_col), pct_arr).alias("__p"),
+    )
+    cols = [
+        F.round(F.col("__p")[i], 6).alias(
+            "p" + ("%g" % (p * 100)).replace(".", "_")
+        )
+        for i, p in enumerate(percentiles)
+    ]
+    return pcts.select(group_col, "n", *cols)

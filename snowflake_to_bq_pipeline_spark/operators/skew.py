@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -54,3 +54,45 @@ def salted_join(
     )
     out = left.join(right, [*key_cols, "__salt"], how)
     return out.drop("__salt")
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
+    """Heavy-hitter diagnostics for a prospective shuffle/join key.
+
+    The operational question behind salting and AQE skew-join tuning:
+    which keys are hot, and how hot relative to the mean bucket? Emits
+    the ``top_k`` keys by row count with their global share and
+    skew-vs-mean factor (count / (total_rows / distinct_keys)).
+
+    Plan shape for 100 TB: one hash aggregation keyed on ``key_col``
+    (map-side partial combine makes the shuffle O(distinct keys), not
+    O(rows)), a 1-row global aggregate over those counts, and a
+    ``sort().limit(k)`` which Spark executes as TakeOrderedAndProject —
+    parallel per-partition top-k, never a single-partition sort of the
+    key table.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key_value")).limit(top_k)
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            "key_value",
+            "n_rows",
+            F.row_number().over(w).alias("key_rank"),
+            F.round(
+                F.col("n_rows").cast("double") / F.col("__total").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("n_rows").cast("double")
+                / (F.col("__total").cast("double") / F.col("__n_keys").cast("double")),
+                4,
+            ).alias("skew_vs_mean"),
+        )
+    )

@@ -265,3 +265,47 @@ def user_activity_trend(events: DataFrame) -> DataFrame:
         "n_events",
         F.when(den != 0, slope_hr).alias("value_trend_per_hour"),
     )
+
+
+def rolling_revenue_7d(orders: DataFrame) -> DataFrame:
+    """Daily revenue with a 7-day trailing window (sum / daily average).
+
+    The KPI dashboard's trend chart smoothing: revenue by calendar day
+    with a RANGE frame back 6 days (calendar-aware — missing days
+    shorten the window rather than silently pulling older rows, which is
+    why the frame is RANGE on an epoch-day ordinal, not ROWS).
+
+    Scale: the window runs over the ALREADY-AGGREGATED day table —
+    O(distinct days) rows regardless of fact size (a few thousand for
+    years of data), so the unpartitioned sort is a deliberately tiny
+    driver-of-one-partition step, same as backfill_progress. The heavy
+    lifting is the per-day hash aggregation with map-side combine.
+    """
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(dec(F.col("o_totalprice"))).alias("__rev"))
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.orderBy(day_num)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        money(F.col("__rev")).alias("revenue"),
+        money(F.sum("__rev").over(w)).alias("revenue_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("days_in_window"),
+        # Double division then a floor-based half-up round: engines disagree
+        # both on decimal-quotient scale and on ROUND(double) tie behavior
+        # (binary-value vs printed-value ties), while floor(x*100 + 0.5)/100
+        # over bit-identical doubles is deterministic everywhere. Ties are
+        # COMMON here (sums of cents divided by 2/4/5 land on .xx5 exactly).
+        (
+            F.floor(
+                F.sum("__rev").over(w).cast("double")
+                / F.count(F.lit(1)).over(w).cast("double")
+                * 100
+                + 0.5
+            ).cast("double")
+            / 100
+        ).alias("avg_daily_7d"),
+    )

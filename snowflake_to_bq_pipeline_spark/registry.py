@@ -3174,6 +3174,229 @@ def source_mix_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.source_mix_weights(load_table(spark, sf_dir, "documents"))
 
 
+from .operators import scd, skew  # noqa: E402
+from .plans import engagement  # noqa: E402
+
+
+@query(
+    "scd2_status_history",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)
+           - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                                ORDER BY o_orderdate, o_orderkey) AS island
+      FROM orders
+    ),
+    i AS (
+      SELECT o_custkey, o_orderstatus, island,
+             MIN(o_orderdate) AS valid_from,
+             MIN(ROW(o_orderdate, o_orderkey)) AS first_key,
+             COUNT(*) AS n_observations
+      FROM r GROUP BY o_custkey, o_orderstatus, island
+    )
+    SELECT o_custkey, o_orderstatus, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                  ORDER BY first_key) AS valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY first_key) AS INT) AS version,
+           n_observations,
+           LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                  ORDER BY first_key) IS NULL AS is_current
+    FROM i
+    """,
+)
+def scd2_status_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of each customer's order status: the validity
+    intervals a warehouse dimension would keep, derived from the change
+    stream the reference's full-refresh dimension sync discards
+    (client_dimension_sync_full/main.py overwrites current state)."""
+    return scd.scd2_history(
+        load_table(spark, sf_dir, "orders"),
+        key_cols=["o_custkey"],
+        attr_col="o_orderstatus",
+        ts_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT f.cohort_week, e.user_id,
+             CAST(datediff('day', f.cohort_week,
+                           CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN f USING (user_id)
+    ),
+    s AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM f GROUP BY cohort_week)
+    SELECT a.cohort_week, a.week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active, s.cohort_size,
+           ROUND(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE)
+                 / CAST(s.cohort_size AS DOUBLE), 6) AS retention_rate
+    FROM a JOIN s USING (cohort_week)
+    WHERE a.week_offset <= 12
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream (do synced users
+    come back) — the engagement counterpart of the reference's KPI
+    dashboard rollups."""
+    return engagement.retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT 1 AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+    )
+    SELECT stage_idx, stage, n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / CAST(FIRST_VALUE(n_users) OVER (ORDER BY stage_idx)
+                        AS DOUBLE), 6) AS conv_from_first,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / CAST(COALESCE(LAG(n_users) OVER (ORDER BY stage_idx),
+                                 n_users) AS DOUBLE), 6) AS conv_from_prev
+    FROM c
+    """,
+)
+def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase ordered funnel: min-timestamp chain,
+    per-stage reach and conversion rates."""
+    return engagement.funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS key_value, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n_rows) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS DOUBLE) AS n_keys
+      FROM c
+    ),
+    r AS (
+      SELECT key_value, n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, key_value) AS key_rank
+      FROM c
+    )
+    SELECT r.key_value, r.n_rows, CAST(r.key_rank AS INT) AS key_rank,
+           ROUND(CAST(n_rows AS DOUBLE) / t.total, 6) AS share,
+           ROUND(CAST(n_rows AS DOUBLE) / (t.total / t.n_keys), 4)
+             AS skew_vs_mean
+    FROM r CROSS JOIN t WHERE r.key_rank <= 20
+    """,
+)
+def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of lineitem's supplier key — the diagnostic
+    that decides whether a join needs salting/AQE skew handling."""
+    return skew.key_skew_profile(
+        load_table(spark, sf_dir, "lineitem"), "l_suppkey", top_k=20
+    )
+
+
+@query(
+    "rolling_revenue_7d",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT day,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(rev) OVER w, 2) AS DOUBLE) AS revenue_7d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS days_in_window,
+           FLOOR(CAST(SUM(rev) OVER w AS DOUBLE)
+                 / CAST(COUNT(*) OVER w AS DOUBLE) * 100 + 0.5) / 100
+             AS avg_daily_7d
+    FROM d
+    WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', day)
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_revenue_7d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue with calendar-aware 7-day trailing sum/average (the
+    dashboard trend smoothing)."""
+    return dashboard.rolling_revenue_7d(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "priority_sample_docs",
+    oracle="""
+    WITH p AS (
+      SELECT source, doc_id, n_chars AS weight,
+             CAST(n_chars AS DOUBLE) * 4503599627370496.0
+               / CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                           AS BIGINT) + 1 AS DOUBLE) AS pri
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, weight,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY pri DESC, doc_id) AS sample_rank
+      FROM p
+    )
+    SELECT source, doc_id, weight, CAST(sample_rank AS INT) AS sample_rank
+    FROM r WHERE sample_rank <= 25
+    """,
+)
+def priority_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (length-proportional) deterministic document sample per
+    source via priority sampling — seedless, engine-reproducible
+    training-mix subsampling."""
+    return curation.priority_sample(
+        load_table(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        stratum_col="source",
+        k=25,
+    )
+
+
+@query(
+    "group_percentiles_exact",
+    oracle="""
+    SELECT event_type, COUNT(value) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def group_percentiles_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type value percentiles — the exact twin that
+    validates sketch_value_quantiles (GK) and serves grouped data."""
+    return quality.group_percentiles_exact(
+        load_table(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the driver's correctness window.
 #
@@ -3197,6 +3420,14 @@ def source_mix_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW_ORDER = [
+    # -- new this round (never driver-checked): front of the window ----
+    "scd2_status_history",
+    "retention_cohorts",
+    "funnel_conversion",
+    "key_skew_profile",
+    "rolling_revenue_7d",
+    "priority_sample_docs",
+    "group_percentiles_exact",
     # -- r4 window: first slots = every oracle query WITHOUT a fresh r3
     # correctness row (the r2-only set VERDICT r3 item 9 asked to rotate
     # back in, plus the two queries new this round); slots 33-35 = the
