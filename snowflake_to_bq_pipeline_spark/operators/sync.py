@@ -257,3 +257,86 @@ def paginated_extract_resilient(
         ladder.append((offset, size, attempts))
         offset += size
     return ladder
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    num_partitions: int | None = None,
+    row_col: str = "__rn",
+) -> DataFrame:
+    """Total-order row numbering WITHOUT a single-partition sort.
+
+    ``row_number() OVER (ORDER BY ...)`` moves the whole table through
+    one task — the plan that dies first at 100 TB. This is the classic
+    two-phase alternative:
+
+    1. range-partition on the order key (``repartitionByRange`` samples
+       split points, so partitions hold disjoint, ordered key ranges),
+    2. count rows per partition (a job over O(partitions) rows),
+    3. rank within each partition and add the partition's prefix offset.
+
+    Every stage is fully parallel; the only driver state is the
+    O(partitions) offset array.
+
+    The ranged intermediate is persisted before counting: the count job
+    and the rank job MUST see identical partition boundaries, and
+    re-executing the range partitioner re-samples (correct but possibly
+    different) split points, which would desynchronize the offsets.
+
+    ``order_cols`` must be a total order (include a unique key) — the
+    same requirement LIMIT/OFFSET pagination has in any engine.
+    """
+    from pyspark.sql import Window
+
+    from ._cache import swap_cache
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    order = [F.col(c) for c in order_cols]
+    ranged = swap_cache(
+        "sync.global_row_number",
+        df.repartitionByRange(n, *order).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+    )
+    counts = ranged.groupBy("__pid").count().collect()
+    offsets: list[tuple[int, int]] = []
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], acc))
+        acc += r["count"]
+    off_map = F.create_map(
+        *[F.lit(v) for pair in offsets for v in pair]
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        ranged.withColumn(
+            row_col,
+            (
+                F.row_number().over(w).cast("bigint")
+                + F.coalesce(
+                    off_map[F.col("__pid")].cast("bigint"), F.lit(0)
+                )
+            ),
+        )
+        .drop("__pid")
+    )
+
+
+def paginated_extract_scalable(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    page: int,
+    page_size: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``paginated_extract`` on the two-phase global ranking — identical
+    output, no single-partition window. Use this form when the table
+    being paged is fact-sized; the plain form's one-task sort is fine
+    for dimension-sized extracts."""
+    lo, hi = page * page_size, (page + 1) * page_size
+    ranked = global_row_number(df, order_cols, num_partitions=num_partitions)
+    return ranked.filter((F.col("__rn") > lo) & (F.col("__rn") <= hi)).drop(
+        "__rn"
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from snowflake_to_bq_pipeline_spark.catalog import load_table
-from snowflake_to_bq_pipeline_spark.operators import quality, similarity, skew
+from snowflake_to_bq_pipeline_spark.operators import quality, similarity, skew, sync
 
 
 def test_salted_join_matches_plain_join(spark, sf_dir):
@@ -119,3 +119,35 @@ def test_paginated_resilient_raises_at_floor(spark, sf_dir):
             orders, ["o_orderkey"], page_size=8, run_page=always_fail,
             min_page_size=2,
         )
+
+
+def test_global_row_number_matches_single_window(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = sync.global_row_number(
+        orders, ["o_orderkey"], num_partitions=8, row_col="rn"
+    )
+    n = orders.count()
+    got = ranked.orderBy("rn").select("rn", "o_orderkey").collect()
+    # Row numbers are exactly 1..N and follow the key order.
+    assert [r["rn"] for r in got] == list(range(1, n + 1))
+    keys = [r["o_orderkey"] for r in got]
+    assert keys == sorted(keys)
+    # No single-partition global sort in the physical plan: every Window
+    # is partitioned (the plan shows no "Window [... ORDER BY" without a
+    # PARTITION BY — WindowExec warns otherwise).
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__pid" in line, f"unpartitioned window in plan: {line}"
+
+
+def test_paginated_scalable_equals_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    for page in (0, 3, 11):
+        a = sync.paginated_extract(orders, ["o_orderkey"], page, 137)
+        b = sync.paginated_extract_scalable(
+            orders, ["o_orderkey"], page, 137, num_partitions=8
+        )
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb
