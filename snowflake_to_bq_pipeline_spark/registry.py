@@ -3397,6 +3397,34 @@ def group_percentiles_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .streaming import joins as stream_joins  # noqa: E402
+
+
+@query(
+    "click_attribution",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_micros,
+           CAST(ROUND(CAST(p.value AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS purchase_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def click_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase attribution pairs within a 30-minute lookback —
+    batch twin of the watermarked stream-stream join
+    (streaming/joins.py)."""
+    return stream_joins.attribution_batch(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the driver's correctness window.
 #
@@ -3422,6 +3450,7 @@ def group_percentiles_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_ORDER = [
     # -- new this round (never driver-checked): front of the window ----
     "scd2_status_history",
+    "click_attribution",
     "retention_cohorts",
     "funnel_conversion",
     "key_skew_profile",

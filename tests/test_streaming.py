@@ -202,3 +202,40 @@ def test_streaming_session_windows_match_batch_twin(spark, sf_dir, tmp_path):
     # must have emitted a substantial share of them.
     assert got <= batch
     assert len(got) > 0.5 * len(batch), (len(got), len(batch))
+
+
+def test_stream_stream_attribution_matches_batch_twin(spark, sf_dir, tmp_path):
+    from snowflake_to_bq_pipeline_spark.streaming import joins
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "attr_in")
+    os.makedirs(src)
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "a.parquet")
+    )
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "b.parquet")
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*/")
+    )
+    out = joins.attribution_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_out")
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM attr_out").collect()}
+    batch = {tuple(r) for r in joins.attribution_batch(events).collect()}
+    # Inner stream-stream join: every emitted pair must be a true batch
+    # pair; pairs whose older side fell behind the watermark between the
+    # two input files may be missing, but most must arrive.
+    assert got <= batch
+    assert len(got) > 0.5 * len(batch), (len(got), len(batch))
