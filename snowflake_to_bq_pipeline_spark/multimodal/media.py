@@ -128,3 +128,98 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
         F.lit(1000).cast("int").alias("duration_ms"),
     )
     return rows
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("mime_type", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def _fake_resize(content: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for a real resampler: tiles the source
+    bytes to exactly w*h bytes (production: Pillow ``Image.resize``)."""
+    if not content:
+        return b"\x00" * (w * h)
+    reps = (w * h) // len(content) + 1
+    return (content * reps)[: w * h]
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize image rows to a fixed shape via Arrow-batched mapInPandas.
+
+    Non-image rows pass through untouched (same schema), so the operator
+    composes with mixed-modality tables without a pre-split. The output
+    content is a real byte payload of exactly width*height — downstream
+    operators can rely on the shape even with the fake codec.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            is_img = pdf["media_type"] == "image"
+            pdf = pdf.copy()
+            pdf["content"] = [
+                _fake_resize(bytes(c), width, height)
+                if img and c is not None
+                else c
+                for c, img in zip(pdf["content"], is_img)
+            ]
+            pdf.loc[is_img, "width"] = width
+            pdf.loc[is_img, "height"] = height
+            yield pdf
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 250, frame_bytes: int = 16) -> DataFrame:
+    """Sample frames from video rows at a fixed period (one-to-many).
+
+    Emits one row per sampled frame with its index and timestamp; the
+    frame payload is a deterministic slice of the blob (production:
+    ffmpeg seek+decode). The one-to-many emission happens INSIDE the
+    Arrow batch loop — no explode of pre-materialized frame arrays, so
+    peak memory is one batch of frames, not one row's full frame set.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            out_id, out_idx, out_ts, out_b = [], [], [], []
+            for mid, mtype, content, dur in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"], pdf["duration_ms"]
+            ):
+                if mtype != "video" or content is None or dur is None:
+                    continue
+                blob = bytes(content)
+                for i, ts in enumerate(range(0, int(dur), every_ms)):
+                    start = (i * frame_bytes) % max(len(blob), 1)
+                    chunk = (blob * 2)[start : start + frame_bytes]
+                    out_id.append(mid)
+                    out_idx.append(i)
+                    out_ts.append(ts)
+                    out_b.append(chunk)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_ts_ms": pd.Series(out_ts, dtype="int32"),
+                    "frame_bytes": pd.Series(out_b, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -8,6 +8,11 @@ from pyspark.sql import functions as F
 
 from snowflake_to_bq_pipeline_spark.catalog import load_table
 from snowflake_to_bq_pipeline_spark.multimodal import media
+from snowflake_to_bq_pipeline_spark.multimodal.media import (
+    resize_images,
+    sample_frames,
+    synthetic_media,
+)
 from snowflake_to_bq_pipeline_spark.sinks import writers
 
 
@@ -136,3 +141,34 @@ def test_delta_merge_env_gate(spark, sf_dir, tmp_path):
         writers.merge_into_delta(
             spark, orders, str(tmp_path / "t"), ["o_orderkey"]
         )
+
+
+def test_resize_images_fixed_shape_and_passthrough(spark):
+    media = synthetic_media(spark, 30)
+    out = resize_images(media, width=8, height=8).collect()
+    assert len(out) == 30
+    for r in out:
+        if r["media_type"] == "image":
+            assert r["width"] == 8 and r["height"] == 8
+            assert len(bytes(r["content"])) == 64
+        else:
+            # non-image rows untouched
+            assert r["width"] == 64
+
+
+def test_sample_frames_period_and_determinism(spark):
+    media = synthetic_media(spark, 30)
+    frames = sample_frames(media, every_ms=250).collect()
+    vids = [r for r in synthetic_media(spark, 30).collect() if r["media_type"] == "video"]
+    # duration 1000ms, every 250ms -> 4 frames per video row
+    assert len(frames) == 4 * len(vids)
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for rows in by_id.values():
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert idxs == [0, 1, 2, 3]
+        assert sorted(r["frame_ts_ms"] for r in rows) == [0, 250, 500, 750]
+    # deterministic re-run
+    again = sample_frames(synthetic_media(spark, 30), every_ms=250).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
