@@ -575,3 +575,41 @@ def priority_sample(
         )
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def sequence_packing_scalable(
+    documents: DataFrame,
+    token_count: Column,
+    budget: int = PACK_BUDGET,
+    stream_col: str = "source",
+    order_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``sequence_packing`` on the two-phase grouped prefix sum.
+
+    Identical output (exact integer arithmetic either way), but the
+    running sum fans out across partitions even when ONE stream is most
+    of the corpus — the plain form executes each stream in a single
+    task, which is the 100 TB failure mode. See operators/prefix.py.
+    """
+    from .prefix import grouped_prefix_sum
+
+    nt = token_count.cast("long")
+    with_cum = grouped_prefix_sum(
+        documents.select(
+            F.col(order_col), F.col(stream_col), nt.alias("__nt")
+        ),
+        group_cols=[stream_col],
+        order_cols=[order_col],
+        value_col="__nt",
+        out_col="__cum",
+        num_partitions=num_partitions,
+    )
+    start = F.col("__cum") - F.col("__nt")
+    return with_cum.select(
+        order_col,
+        stream_col,
+        F.col("__nt").alias("n_tokens"),
+        F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
+        F.pmod(start, F.lit(budget)).cast("long").alias("offset_in_pack"),
+    )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from snowflake_to_bq_pipeline_spark.catalog import load_table
 from snowflake_to_bq_pipeline_spark.operators import curation
 
 
@@ -116,3 +117,23 @@ def test_source_mix_weights_uniform_target(spark):
     # source below target share gets upweighted, above gets downweighted
     assert out["b"].sample_weight > 1.0 > out["a"].sample_weight
     assert out["b"].capped_weight <= curation.MIX_WEIGHT_CAP
+
+
+def test_sequence_packing_scalable_equals_window_form(spark, sf_dir):
+    from snowflake_to_bq_pipeline_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.array_size(
+        F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+    )
+    plain = curation.sequence_packing(docs, nt)
+    scalable = curation.sequence_packing_scalable(docs, nt, num_partitions=8)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, scalable.collect()))
+    assert a == b
+    # Every window in the scalable plan is __pid-partitioned: no
+    # single-task-per-stream sort survives.
+    plan = scalable._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__pid" in line, f"per-group window in plan: {line}"
