@@ -525,3 +525,37 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_clusters(
+    embeddings: DataFrame, n_clusters: int = 16, n_iters: int = 3
+) -> DataFrame:
+    """Topical document clustering: final k-means assignments + sizes.
+
+    The training-data use case behind IVF's centroids surfaced as a
+    first-class result: cluster ids for mix balancing / near-dup triage,
+    with each vector's cosine to its centroid. One Lloyd's train
+    (:func:`train_centroids`) + one broadcast assignment pass — no
+    data-sized shuffle beyond the training iterations themselves.
+    """
+    v = _vectors(embeddings)
+    cents = train_centroids(v, n_clusters, n_iters)
+    assigned = _assign(v, cents, "vec_id", "e", 1)
+    sizes = assigned.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    cents_e = cents.select("cent_id", F.col("ce"))
+    return (
+        assigned.join(F.broadcast(cents_e), "cent_id")
+        .join(F.broadcast(sizes), "cent_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            "cluster_size",
+            F.round(
+                _dot(F.col("e"), F.col("ce"))
+                / (_norm(F.col("e")) * _norm(F.col("ce"))),
+                6,
+            ).alias("cosine_to_centroid"),
+        )
+    )

@@ -3425,6 +3425,16 @@ def click_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_joins.attribution_batch(load_table(spark, sf_dir, "events"))
 
 
+@query("kmeans_doc_clusters")  # rows-only: iterative float clustering
+def kmeans_doc_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means topical clustering of document embeddings (assignments,
+    cluster sizes, cosine-to-centroid); self-consistency and inertia
+    properties asserted in tests/test_similarity.py."""
+    return similarity.kmeans_clusters(
+        load_table(spark, sf_dir, "embeddings"), n_clusters=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the driver's correctness window.
 #
@@ -3557,6 +3567,7 @@ _WINDOW_ORDER = [
     "view_variance_detection",
     "work_item_enriched",
     # -- rows-only by design (no oracle possible) ----------------------
+    "kmeans_doc_clusters",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",

@@ -86,3 +86,31 @@ def test_dup_pairs_blocked_equals_exact(spark, sf_dir):
         for r in similarity.dup_pairs(emb, 0.3, method="blocked").collect()
     }
     assert blocked == exact
+
+
+def test_kmeans_clusters_self_consistent(spark, sf_dir):
+    from snowflake_to_bq_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.kmeans_clusters(emb, n_clusters=4, n_iters=2).cache()
+    n = emb.count()
+    rows = out.collect()
+    # one assignment per vector
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    # sizes are consistent with assignments
+    from collections import Counter
+    sizes = Counter(r["cent_id"] for r in rows)
+    for r in rows:
+        assert sizes[r["cent_id"]] == r["cluster_size"]
+    assert len(sizes) <= 4
+    # cosine to own centroid is a valid similarity
+    assert all(-1.0 <= r["cosine_to_centroid"] <= 1.0 for r in rows)
+    # partitioning independence of assignments
+    again = similarity.kmeans_clusters(
+        emb.repartition(13), n_clusters=4, n_iters=2
+    ).collect()
+    assert sorted((r["vec_id"], r["cent_id"]) for r in again) == sorted(
+        (r["vec_id"], r["cent_id"]) for r in rows
+    )
+    out.unpersist()
