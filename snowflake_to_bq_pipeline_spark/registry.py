@@ -3435,6 +3435,34 @@ def kmeans_doc_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators import semistructured  # noqa: E402
+
+
+@query(
+    "json_props_profile",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS n_with_field,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS field_sum,
+           MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS field_min,
+           MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS field_max,
+           COUNT(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS field_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-extraction profile of the semi-structured props payload —
+    the VARIANT-flattening readiness check (JVM-side get_json_object,
+    one hash aggregation)."""
+    return semistructured.props_profile(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the driver's correctness window.
 #
@@ -3461,6 +3489,7 @@ _WINDOW_ORDER = [
     # -- new this round (never driver-checked): front of the window ----
     "scd2_status_history",
     "click_attribution",
+    "json_props_profile",
     "retention_cohorts",
     "funnel_conversion",
     "key_skew_profile",

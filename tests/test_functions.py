@@ -68,3 +68,27 @@ def test_sql_surface_via_registered_views(spark, sf_dir):
     )
     rows = out.collect()
     assert sum(r.n_customers for r in rows) == spark.table("customer").count()
+
+
+def test_flatten_json_typed_extraction(spark):
+    from snowflake_to_bq_pipeline_spark.operators.semistructured import (
+        flatten_json,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 5, "s": "x"}'),
+            (2, '{"k": "notanint"}'),
+            (3, '{"other": 1}'),
+            (4, None),
+        ],
+        "id long, props string",
+    )
+    out = flatten_json(
+        df, "props", [("k", "$.k", "long"), ("s", "$.s", "string")]
+    )
+    rows = {r["id"]: (r["k"], r["s"]) for r in out.collect()}
+    assert rows[1] == (5, "x")
+    assert rows[2] == (None, None)
+    assert rows[3] == (None, None)
+    assert rows[4] == (None, None)
