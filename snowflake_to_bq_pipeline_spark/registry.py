@@ -3540,16 +3540,18 @@ _WINDOW_ORDER = [
     "ngram_jaccard_dups",
     "ann_cosine_topk",
     "embedding_dup_pairs",
-    "vocab_top_k",
-    "doc_length_histogram",
     # -- oracle-cast fixes (driver-red in r3, engine verified correct) --
     "sequence_packing",
     "pack_fill_summary",
     "source_language_mix",
-    # -- engine code changed this round --------------------------------
+    # -- engine code changed this round (micros money sums, repetition
+    # rewrite, hashed jaccard intersection) ----------------------------
     "repetition_filter",
     "individual_budget_tracking",
     "budget_vs_actual",
+    # -- just outside the 50: r2-green, code unchanged -----------------
+    "vocab_top_k",
+    "doc_length_histogram",
     "error_window_events",
     "event_sessions",
     "user_running_totals",
