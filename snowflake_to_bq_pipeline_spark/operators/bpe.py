@@ -1,0 +1,101 @@
+"""BPE merge induction: learn tokenizer merges from the corpus.
+
+The token-counting ops (text.bpe_token_stats) APPLY a pretokenizer;
+this learns one — the byte-pair-encoding merge table of Sennrich et al.
+(ACL 2016), the standard subword vocabulary construction for LLM
+training corpora.
+
+Distributed shape: the corpus collapses once into a word-frequency
+vocabulary (one groupBy over tokens — the only corpus-sized pass).
+Each merge iteration then runs over the VOCABULARY (O(distinct words)
+rows): count symbol pairs weighted by word frequency, pick the best
+pair (1-row collect), apply the merge with a literal string replace.
+That per-iteration vocab shuffle is the published algorithm's cost
+model; driver state is one (pair, count) row per iteration.
+
+Determinism: pair counts are exact integer sums; ties break on the
+lexicographically smallest pair, so the merge table is a pure function
+of the corpus on any engine or partitioning. Merge application is
+left-to-right non-overlapping (str.replace semantics) — the pytest
+cross-checks the whole table against a pure-Python reference BPE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ._cache import swap_cache
+
+#: Token pattern shared with the text ops: lowercase alnum runs.
+WORD_RE = "[a-z0-9]+"
+
+
+def _word_vocab(documents: DataFrame, text_col: str) -> DataFrame:
+    words = documents.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+        ).alias("word")
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def bpe_merges(
+    documents: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the ordered merge table
+    ``(merge_rank, left_sym, right_sym, merged_sym, pair_count)``.
+
+    Stops early when no pair occurs at least twice (further merges would
+    be noise). The returned DataFrame is driver-materialized model state
+    (O(n_merges) rows), parallelized back for uniform registry shape.
+    """
+    spark = documents.sparkSession
+    vocab = _word_vocab(documents, text_col).select(
+        "freq",
+        # " c h a r s " — sentinel spaces so every symbol occurrence,
+        # including first/last, matches the padded " a b " search key.
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", F.split(F.col("word"), "")),
+            F.lit(" "),
+        ).alias("seq"),
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        vocab = swap_cache("bpe.vocab", vocab)
+        arr = F.split(F.trim(F.col("seq")), " ")
+        pairs = F.zip_with(
+            F.slice(arr, 1, F.greatest(F.array_size(arr) - 1, F.lit(0))),
+            F.slice(arr, 2, F.greatest(F.array_size(arr) - 1, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+        best = (
+            vocab.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < 2:
+            break
+        pair, n = best[0]["pair"], int(best[0]["n"])
+        left, right = pair.split(" ")
+        merged = left + right
+        merges.append((rank, left, right, merged, n))
+        vocab = vocab.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {left} {right} "),
+                F.lit(f" {merged} "),
+            ),
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged_sym string, pair_count long",
+    )

@@ -322,3 +322,54 @@ def group_percentiles_exact(
         for i, p in enumerate(percentiles)
     ]
     return pcts.select(group_col, "n", *cols)
+
+
+def robust_value_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Outlier-robust per-group stats: trimmed and winsorized means.
+
+    The anomaly monitors' z-scores assume clean history; one bad load
+    poisons mean and stddev. The robust pair answers "what is typical"
+    under contamination: the trimmed mean drops values outside
+    [p_lo, p_hi], the winsorized mean clamps them to the bounds.
+
+    Two passes: exact per-group percentile bounds, broadcast back, one
+    conditional aggregation. Sums run in exact decimal so the result is
+    add-order-independent; only the interpolated bounds are float (ulp
+    parity caveat as group_percentiles_exact).
+    """
+    pcts = F.percentile(
+        F.col(value_col), F.array(F.lit(float(lo)), F.lit(float(hi)))
+    )
+    bounds = df.groupBy(group_col).agg(
+        pcts[0].alias("__lo"), pcts[1].alias("__hi")
+    )
+    j = df.join(F.broadcast(bounds), group_col)
+    v = F.col(value_col)
+    vdec = v.cast("decimal(18,6)")
+    in_band = (v >= F.col("__lo")) & (v <= F.col("__hi"))
+    clamped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi")).cast(
+        "decimal(18,6)"
+    )
+    return j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(vdec).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_all"
+        ),
+        F.round(F.min("__lo"), 6).alias("p_lo"),
+        F.round(F.min("__hi"), 6).alias("p_hi"),
+        F.count(F.when(in_band, F.lit(1))).alias("n_kept"),
+        F.round(
+            F.sum(F.when(in_band, vdec)).cast("double")
+            / F.count(F.when(in_band, F.lit(1))),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(F.sum(clamped).cast("double") / F.count(F.lit(1)), 6).alias(
+            "winsorized_mean"
+        ),
+    )

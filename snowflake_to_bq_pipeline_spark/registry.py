@@ -3463,6 +3463,57 @@ def json_props_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semistructured.props_profile(load_table(spark, sf_dir, "events"))
 
 
+from .operators import bpe  # noqa: E402
+
+
+@query("bpe_merge_table")  # rows-only: iterative model induction, no SQL twin
+def bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table over the document corpus (Sennrich BPE;
+    exact integer pair counts, lexicographic tie-break — engine- and
+    partitioning-deterministic; cross-checked against a pure-Python
+    reference implementation in tests/test_bpe.py)."""
+    return bpe.bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=10)
+
+
+@query(
+    "robust_value_stats",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS plo,
+             quantile_cont(value, 0.95) AS phi
+      FROM events GROUP BY event_type
+    ),
+    j AS (
+      SELECT e.event_type, e.value, b.plo, b.phi
+      FROM events e JOIN b USING (event_type)
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_all,
+           ROUND(MIN(plo), 6) AS p_lo,
+           ROUND(MIN(phi), 6) AS p_hi,
+           COUNT(*) FILTER (WHERE value >= plo AND value <= phi) AS n_kept,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        FILTER (WHERE value >= plo AND value <= phi)
+                      AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE value >= plo AND value <= phi),
+                 6) AS trimmed_mean,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(value, plo), phi)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS winsorized_mean
+    FROM j GROUP BY event_type
+    """,
+)
+def robust_value_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed + winsorized per-event-type value means — contamination-
+    robust baselines for the anomaly monitors."""
+    return quality.robust_value_stats(
+        load_table(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the driver's correctness window.
 #
@@ -3490,6 +3541,7 @@ _WINDOW_ORDER = [
     "scd2_status_history",
     "click_attribution",
     "json_props_profile",
+    "robust_value_stats",
     "retention_cohorts",
     "funnel_conversion",
     "key_skew_profile",
@@ -3598,6 +3650,7 @@ _WINDOW_ORDER = [
     "view_variance_detection",
     "work_item_enriched",
     # -- rows-only by design (no oracle possible) ----------------------
+    "bpe_merge_table",
     "kmeans_doc_clusters",
     "dedup_minhash_lsh",
     "dedup_simhash",
