@@ -119,3 +119,18 @@ def test_column_value_drift_joins_tiny_profiles(spark, sf_dir):
     # fine, but the fact table must be scanned exactly twice (src + tgt),
     # not once per column.
     assert plan.count("Scan parquet") <= 3, plan[:1500]
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_status")
+    writers.write_partitioned(orders, path, ["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = _plan(back)
+    # The status predicate must be a PartitionFilter on the scan (whole
+    # directories skipped), not a post-scan Filter over all partitions.
+    assert re.search(r"PartitionFilters:.*o_orderstatus.*=.*F", plan), plan
+    expected = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected
