@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -340,3 +340,80 @@ def paginated_extract_scalable(
     return ranked.filter((F.col("__rn") > lo) & (F.col("__rn") <= hi)).drop(
         "__rn"
     )
+
+
+class EmptySourceRefusal(RuntimeError):
+    """Raised instead of deleting when the source returned no rows.
+
+    The reference's critical data-loss fix
+    (CRITICAL_DELETE_LOGIC_FIX_SUMMARY.md): an empty extract means "the
+    source is unreachable or the query is wrong" far more often than
+    "every record was deleted upstream" — destroying the target snapshot
+    on that evidence destroyed historical budget data in production.
+    """
+
+
+def stale_snapshot_records(
+    target: DataFrame,
+    source_keys: DataFrame,
+    key_cols: Sequence[str],
+    snapshot_expr: Column,
+) -> DataFrame:
+    """The SAFE delete plan: stale rows of the CURRENT snapshot only.
+
+    Two properties the reference's fix demands (ref
+    CRITICAL_DELETE_LOGIC_FIX_SUMMARY.md "intelligent stale record
+    detection"):
+    - deletion candidates are scoped to the latest snapshot (historical
+      snapshots are never candidates, whatever the source says);
+    - a row is stale only because its key is ABSENT from the current
+      source keyset (anti-join), never because of a blind date range.
+
+    Returns the audit/delete plan as a DataFrame; apply_safe_stale_delete
+    executes it with the empty-source refusal.
+    """
+    latest = target.agg(F.max(snapshot_expr).alias("__latest"))
+    current = (
+        target.withColumn("__snap", snapshot_expr)
+        .crossJoin(F.broadcast(latest))
+        .filter(F.col("__snap") == F.col("__latest"))
+        .drop("__snap", "__latest")
+    )
+    return current.join(
+        source_keys.select(*key_cols).dropDuplicates(),
+        list(key_cols),
+        "left_anti",
+    )
+
+
+def apply_safe_stale_delete(
+    target: DataFrame,
+    source_keys: DataFrame,
+    key_cols: Sequence[str],
+    snapshot_expr: Column,
+) -> DataFrame:
+    """Remove current-snapshot stale rows; refuse on an empty source.
+
+    Returns the cleaned target (history untouched). Raises
+    :class:`EmptySourceRefusal` when ``source_keys`` has no rows — the
+    caller decides whether to alert, retry, or proceed manually; the
+    engine never converts "no data fetched" into a delete.
+    """
+    if source_keys.limit(1).count() == 0:
+        raise EmptySourceRefusal(
+            "source returned 0 rows; refusing to delete target snapshot "
+            "records (historical data preserved)"
+        )
+    latest = target.agg(F.max(snapshot_expr).alias("__latest"))
+    with_snap = target.withColumn("__snap", snapshot_expr).crossJoin(
+        F.broadcast(latest)
+    )
+    is_current = F.col("__snap") == F.col("__latest")
+    keyset = source_keys.select(*key_cols).dropDuplicates()
+    # Keep: every historical row, plus current rows whose key survives.
+    kept_current = (
+        with_snap.filter(is_current)
+        .join(keyset, list(key_cols), "left_semi")
+    )
+    historical = with_snap.filter(~is_current)
+    return historical.unionByName(kept_current).drop("__snap", "__latest")

@@ -281,3 +281,87 @@ def individual_budget_tracking(orders: DataFrame, lineitem: DataFrame) -> DataFr
             _schedule_now(),
         ).alias("is_order_overdue"),
     )
+
+
+def budget_fallback_allocation(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """v5 FALLBACK view: distribute order-level budget when no individual
+    allocation exists (work_item_individual_budget_time_tracking_view_v5
+    _fallback.sql — "falls back to work item level budgets distributed
+    among users who actually logged time").
+
+    One row per (order, contributor-with-time): if the contributor has
+    individual budget rows (returnflag A/R), that budget is used;
+    otherwise the order's total budget is split proportional to the
+    contributor's share of the order's time-entry amount. Shares divide
+    exact long micros cast to double (both exact below 2^53, correctly
+    rounded division — engine-identical), and the allocated amount
+    rounds via floor(x*100+0.5)/100, the tie-free half-up on doubles.
+
+    Scale: two aggregates over the time rows (contributor grain, then
+    order grain from the contributor grain — second shuffle is over the
+    already-aggregated table), the allocation flags ride the flagship's
+    alloc aggregate, orders joins last; no window functions.
+    """
+    is_time = F.col("l_returnflag") == "N"
+    net_mic = money_micros(
+        net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    )
+    sup_time = (
+        lineitem.filter(is_time)
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_suppkey").alias("contributor_key"),
+        )
+        .agg(F.sum(net_mic).alias("__sup_mic"))
+    )
+    ord_time = sup_time.groupBy("order_key").agg(
+        F.sum("__sup_mic").alias("__ord_mic")
+    )
+    alloc = (
+        lineitem.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_suppkey").alias("contributor_key"),
+        )
+        .agg(
+            money_from_micros_sum(F.sum(net_mic)).alias("__ind_budget")
+        )
+    )
+    share = F.when(
+        F.col("__ord_mic") > 0,
+        F.col("__sup_mic").cast("double") / F.col("__ord_mic").cast("double"),
+    )
+    fallback = (
+        F.floor(F.col("o_totalprice") * share * 100 + F.lit(0.5)).cast(
+            "double"
+        )
+        / 100
+    )
+    has_ind = F.col("__ind_budget").isNotNull()
+    return (
+        sup_time.join(ord_time, "order_key")
+        .join(alloc, ["order_key", "contributor_key"], "left")
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("order_key"), "o_totalprice"
+            ),
+            "order_key",
+        )
+        .select(
+            "order_key",
+            "contributor_key",
+            money_from_micros_sum(F.col("__sup_mic")).alias("time_amount"),
+            F.round(share, 6).alias("time_share"),
+            has_ind.alias("has_individual_budget"),
+            F.col("__ind_budget").alias("ind_budget_amount"),
+            F.when(~has_ind, fallback).alias("fallback_budget_amount"),
+            F.when(has_ind, F.col("__ind_budget"))
+            .otherwise(fallback)
+            .alias("effective_budget"),
+            F.when(has_ind, F.lit("individual"))
+            .otherwise(F.lit("fallback_distributed"))
+            .alias("budget_source"),
+        )
+    )

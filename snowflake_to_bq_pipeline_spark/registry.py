@@ -3514,6 +3514,91 @@ def robust_value_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stale_snapshot_audit",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS d FROM events)
+    SELECT e.* FROM events e JOIN mx ON CAST(e.ts AS DATE) = mx.d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = e.user_id AND c.c_custkey % 7 != 0
+    )
+    """,
+)
+def stale_snapshot_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAFE reconciliation-delete plan: stale keys of the LATEST snapshot
+    day only (ref CRITICAL_DELETE_LOGIC_FIX_SUMMARY.md — key-absence
+    scoped to the current snapshot, never a blind date-range delete;
+    empty-source refusal covered in tests/test_scale_ops.py)."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    source_keys = customer.filter(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return sync.stale_snapshot_records(
+        events, source_keys, ["user_id"], F.to_date(F.col("ts"))
+    )
+
+
+@query(
+    "budget_fallback_allocation",
+    oracle=f"""
+    WITH sup AS (
+      SELECT l_orderkey AS order_key, l_suppkey AS contributor_key,
+             CAST(SUM({_NET}) * 1000000 AS BIGINT) AS sup_mic,
+             CAST(ROUND(SUM({_NET}), 2) AS DOUBLE) AS time_amount
+      FROM lineitem WHERE l_returnflag = 'N'
+      GROUP BY 1, 2
+    ),
+    ord AS (
+      SELECT order_key, CAST(SUM(sup_mic) AS BIGINT) AS ord_mic
+      FROM sup GROUP BY order_key
+    ),
+    alloc AS (
+      SELECT l_orderkey AS order_key, l_suppkey AS contributor_key,
+             CAST(ROUND(SUM({_NET}), 2) AS DOUBLE) AS ind_budget
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY 1, 2
+    )
+    SELECT s.order_key, s.contributor_key,
+           s.time_amount,
+           ROUND(CASE WHEN o2.ord_mic > 0
+                      THEN CAST(s.sup_mic AS DOUBLE)
+                           / CAST(o2.ord_mic AS DOUBLE) END, 6)
+             AS time_share,
+           a.ind_budget IS NOT NULL AS has_individual_budget,
+           a.ind_budget AS ind_budget_amount,
+           CASE WHEN a.ind_budget IS NULL THEN
+             FLOOR(o.o_totalprice
+                   * (CASE WHEN o2.ord_mic > 0
+                           THEN CAST(s.sup_mic AS DOUBLE)
+                                / CAST(o2.ord_mic AS DOUBLE) END)
+                   * 100 + 0.5) / 100
+           END AS fallback_budget_amount,
+           CASE WHEN a.ind_budget IS NOT NULL THEN a.ind_budget
+                ELSE FLOOR(o.o_totalprice
+                   * (CASE WHEN o2.ord_mic > 0
+                           THEN CAST(s.sup_mic AS DOUBLE)
+                                / CAST(o2.ord_mic AS DOUBLE) END)
+                   * 100 + 0.5) / 100
+           END AS effective_budget,
+           CASE WHEN a.ind_budget IS NOT NULL THEN 'individual'
+                ELSE 'fallback_distributed' END AS budget_source
+    FROM sup s
+    JOIN ord o2 USING (order_key)
+    LEFT JOIN alloc a USING (order_key, contributor_key)
+    JOIN orders o ON o.o_orderkey = s.order_key
+    """,
+)
+def budget_fallback_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v5 FALLBACK view: per-contributor budget with work-item-level
+    proportional distribution when no individual allocation exists."""
+    return budget.budget_fallback_allocation(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the driver's correctness window.
 #
@@ -3542,6 +3627,8 @@ _WINDOW_ORDER = [
     "click_attribution",
     "json_props_profile",
     "robust_value_stats",
+    "stale_snapshot_audit",
+    "budget_fallback_allocation",
     "retention_cohorts",
     "funnel_conversion",
     "key_skew_profile",

@@ -151,3 +151,39 @@ def test_paginated_scalable_equals_plain(spark, sf_dir):
         ra = sorted(map(tuple, a.collect()))
         rb = sorted(map(tuple, b.collect()))
         assert ra == rb
+
+
+def test_safe_stale_delete_refuses_empty_source(spark, sf_dir):
+    import pytest as _pytest
+
+    events = load_table(spark, sf_dir, "events")
+    empty = load_table(spark, sf_dir, "customer").filter(F.lit(False)).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    with _pytest.raises(sync.EmptySourceRefusal):
+        sync.apply_safe_stale_delete(
+            events, empty, ["user_id"], F.to_date(F.col("ts"))
+        )
+
+
+def test_safe_stale_delete_scopes_to_latest_snapshot(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    source = customer.filter(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    snap = F.to_date(F.col("ts"))
+    cleaned = sync.apply_safe_stale_delete(events, source, ["user_id"], snap)
+    latest = events.agg(F.max(snap)).collect()[0][0]
+    # Historical rows all preserved — even those with now-missing keys.
+    hist_before = events.filter(snap < F.lit(latest)).count()
+    hist_after = cleaned.filter(
+        F.to_date(F.col("ts")) < F.lit(latest)
+    ).count()
+    assert hist_before == hist_after
+    # Current-snapshot rows: exactly the stale ones removed.
+    stale = sync.stale_snapshot_records(events, source, ["user_id"], snap)
+    cur_before = events.filter(snap == F.lit(latest)).count()
+    cur_after = cleaned.filter(F.to_date(F.col("ts")) == F.lit(latest)).count()
+    assert cur_after == cur_before - stale.count()
+    assert cleaned.count() == events.count() - stale.count()
