@@ -52,3 +52,55 @@ def interval_join(
         )
         .drop("__bin")
     )
+
+
+def open_intervals_by_day(
+    intervals: DataFrame,
+    open_col: str,
+    close_col: str,
+) -> DataFrame:
+    """Sweep-line interval counting: how many intervals are open per day.
+
+    The naive formulation (day-spine × interval with a BETWEEN predicate)
+    is the same quadratic nested-loop this module's interval_join exists
+    to avoid — and it materializes every (day, open interval) pair. The
+    sweep-line fold is the scale-correct shape: each interval emits two
+    delta rows (+1 at open, −1 the day after close), one hash aggregation
+    collapses them per day, and a running sum over the DISTINCT-day table
+    (O(days) rows, deliberately tiny like backfill_progress) yields the
+    open count. O(2·intervals) shuffled rows regardless of interval
+    length — an interval spanning years costs the same two deltas.
+
+    Inclusive close: an interval is open on every day in
+    ``[open_day, close_day]``.
+    """
+    from pyspark.sql import Window
+
+    opens = intervals.select(
+        F.col(open_col).alias("day"),
+        F.lit(1).alias("__delta"),
+        F.lit(1).alias("__opened"),
+        F.lit(0).alias("__closed"),
+    )
+    closes = intervals.select(
+        F.date_add(F.col(close_col), 1).alias("day"),
+        F.lit(-1).alias("__delta"),
+        F.lit(0).alias("__opened"),
+        F.lit(1).alias("__closed"),
+    )
+    days = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(
+            F.sum("__delta").alias("__d"),
+            F.sum("__opened").cast("bigint").alias("n_opened"),
+            F.sum("__closed").cast("bigint").alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return days.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum("__d").over(w).cast("bigint").alias("open_intervals"),
+    )

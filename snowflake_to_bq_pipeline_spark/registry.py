@@ -3599,6 +3599,56 @@ def budget_fallback_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "open_orders_by_day",
+    oracle="""
+    WITH cl AS (
+      SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_day
+      FROM lineitem GROUP BY 1
+    ),
+    o AS (
+      SELECT CAST(o_orderdate AS DATE) AS open_day,
+             COALESCE(cl.close_day, CAST(o_orderdate AS DATE)) AS close_day
+      FROM orders LEFT JOIN cl ON cl.l_orderkey = o_orderkey
+    ),
+    d AS (
+      SELECT open_day AS day, 1 AS delta, 1 AS opened, 0 AS closed FROM o
+      UNION ALL
+      SELECT close_day + 1, -1, 0, 1 FROM o
+    ),
+    g AS (
+      SELECT day, CAST(SUM(delta) AS BIGINT) AS delta,
+             CAST(SUM(opened) AS BIGINT) AS n_opened,
+             CAST(SUM(closed) AS BIGINT) AS n_closed
+      FROM d GROUP BY day
+    )
+    SELECT day, n_opened, n_closed,
+           CAST(SUM(delta) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_intervals
+    FROM g
+    """,
+)
+def open_orders_by_day_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog trend: orders open per day (open = orderdate, close = last
+    shipment) via the sweep-line delta fold — two rows per order, never a
+    day-spine cross join."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    close = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max(F.to_date("l_shipdate")).alias("close_day")
+    )
+    iv = orders.join(close, "o_orderkey", "left").select(
+        F.to_date("o_orderdate").alias("open_day"),
+        F.coalesce(F.col("close_day"), F.to_date("o_orderdate")).alias(
+            "close_day"
+        ),
+    )
+    from .operators import ranges
+
+    return ranges.open_intervals_by_day(iv, "open_day", "close_day")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the driver's correctness window.
 #
@@ -3629,6 +3679,7 @@ _WINDOW_ORDER = [
     "robust_value_stats",
     "stale_snapshot_audit",
     "budget_fallback_allocation",
+    "open_orders_by_day",
     "retention_cohorts",
     "funnel_conversion",
     "key_skew_profile",

@@ -65,3 +65,16 @@ def test_interval_join_plan_has_no_nested_loop(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_open_intervals_conservation(spark, sf_dir):
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.registry import QUERIES
+
+    out = QUERIES["open_orders_by_day"](spark, sf_dir).orderBy("day").collect()
+    orders_n = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_opened"] for r in out) == orders_n
+    assert sum(r["n_closed"] for r in out) == orders_n
+    # Running count never negative; everything eventually closes.
+    assert all(r["open_intervals"] >= 0 for r in out)
+    assert out[-1]["open_intervals"] == 0
