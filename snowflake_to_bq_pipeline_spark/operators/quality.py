@@ -373,3 +373,56 @@ def robust_value_stats(
             "winsorized_mean"
         ),
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier profile per group.
+
+    The breakdown-resistant twin of the z-score monitors: median and
+    median-absolute-deviation survive 50% contamination where mean/std
+    survive none. A value is an outlier when
+    ``|x - median| > k * 1.4826 * MAD`` (1.4826 = normal-consistency
+    constant). Three passes, each a grouped aggregate with the tiny
+    per-group stats broadcast back — no windows over raw data; same
+    interpolation-ulp caveat as the other exact-percentile ops.
+    """
+    g = F.col(group_col)
+    med = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med")
+    )
+    dev_df = df.join(F.broadcast(med), group_col).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    stats = dev_df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__med").alias("__median"),
+        F.percentile(F.col("__dev"), F.lit(0.5)).alias("__mad"),
+    )
+    flagged = dev_df.join(
+        F.broadcast(stats.select(group_col, "__mad")), group_col
+    )
+    is_out = F.col("__dev") > F.lit(float(k)) * F.lit(1.4826) * F.col("__mad")
+    outs = flagged.groupBy(group_col).agg(
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias(
+            "n_outliers"
+        )
+    )
+    return (
+        stats.join(outs, group_col)
+        .select(
+            group_col,
+            "n",
+            F.round(F.col("__median"), 6).alias("median"),
+            F.round(F.col("__mad"), 6).alias("mad"),
+            "n_outliers",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("outlier_frac"),
+        )
+    )

@@ -309,3 +309,54 @@ def rolling_revenue_7d(orders: DataFrame) -> DataFrame:
             / 100
         ).alias("avg_daily_7d"),
     )
+
+
+def customer_revenue_deciles(orders: DataFrame) -> DataFrame:
+    """Decile table over per-customer revenue (who drives the book).
+
+    Rank-based bucketing needs a TOTAL order over the aggregated
+    customer table; at warehouse scale that table is itself large, so
+    the rank comes from operators.sync.global_row_number (two-phase
+    range-partitioned ranking) — never a single-partition NTILE sort.
+    Buckets use the balanced formula floor((rn-1)·10/n)+1, written
+    identically in the oracle (SQL NTILE's remainder distribution is
+    engine-defined, so it is avoided).
+    """
+    from ..functions import dec, money
+    from ..operators.sync import global_row_number
+
+    cust = orders.groupBy(F.col("o_custkey").alias("customer_key")).agg(
+        money(F.sum(dec(F.col("o_totalprice")))).alias("revenue")
+    )
+    # Deterministic total order: revenue desc, then key. The negated
+    # revenue is a sort helper (exact double negation).
+    keyed = cust.withColumn("__neg_rev", -F.col("revenue"))
+    n = keyed.count()
+    ranked = global_row_number(
+        keyed, ["__neg_rev", "customer_key"], row_col="__rn"
+    ).drop("__neg_rev")
+    decile = (
+        F.floor((F.col("__rn") - 1) * 10 / F.lit(n)).cast("int") + 1
+    ).alias("decile")
+    per_cust = ranked.select("customer_key", "revenue", decile)
+    totals = per_cust.agg(
+        F.sum(dec(F.col("revenue"))).alias("__grand")
+    )
+    return (
+        per_cust.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money(F.sum(dec(F.col("revenue")))).alias("revenue_total"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_total",
+            F.round(
+                F.col("revenue_total")
+                / F.col("__grand").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+    )

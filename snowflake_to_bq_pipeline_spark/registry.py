@@ -3649,6 +3649,80 @@ def open_orders_by_day_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranges.open_intervals_by_day(iv, "open_day", "close_day")
 
 
+@query(
+    "mad_outlier_profile",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, MIN(med) AS median,
+             quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type, s.n,
+           ROUND(s.median, 6) AS median,
+           ROUND(s.mad, 6) AS mad,
+           CAST(SUM(CASE WHEN d.dev > 3.0 * 1.4826 * s.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(CAST(SUM(CASE WHEN d.dev > 3.0 * 1.4826 * s.mad
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(s.n AS DOUBLE), 6) AS outlier_frac
+    FROM d JOIN s USING (event_type)
+    GROUP BY d.event_type, s.n, s.median, s.mad
+    """,
+)
+def mad_outlier_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier profile per event type — the
+    breakdown-resistant twin of the z-score volume monitors."""
+    return quality.mad_outlier_stats(
+        load_table(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+@query(
+    "customer_revenue_deciles",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS customer_key,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                  AS DOUBLE) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT customer_key, revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, customer_key) AS rn,
+             COUNT(*) OVER () AS n
+      FROM cust
+    ),
+    p AS (
+      SELECT customer_key, revenue,
+             CAST((rn - 1) * 10 // n AS INT) + 1 AS decile
+      FROM r
+    ),
+    t AS (SELECT SUM(CAST(revenue AS DECIMAL(18,6))) AS grand FROM p)
+    SELECT decile, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS revenue_total,
+           ROUND(CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,6))), 2)
+                      AS DOUBLE) / CAST(t.grand AS DOUBLE), 6)
+             AS revenue_share
+    FROM p CROSS JOIN t
+    GROUP BY decile, t.grand
+    """,
+)
+def customer_revenue_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer revenue deciles via the two-phase distributed ranking
+    (no single-partition NTILE sort) with per-decile revenue shares."""
+    return dashboard.customer_revenue_deciles(load_table(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the driver's correctness window.
 #
@@ -3680,6 +3754,8 @@ _WINDOW_ORDER = [
     "stale_snapshot_audit",
     "budget_fallback_allocation",
     "open_orders_by_day",
+    "mad_outlier_profile",
+    "customer_revenue_deciles",
     "retention_cohorts",
     "funnel_conversion",
     "key_skew_profile",
