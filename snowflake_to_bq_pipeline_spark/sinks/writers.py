@@ -28,6 +28,7 @@ import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.sync import merge_upsert
 
@@ -211,3 +212,73 @@ def merge_into_delta(
     else:
         merge = merge.whenMatchedUpdateAll()
     merge.whenNotMatchedInsertAll().execute()
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    num_files: int | None = None,
+) -> None:
+    """Range-clustered write: co-locate rows by the columns queries
+    filter on, so parquet min/max footer stats prune whole files.
+
+    ``repartitionByRange`` gives each output file a disjoint key range
+    (the 1-D equivalent of Z-ordering; enough when one column dominates
+    predicates), and ``sortWithinPartitions`` tightens row-group stats
+    inside each file. A reader filtering on the cluster column then
+    skips every file whose range misses — the layout-level complement
+    of partition pruning, without the directory explosion of
+    ``partitionBy`` on a high-cardinality key.
+    """
+    spark = df.sparkSession
+    n = num_files or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_path(
+    spark: SparkSession,
+    path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> int:
+    """Coalesce a directory of small parquet files into ~target-sized
+    ones; returns the new file count.
+
+    The streaming/daily-increment pattern leaves thousands of tiny files
+    whose open/footer overhead dominates scans; periodic compaction is
+    table maintenance every lake engine runs (Delta OPTIMIZE, Iceberg
+    rewrite_data_files). Implemented as read → coalesce(ceil(bytes /
+    target)) → atomic swap (same crash-safe rename dance as
+    merge_into_path). ``coalesce`` avoids a shuffle: existing partitions
+    concatenate into fewer files.
+    """
+    _recover_dangling_swap(path)
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_bytes_per_file))
+    compacted = spark.read.parquet(path).coalesce(n_files)
+    tmp = tempfile.mkdtemp(
+        prefix=".compact_", dir=os.path.dirname(os.path.abspath(path))
+    )
+    try:
+        out = os.path.join(tmp, "data")
+        compacted.write.mode("overwrite").parquet(out)
+        old = f"{path.rstrip('/')}.old.{uuid.uuid4().hex}"
+        os.rename(path, old)
+        os.rename(out, path)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )

@@ -172,3 +172,47 @@ def test_sample_frames_period_and_determinism(spark):
     # deterministic re-run
     again = sample_frames(synthetic_media(spark, 30), every_ms=250).collect()
     assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
+def test_write_clustered_prunes_file_ranges(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_clustered")
+    writers.write_clustered(orders, path, ["o_orderdate"], num_files=6)
+    # Per-file o_orderdate ranges must be pairwise disjoint (footer
+    # min/max stats prune whole files for date-filtered scans).
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_orderdate"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+    # Round-trip intact.
+    assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_compact_path_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_small_files")
+    orders.repartition(40).write.parquet(path)
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before >= 40
+    rows_before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    n_after = writers.compact_path(spark, path)
+    assert n_after < before
+    rows_after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert rows_before == rows_after
