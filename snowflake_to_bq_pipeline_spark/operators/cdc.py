@@ -46,3 +46,46 @@ def fold_changelog(
     upserts = last.filter(F.col(op_col) == "UPSERT").select(*base.columns)
     survived = base.join(deletes, list(key_cols), "left_anti")
     return merge_upsert(survived, upserts, key_cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Diff two snapshots into an I/U/D changelog (cdc's inverse).
+
+    The reference derives its delete/insert sets by materializing key
+    lists in Python (snowflake_bq_deduplication_sync.py orphaned/missing
+    items); the engine form is ONE full-outer join on the key: new-only
+    keys emit INSERT, old-only DELETE, both-sides-with-changes UPDATE,
+    and unchanged rows are filtered out (the usual 99% — the output is
+    change-sized, not table-sized). Emits old_*/new_* value pairs for
+    audit. One shuffle per side; the change classification is a
+    projection.
+    """
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, list(key_cols), "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("INSERT"))
+        .when(F.col("__in_new").isNull(), F.lit("DELETE"))
+        .when(changed, F.lit("UPDATE"))
+    )
+    return (
+        j.withColumn("change_op", op)
+        .filter(F.col("change_op").isNotNull())
+        .drop("__in_old", "__in_new")
+    )

@@ -3723,6 +3723,86 @@ def customer_revenue_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dashboard.customer_revenue_deciles(load_table(spark, sf_dir, "orders"))
 
 
+@query(
+    "snapshot_changelog",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 13 != 0
+    ),
+    new_ AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 16.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 != 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           a.o_orderstatus AS old_o_orderstatus,
+           a.o_totalprice AS old_o_totalprice,
+           b.o_orderstatus AS new_o_orderstatus,
+           b.o_totalprice AS new_o_totalprice,
+           CASE WHEN a.o_orderkey IS NULL THEN 'INSERT'
+                WHEN b.o_orderkey IS NULL THEN 'DELETE'
+                WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                  OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                THEN 'UPDATE' END AS change_op
+    FROM old a FULL OUTER JOIN new_ b USING (o_orderkey)
+    WHERE CASE WHEN a.o_orderkey IS NULL THEN 'INSERT'
+               WHEN b.o_orderkey IS NULL THEN 'DELETE'
+               WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                 OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+               THEN 'UPDATE' END IS NOT NULL
+    """,
+)
+def snapshot_changelog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff -> I/U/D changelog (cdc_fold's inverse; the engine
+    form of the reference's Python-side orphaned/missing key sets).
+    Deterministic simulation: every 13th key absent from old, every 11th
+    absent from new, every 7th price-bumped."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 13 != 0)
+    new = orders.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(16.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return cdc.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+@query(
+    "event_lateness_profile",
+    oracle="""
+    WITH l AS (
+      SELECT event_type,
+             CAST(epoch_us(MAX(ts) OVER (PARTITION BY user_id
+                                         ORDER BY event_id
+                                         ROWS UNBOUNDED PRECEDING))
+                  - epoch_us(ts) AS DOUBLE) / 1000000.0 AS late
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(quantile_cont(late, 0.5), 6) AS late_p50_s,
+           ROUND(quantile_cont(late, 0.95), 6) AS late_p95_s,
+           ROUND(quantile_cont(late, 0.99), 6) AS late_p99_s,
+           ROUND(MAX(late), 6) AS late_max_s,
+           CAST(CEIL(quantile_cont(late, 0.99)) AS BIGINT)
+             AS suggested_watermark_s
+    FROM l GROUP BY event_type
+    """,
+)
+def event_lateness_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed out-of-orderness per event type with a suggested
+    watermark — turns streaming watermark choice into a query."""
+    return incremental.event_lateness_profile(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the driver's correctness window.
 #
@@ -3756,6 +3836,8 @@ _WINDOW_ORDER = [
     "open_orders_by_day",
     "mad_outlier_profile",
     "customer_revenue_deciles",
+    "snapshot_changelog",
+    "event_lateness_profile",
     "retention_cohorts",
     "funnel_conversion",
     "key_skew_profile",

@@ -96,3 +96,49 @@ def run_incremental_sync(
         .start()
     )
     q.awaitTermination()
+
+
+def event_lateness_profile(events: DataFrame) -> DataFrame:
+    """Observed out-of-orderness per event type — the watermark advisor.
+
+    A watermark is a bet on how late data arrives; this measures it on
+    the actual stream history: per user (arrival order = event_id), a
+    row's lateness is the running-max event time minus its own event
+    time. The per-type profile (p50/p95/p99/max seconds, plus ceil(p99)
+    as the suggested watermark) turns "pick a watermark" into a query.
+
+    Scale: one window partitioned by user (the same shuffle the
+    sessionization ops use), then a per-type aggregate. Lateness is
+    exact integer microseconds; only the interpolated percentiles are
+    float.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late_s = (
+        F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).cast("double") / F.lit(1000000.0)
+    return (
+        events.select("event_type", late_s.alias("__late"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile(F.col("__late"), F.lit(0.5)), 6).alias(
+                "late_p50_s"
+            ),
+            F.round(F.percentile(F.col("__late"), F.lit(0.95)), 6).alias(
+                "late_p95_s"
+            ),
+            F.round(F.percentile(F.col("__late"), F.lit(0.99)), 6).alias(
+                "late_p99_s"
+            ),
+            F.round(F.max("__late"), 6).alias("late_max_s"),
+            F.ceil(F.percentile(F.col("__late"), F.lit(0.99)))
+            .cast("bigint")
+            .alias("suggested_watermark_s"),
+        )
+    )
