@@ -3826,7 +3826,7 @@ def event_lateness_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW_ORDER = [
-    # -- new this round (never driver-checked): front of the window ----
+    # -- slots 1-24: never driver-checked (new this round) -------------
     "scd2_status_history",
     "click_attribution",
     "json_props_profile",
@@ -3844,15 +3844,6 @@ _WINDOW_ORDER = [
     "rolling_revenue_7d",
     "priority_sample_docs",
     "group_percentiles_exact",
-    # -- r4 window: first slots = every oracle query WITHOUT a fresh r3
-    # correctness row (the r2-only set VERDICT r3 item 9 asked to rotate
-    # back in, plus the two queries new this round); slots 33-35 = the
-    # three oracles whose HUGEINT casts were fixed (need their first green
-    # hash); slots 36-50 = queries whose engine code changed this round
-    # (repetition rewrite, micros money sums, events-ts normalization) and
-    # need a fresh hard signal. 51+ = r3-green stable passers, then the
-    # six rows-only ops (no hash verdict possible) last.
-    # ------------------------------------------------------------------
     "backfill_progress",
     "column_value_drift",
     "token_count_bpe",
@@ -3860,6 +3851,17 @@ _WINDOW_ORDER = [
     "event_session_stats",
     "paragraph_dedup",
     "distribution_drift_psi",
+    # -- slots 25-27: r3 oracle-cast fixes needing first green hash ----
+    "sequence_packing",
+    "pack_fill_summary",
+    "source_language_mix",
+    # -- slots 28-31: engine code changed this round --------------------
+    "repetition_filter",
+    "individual_budget_tracking",
+    "budget_vs_actual",
+    "ngram_jaccard_dups",
+    # -- fill to 50 with the longest-unchecked stable passers; the
+    # remainder and the rows-only ops (no hash verdict possible) follow
     "full_sync_snapshot",
     "incremental_sync_window",
     "merge_upsert",
@@ -3885,19 +3887,8 @@ _WINDOW_ORDER = [
     "text_stats",
     "text_quality_score",
     "lang_id",
-    "ngram_jaccard_dups",
     "ann_cosine_topk",
     "embedding_dup_pairs",
-    # -- oracle-cast fixes (driver-red in r3, engine verified correct) --
-    "sequence_packing",
-    "pack_fill_summary",
-    "source_language_mix",
-    # -- engine code changed this round (micros money sums, repetition
-    # rewrite, hashed jaccard intersection) ----------------------------
-    "repetition_filter",
-    "individual_budget_tracking",
-    "budget_vs_actual",
-    # -- just outside the 50: r2-green, code unchanged -----------------
     "vocab_top_k",
     "doc_length_histogram",
     "error_window_events",
@@ -3912,7 +3903,6 @@ _WINDOW_ORDER = [
     "dedup_clusters",
     "contributor_utilization_rollup",
     "client_budget_rollup",
-    # -- beyond the window: r3-green stable passers --------------------
     "asof_join_last_purchase",
     "bloom_filtered_entries",
     "decontamination_overlap",
@@ -3945,7 +3935,6 @@ _WINDOW_ORDER = [
     "utilization_rollup",
     "view_variance_detection",
     "work_item_enriched",
-    # -- rows-only by design (no oracle possible) ----------------------
     "bpe_merge_table",
     "kmeans_doc_clusters",
     "dedup_minhash_lsh",
