@@ -347,3 +347,76 @@ def simhash_pairs(
         .filter(ham <= max_hamming)
         .select("doc_a", "doc_b", ham.alias("hamming_distance"))
     )
+
+
+def incremental_neardup_check(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Check INCOMING docs against an EXISTING corpus (daily-increment
+    dedup: the batch flow of "is today's crawl already in the training
+    set").
+
+    Exact shingle-Jaccard via the asymmetric inverted-index join — new
+    docs only probe; the corpus side carries the index. One row per
+    incoming doc: its best corpus match (highest jaccard, ties to the
+    smallest corpus doc id) or nulls when nothing clears the threshold.
+
+    Intersections join on xxhash64(shingle) — same 8-byte-key trade as
+    ngram_jaccard_pairs. At 100 TB the corpus shingle side is the big
+    one and is exactly what you'd persist as a reusable index between
+    daily runs (the _swap_cache slot does that within a session).
+    """
+    from pyspark.sql import Window
+
+    sh_old = _swap_cache(
+        "incremental_index",
+        shingles(corpus, text_col, k).select(
+            F.col("doc_id").alias("corpus_id"),
+            F.xxhash64("shingle").alias("__h"),
+        ),
+    )
+    sh_new = shingles(incoming, text_col, k).select(
+        F.col("doc_id"), F.xxhash64("shingle").alias("__h")
+    )
+    sz_old = sh_old.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("__szo"))
+    sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__szn"))
+    inter = (
+        sh_new.join(sh_old, "__h")
+        .groupBy("doc_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    j = F.col("__i").cast("double") / (
+        F.col("__szn") + F.col("__szo") - F.col("__i")
+    )
+    scored = (
+        inter.join(sz_new, "doc_id")
+        .join(sz_old, "corpus_id")
+        .withColumn("__j", j)
+        .filter(F.col("__j") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("__j").desc(), F.col("corpus_id")
+    )
+    best = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "doc_id",
+            F.col("corpus_id").alias("best_match_id"),
+            F.round(F.col("__j"), 6).alias("best_jaccard"),
+        )
+    )
+    return (
+        incoming.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "best_match_id",
+            "best_jaccard",
+            F.col("best_match_id").isNotNull().alias("is_duplicate"),
+        )
+    )

@@ -3803,6 +3803,49 @@ def event_lateness_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_dedup_check",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    inter AS (
+      SELECT n.doc_id, o.doc_id AS corpus_id, COUNT(*) AS i
+      FROM sh n JOIN sh o ON n.shingle = o.shingle
+      WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 != 0
+      GROUP BY n.doc_id, o.doc_id
+    ),
+    scored AS (
+      SELECT i.doc_id, i.corpus_id,
+             CAST(i.i AS DOUBLE) / (sn.sz + so.sz - i.i) AS j
+      FROM inter i
+      JOIN sizes sn ON i.doc_id = sn.doc_id
+      JOIN sizes so ON i.corpus_id = so.doc_id
+      WHERE CAST(i.i AS DOUBLE) / (sn.sz + so.sz - i.i) >= {_JACCARD_TAU}
+    ),
+    best AS (
+      SELECT doc_id, corpus_id AS best_match_id, ROUND(j, 6) AS best_jaccard
+      FROM (
+        SELECT doc_id, corpus_id, j,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY j DESC, corpus_id) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT d.doc_id, b.best_match_id, b.best_jaccard,
+           b.best_match_id IS NOT NULL AS is_duplicate
+    FROM documents d LEFT JOIN best b USING (doc_id)
+    WHERE d.doc_id % 5 = 0
+    """,
+)
+def incremental_dedup_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment dedup: check incoming docs (every 5th) against the
+    existing corpus via the asymmetric hashed-shingle inverted index;
+    best corpus match per incoming doc or nulls."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    return neardup.incremental_neardup_check(corpus, incoming, _JACCARD_TAU)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the driver's correctness window.
 #
@@ -3827,6 +3870,7 @@ def event_lateness_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINDOW_ORDER = [
     # -- slots 1-24: never driver-checked (new this round) -------------
+    "incremental_dedup_check",
     "scd2_status_history",
     "click_attribution",
     "json_props_profile",
