@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) for the order-statistics and diff
+primitives: random inputs, algebraic invariants, Python references.
+
+Examples are capped low — each example runs real Spark jobs — but every
+run explores fresh corners (hypothesis shrinks failures to minimal
+cases, which is exactly what windowed/diff edge bugs need: ties, empty
+groups, single-row groups)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from snowflake_to_bq_pipeline_spark.operators import cdc, scd
+from snowflake_to_bq_pipeline_spark.operators.prefix import grouped_prefix_sum
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # group
+        st.integers(min_value=0, max_value=20),  # order key
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_grouped_prefix_sum_matches_window(spark, rows):
+    # Unique (group, order) pairs — a total order, the documented
+    # requirement shared with any window cumsum.
+    uniq = {(g, o): v for g, o, v in rows}
+    data = [(g, o, v) for (g, o), v in sorted(uniq.items())]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "g int, o int, v long")
+    got = {
+        (r["g"], r["o"]): r["cs"]
+        for r in grouped_prefix_sum(
+            df, ["g"], ["o"], "v", out_col="cs", num_partitions=3
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["g"], r["o"]): r["cs"]
+        for r in df.withColumn("cs", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_scd2_matches_python_reference(spark, rows):
+    # (key, ts, attr) stream; tiebreak by a unique sequence number.
+    data = [
+        (g, o, str(v % 3), i) for i, (g, o, v) in enumerate(rows)
+    ]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "k int, ts int, attr string, seq int")
+    got = sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["version"],
+         r["n_observations"], r["is_current"])
+        for r in scd.scd2_history(
+            df, ["k"], "attr", "ts", tiebreak_cols=["seq"]
+        ).collect()
+    )
+    # Python reference: sort per key by (ts, seq), collapse runs.
+    per_key: dict[int, list[tuple[int, int, str]]] = {}
+    for k, ts, attr, seq in data:
+        per_key.setdefault(k, []).append((ts, seq, attr))
+    want = []
+    for k, evs in per_key.items():
+        evs.sort()
+        runs: list[list] = []
+        for ts, seq, attr in evs:
+            if runs and runs[-1][0] == attr:
+                runs[-1][2] += 1
+            else:
+                runs.append([attr, ts, 1])
+        for i, (attr, vf, n) in enumerate(runs):
+            vt = runs[i + 1][1] if i + 1 < len(runs) else None
+            want.append((k, attr, vf, vt, i + 1, n, vt is None))
+    assert got == sorted(want)
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_snapshot_diff_changelog_replays_to_new(spark, rows):
+    # Build old/new snapshots from random rows: key -> value; even keys
+    # only in old beyond a cutoff, etc. — hypothesis supplies the shapes.
+    old_rows = {g * 21 + o: v for g, o, v in rows[: len(rows) // 2]}
+    new_rows = {g * 21 + o: v for g, o, v in rows[len(rows) // 2 :]}
+    old = spark.createDataFrame(
+        [(k, v) for k, v in sorted(old_rows.items())] or [(None, None)],
+        "k long, v long",
+    ).filter(F.col("k").isNotNull())
+    new = spark.createDataFrame(
+        [(k, v) for k, v in sorted(new_rows.items())] or [(None, None)],
+        "k long, v long",
+    ).filter(F.col("k").isNotNull())
+    log = cdc.snapshot_diff(old, new, ["k"], ["v"]).collect()
+    # Replay the changelog onto old: delete D, upsert I/U -> must equal new.
+    state = dict(old_rows)
+    for r in log:
+        if r["change_op"] == "DELETE":
+            state.pop(r["k"], None)
+        else:
+            state[r["k"]] = r["new_v"]
+    assert state == new_rows
+    # Changelog is minimal: no UNCHANGED rows emitted.
+    for r in log:
+        if r["change_op"] == "UPDATE":
+            assert old_rows[r["k"]] != new_rows[r["k"]]
