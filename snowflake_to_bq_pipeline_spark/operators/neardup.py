@@ -379,8 +379,14 @@ def incremental_neardup_check(
             F.xxhash64("shingle").alias("__h"),
         ),
     )
-    sh_new = shingles(incoming, text_col, k).select(
-        F.col("doc_id"), F.xxhash64("shingle").alias("__h")
+    # Persisted like the corpus side: sizes and the probe join both
+    # consume it, and Spark does not reuse the explode+dedup exchange
+    # across consumers (the module-wide 0-ReusedExchange finding).
+    sh_new = _swap_cache(
+        "incremental_incoming",
+        shingles(incoming, text_col, k).select(
+            F.col("doc_id"), F.xxhash64("shingle").alias("__h")
+        ),
     )
     sz_old = sh_old.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("__szo"))
     sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__szn"))
