@@ -282,3 +282,39 @@ def compact_path(
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_n: int,
+) -> list[str]:
+    """Retention vacuum for a ``partitionBy(partition_col)`` layout: keep
+    the newest ``keep_n`` partition values, delete the rest.
+
+    The third leg of table maintenance next to write_partitioned
+    (layout) and compact_path (file sizing): daily-snapshot tables grow
+    one partition per run forever, and retention is a DIRECTORY delete
+    on the partition key — never a rewrite of surviving data. Values
+    sort lexicographically, which orders ISO dates correctly (the
+    layout's own convention). Returns the deleted partition values.
+
+    Refuses (ValueError) when asked to delete everything — the same
+    conservatism as apply_safe_stale_delete's empty-source refusal.
+    """
+    prefix = f"{partition_col}="
+    parts = sorted(
+        d[len(prefix):]
+        for d in os.listdir(path)
+        if d.startswith(prefix)
+        and os.path.isdir(os.path.join(path, d))
+    )
+    if keep_n < 1:
+        raise ValueError(
+            "keep_n must be >= 1: refusing to expire every snapshot"
+        )
+    doomed = parts[:-keep_n] if keep_n < len(parts) else []
+    for v in doomed:
+        shutil.rmtree(os.path.join(path, f"{prefix}{v}"))
+    return doomed

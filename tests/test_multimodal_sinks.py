@@ -216,3 +216,28 @@ def test_compact_path_reduces_files_preserves_data(spark, sf_dir, tmp_path):
     assert n_after < before
     rows_after = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert rows_before == rows_after
+
+
+def test_expire_snapshots_keeps_newest(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "snap_day", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    # Restrict to a few distinct days for a small partition layout.
+    days = [r["snap_day"] for r in
+            orders.select("snap_day").distinct().orderBy("snap_day").limit(5).collect()]
+    sub = orders.filter(F.col("snap_day").isin(days))
+    path = str(tmp_path / "snaps")
+    writers.write_partitioned(sub, path, ["snap_day"])
+    deleted = writers.expire_snapshots(spark, path, "snap_day", keep_n=2)
+    assert deleted == days[:-2]
+    left = sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("snap_day=")
+    )
+    assert left == days[-2:]
+    # Surviving data readable and complete.
+    expect = sub.filter(F.col("snap_day").isin(days[-2:])).count()
+    assert spark.read.parquet(path).count() == expect
+    with _pytest.raises(ValueError):
+        writers.expire_snapshots(spark, path, "snap_day", keep_n=0)
