@@ -426,3 +426,110 @@ def incremental_neardup_check(
             F.col("best_match_id").isNotNull().alias("is_duplicate"),
         )
     )
+
+
+def substring_dup_profile(
+    documents: DataFrame,
+    window: int = 40,
+    stride: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc exact-substring duplication profile via rolling windows.
+
+    The windowed form of suffix-array substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    suffix array over 100 TB is impractical, but sliding fixed-width
+    character windows at a stride and flagging window CONTENT that occurs
+    more than once anywhere in the corpus finds the same long verbatim
+    repeats (any duplicated span of length >= window + stride - 1 is
+    guaranteed to contain a flagged window). Reference parity: the repo's
+    dedup sweep deletes whole duplicate rows
+    (snowflake_bq_deduplication_sync.py:214); this measures sub-document
+    duplication so a curation pass can cut spans instead of whole docs.
+
+    Output per doc (docs shorter than ``window`` carry zero windows and
+    are excluded): n_windows, n_dup_windows, dup_chars (union length of
+    flagged [start, start+window-1] intervals — overlapping windows are
+    merged with one gaps-and-islands pass), dup_char_share.
+
+    Scale posture: window extraction is a row-local explode (no shuffle);
+    dup marking is one groupBy on the md5 window key (constant-width,
+    map-side combined) plus an equi-join back — never all-pairs; the
+    island merge partitions by doc_id. Shuffled rows are (hash, start)
+    pairs, ~len/stride per doc, not document text.
+    """
+    from pyspark.sql import Window
+
+    w_len = F.length(F.col(text_col))
+    wins = _swap_cache(
+        "substr_windows",
+        documents.filter(w_len >= window)
+        .select(
+            "doc_id",
+            w_len.alias("__len"),
+            F.explode(
+                F.sequence(F.lit(1), w_len - window + 1, F.lit(stride))
+            ).alias("start"),
+            F.col(text_col),
+        )
+        .select(
+            "doc_id",
+            "__len",
+            "start",
+            (F.col("start") + window - 1).alias("end"),
+            F.md5(
+                F.substring(F.col(text_col), F.col("start"), window).cast(
+                    "binary"
+                )
+            ).alias("__h"),
+        ),
+    )
+    dup_hashes = (
+        wins.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("__h")
+    )
+    dup = wins.join(dup_hashes, "__h").select("doc_id", "start", "end")
+    w_doc = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max("end").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        dup.withColumn(
+            "__new",
+            (F.col("start") > F.coalesce(prev_max_end, F.lit(-1))).cast("long"),
+        )
+        .withColumn("__isl", F.sum("__new").over(w_doc))
+        .groupBy("doc_id", "__isl")
+        .agg((F.max("end") - F.min("start") + 1).alias("__cov"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__cov").alias("dup_chars"),
+        )
+    )
+    dup_counts = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+    base = wins.groupBy("doc_id", "__len").agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    return (
+        base.join(dup_counts, "doc_id", "left")
+        .join(islands, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
+            F.coalesce(F.col("dup_chars"), F.lit(0).cast("long")).alias(
+                "dup_chars"
+            ),
+            (
+                F.coalesce(F.col("dup_chars"), F.lit(0).cast("long"))
+                .cast("double")
+                / F.col("__len").cast("double")
+            ).alias("dup_char_share"),
+        )
+    )

@@ -3846,6 +3846,79 @@ def incremental_dedup_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.incremental_neardup_check(corpus, incoming, _JACCARD_TAU)
 
 
+_SUBSTR_W = 40
+_SUBSTR_S = 10
+
+
+@query(
+    "substring_dup_profile",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS len FROM documents
+      WHERE length(text) >= {_SUBSTR_W}
+    ),
+    w AS (
+      SELECT doc_id, text, len,
+             unnest(range(1, len - {_SUBSTR_W} + 2, {_SUBSTR_S})) AS start
+      FROM d
+    ),
+    w2 AS (
+      SELECT doc_id, len, start, start + {_SUBSTR_W} - 1 AS fin,
+             md5(substr(text, CAST(start AS INTEGER), {_SUBSTR_W})) AS h
+      FROM w
+    ),
+    dh AS (SELECT h FROM w2 GROUP BY h HAVING COUNT(*) > 1),
+    dup AS (SELECT w2.doc_id, w2.start, w2.fin FROM w2 JOIN dh USING (h)),
+    isl AS (
+      SELECT doc_id, start, fin,
+             CASE WHEN start > COALESCE(
+               MAX(fin) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_isl
+      FROM dup
+    ),
+    isl2 AS (
+      SELECT doc_id, start, fin,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY start) AS isl_id
+      FROM isl
+    ),
+    cov AS (
+      SELECT doc_id, isl_id, MAX(fin) - MIN(start) + 1 AS covered
+      FROM isl2 GROUP BY doc_id, isl_id
+    ),
+    per AS (
+      SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS dup_chars
+      FROM cov GROUP BY doc_id
+    ),
+    dc AS (
+      SELECT doc_id, COUNT(*) AS n_dup_windows FROM dup GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, len, COUNT(*) AS n_windows FROM w2 GROUP BY doc_id, len
+    )
+    SELECT base.doc_id, base.n_windows,
+           COALESCE(dc.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(per.dup_chars, 0) AS dup_chars,
+           CAST(COALESCE(per.dup_chars, 0) AS DOUBLE)
+             / CAST(base.len AS DOUBLE) AS dup_char_share
+    FROM base
+    LEFT JOIN dc USING (doc_id)
+    LEFT JOIN per USING (doc_id)
+    """,
+)
+def substring_dup_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact-substring duplication profile: rolling {W}-char
+    windows at stride {S}, window content occurring >1x anywhere in the
+    corpus marks its span duplicated; spans union via gaps-and-islands.
+    The windowed (suffix-array-free) form of Lee et al. 2021 substring
+    dedup — the sub-document generalization of the reference's row-level
+    dedup sweep (snowflake_bq_deduplication_sync.py:214)."""
+    return neardup.substring_dup_profile(
+        load_table(spark, sf_dir, "documents"), _SUBSTR_W, _SUBSTR_S
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the driver's correctness window.
 #
@@ -3870,6 +3943,7 @@ def incremental_dedup_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINDOW_ORDER = [
     # -- slots 1-24: never driver-checked (new this round) -------------
+    "substring_dup_profile",
     "incremental_dedup_check",
     "scd2_status_history",
     "click_attribution",

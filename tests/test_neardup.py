@@ -54,3 +54,54 @@ def test_exact_dedup_idempotent(spark, sf_dir):
     )
     again = neardup.exact_dedup(kept)
     assert again.filter("is_duplicate = true").count() == 0
+
+
+def test_substring_dup_profile_micro(spark):
+    # Two docs share a verbatim 60-char span; a third is unique; a fourth
+    # is shorter than the window and must be excluded.
+    shared = "the quick brown fox jumps over the lazy dog again and again!"
+    # Fillers must be non-self-repetitive: a run like "x"*40 makes
+    # identical windows WITHIN one doc, which correctly counts as dup.
+    a = "AAAA " + shared + " tail of doc a with plenty of distinct words here"
+    b = "BBBBBBBBB " + shared + " doc b closing remarks differ from everything"
+    c = "totally unique content with no repeats whatsoever in this string at all"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, "short")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in neardup.substring_dup_profile(
+            docs, window=20, stride=5
+        ).collect()
+    }
+    assert 4 not in out  # shorter than the window
+    assert out[3].n_dup_windows == 0 and out[3].dup_chars == 0
+    # Both sharers flag dup windows covering (at least) most of the
+    # shared span, and coverage never exceeds doc length.
+    for d in (1, 2):
+        r = out[d]
+        assert r.n_dup_windows > 0
+        assert r.dup_chars >= len(shared) - 25  # stride granularity slack
+        assert r.dup_chars <= len((a, b)[d - 1])
+        assert 0.0 < r.dup_char_share <= 1.0
+
+
+def test_substring_dup_profile_interval_union_no_double_count(spark):
+    # One doc fully duplicated by another: every window dups, and the
+    # union of overlapping windows must equal the full windowed span
+    # (len chars), not n_windows * window.
+    t = "abcdefghij" * 12  # 120 chars
+    docs = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in neardup.substring_dup_profile(
+            docs, window=30, stride=10
+        ).collect()
+    }
+    for d in (1, 2):
+        # starts 1,11,...,91 -> 10 windows, all duplicated; union covers
+        # chars 1..120 = the whole doc.
+        assert out[d].n_windows == 10
+        assert out[d].n_dup_windows == 10
+        assert out[d].dup_chars == 120
+        assert out[d].dup_char_share == 1.0
