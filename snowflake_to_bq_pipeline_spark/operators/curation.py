@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._cache import swap_cache as _swap_cache
+
 #: (name, pattern, replacement). Applied in order; kept RE2/Java-regex
 #: compatible (no lookaround) so the DuckDB oracle matches literally.
 PII_PATTERNS: list[tuple[str, str, str]] = [
@@ -294,30 +296,45 @@ def decontamination_overlap(
     every remaining doc reports how many of its distinct k-grams appear in
     that set and a ``contaminated`` flag. Distinct grams on both sides
     keep the join input minimal; the gram equi-join is the standard
-    inverted-index plan, and the eval side is a small fraction of the
-    corpus, so at scale it broadcast-joins. Zero-overlap docs are kept via
-    a left join on doc_id.
+    inverted-index plan, with the eval side explicitly broadcast (held-out
+    eval suites are benchmark-sized — tiny against a 100 TB corpus — so
+    the corpus-sized probe side never shuffles for the join). Zero-overlap
+    docs are kept via a left join on doc_id.
+
+    Grams travel as ``xxhash64`` longs, not strings: the dedup shuffle
+    moves fixed 8-byte keys instead of ~50-byte 5-gram text (the same
+    measured trade as the Jaccard path, neardup.py:95), and the hashed
+    gram table is persisted because BOTH the eval set and the train probe
+    derive from it — unpersisted, Spark recomputes the explode+dedup
+    subtree per consumer (0 ReusedExchange, the round-2 lesson). A 64-bit
+    collision adds a false shared-gram with probability ~distinct²/2⁶⁴ —
+    negligible against the oracle's string-exact counts.
     """
     w = F.split(F.col(text_col), " ")
     idx = F.when(
         F.array_size(w) >= k, F.sequence(F.lit(1), F.array_size(w) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
     parts = [F.element_at(F.col("__w"), F.col("i") + j) for j in range(k)]
-    grams = (
+    grams = _swap_cache(
+        "decontam",
         documents.select(
             "doc_id", "source", w.alias("__w"), F.explode(idx).alias("i")
         )
-        .select("doc_id", "source", F.concat_ws(" ", *parts).alias("gram"))
-        .dropDuplicates(["doc_id", "gram"])
+        .select(
+            "doc_id",
+            "source",
+            F.xxhash64(F.concat_ws(" ", *parts)).alias("__g"),
+        )
+        .dropDuplicates(["doc_id", "__g"]),
     )
     eval_grams = (
         grams.filter(F.col("source") == eval_source)
-        .select("gram")
+        .select("__g")
         .dropDuplicates()
     )
     train = grams.filter(F.col("source") != eval_source)
     shared = (
-        train.join(eval_grams, "gram")
+        train.join(F.broadcast(eval_grams), "__g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )

@@ -279,8 +279,16 @@ def tfidf_doc_similarity(
         "doc_id", w.alias("__w"), F.explode(idx).alias("i")
     ).select("doc_id", F.concat_ws(" ", *parts).alias("token"))
 
-    tok_counts = grams.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("term_count")
+    # Persisted: doc_totals, df_counts, and the scored join all consume
+    # this explode+groupBy chain; without a persist each consumer
+    # recomputes it (0 ReusedExchange, the round-2 lesson).
+    from ._cache import swap_cache
+
+    tok_counts = swap_cache(
+        "tfidf_sim_tok_counts",
+        grams.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).alias("term_count")
+        ),
     )
     doc_totals = tok_counts.groupBy("doc_id").agg(
         F.sum("term_count").alias("doc_tokens")
