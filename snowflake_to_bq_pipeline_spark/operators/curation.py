@@ -630,3 +630,118 @@ def sequence_packing_scalable(
         F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
         F.pmod(start, F.lit(budget)).cast("long").alias("offset_in_pack"),
     )
+
+
+#: Hashed-n-gram bucket count for importance weighting: 3 md5 hex chars.
+DSIR_BUCKETS = 4096
+#: Log-score rounding that makes the per-doc sum engine-exact.
+_DSIR_DEC = "decimal(28,12)"
+
+
+def dsir_importance_weights(
+    documents: DataFrame,
+    target_source: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc importance weight toward a target domain (DSIR).
+
+    Data Selection with Importance Resampling (Xie et al. 2023): model the
+    target slice (rows with ``source == target_source``) and the raw rest
+    of the corpus as bag-of-hashed-bigram distributions over
+    ``DSIR_BUCKETS`` buckets, and score every raw doc by
+    ``sum over bigram occurrences of log(p_target(b)/p_raw(b))`` with
+    add-one smoothing. Docs with positive log-weight look more like the
+    target than the background and get upsampled by a resampling pass.
+
+    Engine-reproducible: buckets are the first 3 md5 hex chars of the
+    bigram (the repo's portable sampling idiom), probabilities are exact
+    count ratios, and each gram's log-score is rounded to 9 decimals then
+    summed as DECIMAL(28,12) — add-order-independent, so the DuckDB
+    oracle hash-matches despite float summation being order-sensitive.
+
+    Scale posture: the bucket-count model is O(DSIR_BUCKETS) rows on each
+    side — broadcast to the corpus-sized gram stream (no big-side
+    shuffle); the only corpus-sized shuffle is the final per-doc partial
+    aggregation. The model tables are the ONLY reduced state; nothing
+    touches the driver.
+    """
+    w = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.array_size(w) >= 2, F.sequence(F.lit(1), F.array_size(w) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = _swap_cache(
+        "dsir_grams",
+        documents.select(
+            "doc_id", "source", w.alias("__w"), F.explode(idx).alias("i")
+        ).select(
+            "doc_id",
+            "source",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__w"), F.col("i")),
+                        F.element_at(F.col("__w"), F.col("i") + 1),
+                    ).cast("binary")
+                ),
+                1,
+                3,
+            ).alias("bucket"),
+        ),
+    )
+    is_target = F.col("source") == target_source
+    tc = (
+        grams.filter(is_target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    rc = (
+        grams.filter(~is_target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    nt = grams.filter(is_target).agg(F.count(F.lit(1)).alias("__nt"))
+    nr = grams.filter(~is_target).agg(F.count(F.lit(1)).alias("__nr"))
+    score = F.log(
+        (
+            (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+            * (F.col("__nr") + DSIR_BUCKETS).cast("double")
+        )
+        / (
+            (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+            * (F.col("__nt") + DSIR_BUCKETS).cast("double")
+        )
+    )
+    scored = (
+        grams.filter(~is_target)
+        .join(F.broadcast(tc), "bucket", "left")
+        .join(F.broadcast(rc), "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.round(score, 9).cast(_DSIR_DEC)).alias("__lw"),
+        )
+    )
+    return (
+        documents.filter(~is_target)
+        .select("doc_id", "source")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias(
+                "n_grams"
+            ),
+            F.round(
+                F.coalesce(F.col("__lw"), F.lit(0).cast(_DSIR_DEC)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("log_weight"),
+            (
+                F.coalesce(F.col("__lw"), F.lit(0).cast(_DSIR_DEC)) > 0
+            ).alias("target_leaning"),
+        )
+    )

@@ -3919,6 +3919,62 @@ def substring_dup_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_TARGET = "src0"
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             substr(md5(w[i] || ' ' || w[i+1]), 1, 3) AS bucket
+      FROM (
+        SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+        FROM sp WHERE len(w) >= 2
+      )
+    ),
+    tc AS (SELECT bucket, COUNT(*) AS ct FROM g
+           WHERE source = '{_DSIR_TARGET}' GROUP BY bucket),
+    rc AS (SELECT bucket, COUNT(*) AS cr FROM g
+           WHERE source <> '{_DSIR_TARGET}' GROUP BY bucket),
+    nt AS (SELECT COUNT(*) AS nt FROM g WHERE source = '{_DSIR_TARGET}'),
+    nr AS (SELECT COUNT(*) AS nr FROM g WHERE source <> '{_DSIR_TARGET}'),
+    scored AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             SUM(CAST(round(ln(
+               (CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+                * CAST(nr.nr + {curation.DSIR_BUCKETS} AS DOUBLE))
+               / (CAST(COALESCE(rc.cr, 0) + 1 AS DOUBLE)
+                  * CAST(nt.nt + {curation.DSIR_BUCKETS} AS DOUBLE))
+             ), 9) AS DECIMAL(28,12))) AS lw
+      FROM g
+      LEFT JOIN tc USING (bucket)
+      LEFT JOIN rc USING (bucket)
+      CROSS JOIN nt CROSS JOIN nr
+      WHERE g.source <> '{_DSIR_TARGET}'
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, d.source,
+           COALESCE(s.n_grams, 0) AS n_grams,
+           ROUND(CAST(COALESCE(s.lw, 0) AS DOUBLE), 6) AS log_weight,
+           COALESCE(s.lw, 0) > 0 AS target_leaning
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    WHERE d.source <> '{_DSIR_TARGET}'
+    """,
+)
+def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram bucket
+    models of the target slice vs the raw corpus; per-doc summed
+    log-likelihood ratio with add-one smoothing. The domain-targeting
+    twin of stratified_sample_mix — weights feed a resampling pass."""
+    return curation.dsir_importance_weights(
+        load_table(spark, sf_dir, "documents"), _DSIR_TARGET
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the driver's correctness window.
 #
@@ -3944,6 +4000,7 @@ def substring_dup_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_ORDER = [
     # -- slots 1-24: never driver-checked (new this round) -------------
     "substring_dup_profile",
+    "dsir_importance_weights",
     "incremental_dedup_check",
     "scd2_status_history",
     "click_attribution",

@@ -137,3 +137,28 @@ def test_sequence_packing_scalable_equals_window_form(spark, sf_dir):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "__pid" in line, f"per-group window in plan: {line}"
+
+
+def test_dsir_importance_weights_ranks_target_like_docs(spark):
+    # Target slice speaks "alpha beta gamma"; background speaks "delta
+    # epsilon zeta". A raw doc written in target vocabulary must score a
+    # higher log-weight than one written in background vocabulary.
+    target = [(i, "tgt", "alpha beta gamma alpha beta gamma alpha beta") for i in range(10)]
+    background = [(100 + i, "raw", "delta epsilon zeta delta epsilon zeta delta") for i in range(10)]
+    probes = [
+        (500, "raw", "alpha beta gamma alpha beta gamma"),
+        (501, "raw", "delta epsilon zeta delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(
+        target + background + probes, ["doc_id", "source", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in curation.dsir_importance_weights(docs, "tgt").collect()
+    }
+    assert 0 not in out  # target slice excluded from scoring
+    assert out[500].log_weight > out[501].log_weight
+    assert out[500].target_leaning
+    assert not out[501].target_leaning
+    # Sanity: gram counts reflect bigram occurrences (len-1 words).
+    assert out[500].n_grams == 5
