@@ -99,3 +99,69 @@ def bpe_merges(
         "merge_rank int, left_sym string, right_sym string, "
         "merged_sym string, pair_count long",
     )
+
+
+def bpe_encode_stats(
+    documents: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table; per-doc BPE token counts.
+
+    The tokenizer-application half of :func:`bpe_merges` (which learns
+    the table): every word starts as characters and the merges replay in
+    rank order with the SAME padded-sentinel string-replace semantics the
+    learner used, so learn->encode round-trips bit-identically.
+
+    Distributed shape: merges are O(n_merges) driver-state (collected
+    once — they ARE the model); encoding runs over the DISTINCT word
+    vocabulary (Zipf-small vs the corpus), then the corpus-sized word
+    stream broadcast-joins the encoded vocab. The only corpus-sized
+    shuffle is the final per-doc count aggregation. Per-word token counts
+    stay JVM-side end to end — the merge replay is a fixed chain of
+    ``F.replace`` calls, no Python in the hot path.
+
+    Output: (doc_id, n_words, n_bpe_tokens, tokens_per_word).
+    """
+    ordered = sorted(
+        (
+            (int(r["merge_rank"]), r["left_sym"], r["right_sym"], r["merged_sym"])
+            for r in merges.collect()
+        ),
+    )
+    words = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+        ).alias("word"),
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("__dummy")).select("word")
+    seq = F.concat(
+        F.lit(" "),
+        F.concat_ws(" ", F.split(F.col("word"), "")),
+        F.lit(" "),
+    )
+    for _, left, right, merged in ordered:
+        seq = F.replace(seq, F.lit(f" {left} {right} "), F.lit(f" {merged} "))
+    encoded = vocab.select(
+        "word",
+        F.array_size(F.split(F.trim(seq), " ")).alias("word_tokens"),
+    )
+    return (
+        words.join(F.broadcast(encoded), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("tokens_per_word"),
+        )
+    )

@@ -3475,6 +3475,18 @@ def bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=10)
 
 
+@query("bpe_encode_tokens")  # rows-only: applies the learned (non-SQL) model
+def bpe_encode_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE token counts from applying the learned merge table —
+    the corpus token-budget view a tokenizer change actually produces
+    (learn + encode round-trip; encode replays merges over the distinct
+    word vocab then broadcast-joins, tests/test_bpe.py cross-checks
+    against pure-Python BPE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_merges(docs, n_merges=10)
+    return bpe.bpe_encode_stats(docs, merges)
+
+
 @query(
     "robust_value_stats",
     oracle="""
@@ -4111,6 +4123,7 @@ _WINDOW_ORDER = [
     "view_variance_detection",
     "work_item_enriched",
     "bpe_merge_table",
+    "bpe_encode_tokens",
     "kmeans_doc_clusters",
     "dedup_minhash_lsh",
     "dedup_simhash",

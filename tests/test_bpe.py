@@ -61,3 +61,46 @@ def test_bpe_merges_match_reference(spark, sf_dir):
     # create a new pair hotter than anything before it.)
     ranks = [g[0] for g in got]
     assert ranks == list(range(1, len(got) + 1))
+
+
+def _ref_encode_count(word: str, merges) -> int:
+    # Mirrors the engine's padded-sentinel str.replace semantics (the
+    # learner's documented merge-application rule), which Python's
+    # str.replace shares with Java's.
+    seq = " " + " ".join(word) + " "
+    for _, left, right, merged, *_ in merges:
+        seq = seq.replace(f" {left} {right} ", f" {merged} ")
+    return len(seq.split())
+
+
+def test_bpe_encode_matches_reference_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    merges_df = bpe.bpe_merges(docs, n_merges=10)
+    merges = [
+        tuple(r) for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    assert merges, "corpus should induce at least one merge"
+    out = {
+        r.doc_id: r
+        for r in bpe.bpe_encode_stats(docs, merges_df).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    checked = 0
+    for doc_id, text in sorted(texts.items())[:50]:
+        words = re.findall(bpe.WORD_RE, text.lower())
+        if not words:
+            assert doc_id not in out
+            continue
+        exp_tokens = sum(_ref_encode_count(w, merges) for w in words)
+        r = out[doc_id]
+        assert r.n_words == len(words)
+        assert r.n_bpe_tokens == exp_tokens, doc_id
+        checked += 1
+    assert checked >= 40
+    # Merges strictly compress: fewer tokens than characters, at least
+    # as many as words.
+    for r in out.values():
+        assert r.n_words <= r.n_bpe_tokens
