@@ -42,6 +42,14 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        # Collect garbage OUTSIDE the timed region: accumulated noop-write
+        # garbage otherwise lands a multi-second GC pause on whichever
+        # query happens to trigger it, producing the 2-8s phantom spikes
+        # observed between otherwise-identical runs.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
