@@ -356,3 +356,99 @@ def tfidf_doc_similarity(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+#: Add-one smoothing mass for the char-LM: a fixed pseudo-alphabet size
+#: shared by engine and oracle (the corpus alphabet is lowercase alnum +
+#: punctuation, comfortably under this).
+CHARLM_ALPHABET = 64
+#: Fluency cutoff on average negative log-prob (nats/char-trigram):
+#: reference-slice text scores ~uniform-in-model; garbage scores near
+#: ln(alphabet) ≈ 4.16.
+CHARLM_NLL_CUTOFF = 4.0
+
+
+def charlm_perplexity(
+    documents: DataFrame,
+    ref_source: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Char-trigram LM quality scoring (the CCNet recipe, exact).
+
+    CCNet (Wenzek et al. 2020) filters web text by perplexity under a LM
+    trained on a trusted reference corpus; this is the same signal with a
+    char-trigram model so it is exactly computable on any engine: train
+    p(c | c1 c2) = (count3(c1 c2 c) + 1) / (count2(c1 c2) + ALPHABET) by
+    counting the reference slice (rows with ``source == ref_source``),
+    then score every other doc by its average negative log-probability
+    per trigram occurrence. Low nll ⇒ reference-like text; near
+    ln(ALPHABET) ⇒ the model has never seen those transitions.
+
+    Engine-reproducible like the DSIR op: probabilities are exact count
+    ratios, each trigram's log rounds to 9 decimals and sums as
+    DECIMAL(28,12) (add-order-independent), the average divides once at
+    the end.
+
+    Scale posture: the trigram/bigram count model is bounded by the
+    alphabet cube — broadcast tables; the corpus-sized trigram stream
+    never shuffles for the lookups, only for the final per-doc partial
+    aggregation.
+    """
+    t = F.col(text_col)
+    tri = documents.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.length(t) >= 3, F.sequence(F.lit(1), F.length(t) - 2)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        t,
+    ).select(
+        "doc_id",
+        "source",
+        F.substring(t, F.col("i"), 3).alias("g3"),
+        F.substring(t, F.col("i"), 2).alias("g2"),
+    )
+    is_ref = F.col("source") == ref_source
+    c3 = tri.filter(is_ref).groupBy("g3").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = tri.filter(is_ref).groupBy("g2").agg(F.count(F.lit(1)).alias("c2"))
+    logp = F.log(
+        (F.coalesce(F.col("c3"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("c2"), F.lit(0)) + CHARLM_ALPHABET).cast("double")
+    )
+    scored = (
+        tri.filter(~is_ref)
+        .join(F.broadcast(c3), "g3", "left")
+        .join(F.broadcast(c2), "g2", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(F.round(-logp, 9).cast("decimal(28,12)")).alias("__nll"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.round(
+                F.col("__nll").cast("double")
+                / F.col("n_trigrams").cast("double"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+    return (
+        documents.filter(~is_ref)
+        .select("doc_id", "source")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_trigrams"), F.lit(0).cast("long")).alias(
+                "n_trigrams"
+            ),
+            F.coalesce(F.col("avg_nll"), F.lit(0.0)).alias("avg_nll"),
+            (
+                F.coalesce(F.col("avg_nll"), F.lit(0.0)) < CHARLM_NLL_CUTOFF
+            ).alias("is_fluent"),
+        )
+    )

@@ -3931,6 +3931,63 @@ def substring_dup_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHARLM_REF = "src1"
+
+
+@query(
+    "charlm_perplexity",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, text, length(text) AS len FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, source,
+             substr(text, CAST(i AS INTEGER), 3) AS g3,
+             substr(text, CAST(i AS INTEGER), 2) AS g2
+      FROM (
+        SELECT doc_id, source, text, unnest(range(1, len - 1)) AS i
+        FROM d WHERE len >= 3
+      )
+    ),
+    c3 AS (SELECT g3, COUNT(*) AS c3 FROM tri
+           WHERE source = '{_CHARLM_REF}' GROUP BY g3),
+    c2 AS (SELECT g2, COUNT(*) AS c2 FROM tri
+           WHERE source = '{_CHARLM_REF}' GROUP BY g2),
+    scored AS (
+      SELECT tri.doc_id, COUNT(*) AS n_trigrams,
+             SUM(CAST(round(-ln(
+               CAST(COALESCE(c3.c3, 0) + 1 AS DOUBLE)
+               / CAST(COALESCE(c2.c2, 0) + {text_ops.CHARLM_ALPHABET}
+                      AS DOUBLE)
+             ), 9) AS DECIMAL(28,12))) AS nll
+      FROM tri LEFT JOIN c3 USING (g3) LEFT JOIN c2 USING (g2)
+      WHERE tri.source <> '{_CHARLM_REF}'
+      GROUP BY tri.doc_id
+    ),
+    per AS (
+      SELECT doc_id, n_trigrams,
+             ROUND(CAST(nll AS DOUBLE) / CAST(n_trigrams AS DOUBLE), 6)
+               AS avg_nll
+      FROM scored
+    )
+    SELECT d.doc_id, d.source,
+           COALESCE(p.n_trigrams, 0) AS n_trigrams,
+           COALESCE(p.avg_nll, 0.0) AS avg_nll,
+           COALESCE(p.avg_nll, 0.0) < {text_ops.CHARLM_NLL_CUTOFF}
+             AS is_fluent
+    FROM d LEFT JOIN per p USING (doc_id)
+    WHERE d.source <> '{_CHARLM_REF}'
+    """,
+)
+def charlm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring: char-trigram LM trained on a
+    reference slice; per-doc average negative log-probability (exact
+    count ratios, decimal-summed rounded logs — engine-reproducible)."""
+    return text_ops.charlm_perplexity(
+        load_table(spark, sf_dir, "documents"), _CHARLM_REF
+    )
+
+
 _DSIR_TARGET = "src0"
 
 
@@ -4013,6 +4070,7 @@ _WINDOW_ORDER = [
     # -- slots 1-24: never driver-checked (new this round) -------------
     "substring_dup_profile",
     "dsir_importance_weights",
+    "charlm_perplexity",
     "incremental_dedup_check",
     "scd2_status_history",
     "click_attribution",

@@ -162,3 +162,27 @@ def test_dsir_importance_weights_ranks_target_like_docs(spark):
     assert not out[501].target_leaning
     # Sanity: gram counts reflect bigram occurrences (len-1 words).
     assert out[500].n_grams == 5
+
+
+def test_charlm_perplexity_separates_reference_like_from_garbage(spark):
+    from snowflake_to_bq_pipeline_spark.operators import text as text_ops
+
+    ref = [
+        (i, "ref", "the quick brown fox jumps over the lazy dog near the river bank")
+        for i in range(20)
+    ]
+    probes = [
+        (100, "raw", "the quick brown fox jumps over the lazy dog"),
+        (101, "raw", "qzxv wkjp zzqx vvkw xxjz qqpw zkvx wjqz"),
+    ]
+    docs = spark.createDataFrame(ref + probes, ["doc_id", "source", "text"])
+    out = {
+        r.doc_id: r
+        for r in text_ops.charlm_perplexity(docs, "ref").collect()
+    }
+    assert set(out) == {100, 101}  # reference slice excluded
+    # Reference-like text must score far lower nll than alien char
+    # transitions, and the garbage probe lands near ln(ALPHABET).
+    assert out[100].avg_nll < out[101].avg_nll - 1.0
+    assert out[100].is_fluent
+    assert not out[101].is_fluent

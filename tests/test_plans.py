@@ -134,3 +134,33 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert re.search(r"PartitionFilters:.*o_orderstatus.*=.*F", plan), plan
     expected = orders.filter(F.col("o_orderstatus") == "F").count()
     assert back.count() == expected
+
+
+def test_dsir_model_joins_broadcast_not_shuffle(spark, sf_dir):
+    """The DSIR gram stream must join the O(4096)-row bucket models via
+    broadcast — a sort-merge/shuffle join on the corpus-sized gram side
+    would be the 100 TB scale bug."""
+    plan = _plan(QUERIES["dsir_importance_weights"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_joins_vocab_broadcast(spark, sf_dir):
+    """Word->token-count lookup must broadcast the Zipf-small encoded
+    vocabulary, never shuffle the corpus word stream for the join."""
+    docs = QUERIES["bpe_encode_tokens"](spark, sf_dir)
+    plan = _plan(docs)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_substring_dup_profile_shuffles_hashes_not_text(spark, sf_dir):
+    """The dup-marking pass may shuffle only (md5, start) window keys;
+    document text must be projected away before any Exchange."""
+    plan = _plan(QUERIES["substring_dup_profile"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # Every hash exchange partitions on derived window/doc keys, and the
+    # raw text column never appears in an exchange's output schema.
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
