@@ -22,7 +22,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -223,3 +225,93 @@ def sample_frames(media: DataFrame, every_ms: int = 250, frame_bytes: int = 16) 
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+#: Pseudo-embedding dimensionality for the stub encoder.
+EMBED_DIMS = 64
+
+EMBED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _fake_embed(content: bytes, dims: int) -> list[float]:
+    """Deterministic stand-in for a real encoder (CLIP / wav2vec / ...).
+
+    A folded byte histogram, l2-normalized: blobs differing in a few
+    bytes land at cosine ~= 1, unrelated blobs decorrelate — the property
+    an embedding-based near-dup pass actually relies on. Production swaps
+    this one function for a real model; every downstream plan is
+    unchanged.
+    """
+    hist = [0.0] * dims
+    for b in content:
+        hist[b % dims] += 1.0
+    norm = sum(x * x for x in hist) ** 0.5
+    return [x / norm for x in hist] if norm > 0 else hist
+
+
+def embed_media(media: DataFrame, dims: int = EMBED_DIMS) -> DataFrame:
+    """Media blobs -> embedding vectors via Arrow-batched mapInPandas.
+
+    The multimodal half of the similarity stack: output plugs straight
+    into operators.similarity (ANN top-k, LSH candidate pairs, IVF) with
+    ``embedding`` as the vector column. Python touches each blob once per
+    batch; no per-row UDF.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "embedding": [
+                        _fake_embed(bytes(c), dims) if c is not None else None
+                        for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=EMBED_SCHEMA)
+
+
+def media_neardup_pairs(
+    media: DataFrame,
+    threshold: float = 0.98,
+    n_tables: int = 8,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate MEDIA pairs via embedding cosine over LSH buckets.
+
+    Image/audio dedup for a multimodal training corpus: embed (stub
+    encoder), generate candidates from LSH (table, bucket) cells only —
+    never all pairs — then verify candidates with exact cosine >=
+    threshold. Same scale posture as the document embedding dedup path
+    (operators/similarity.py:209).
+    """
+    from ..operators import similarity
+
+    v = embed_media(media).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    cand = similarity.dup_candidate_pairs(v, n_tables, n_planes)
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    cos = F.zip_with(
+        F.col("ea"), F.col("eb"), lambda x, y: x * y
+    )
+    dot = F.aggregate(
+        cos, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -241,3 +241,39 @@ def test_expire_snapshots_keeps_newest(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == expect
     with _pytest.raises(ValueError):
         writers.expire_snapshots(spark, path, "snap_day", keep_n=0)
+
+
+def test_embed_media_near_dup_pairs(spark):
+    # Build media where pairs (i, i+1000) share near-identical content
+    # (one trailing byte differs) and everything else is unrelated.
+    base = media.synthetic_media(spark, 30).select(
+        "media_id", "media_type", "mime_type", "content",
+        "width", "height", "duration_ms",
+    )
+    near = base.select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        "media_type",
+        "mime_type",
+        F.concat(F.col("content"), F.lit(b"\x01")).alias("content"),
+        "width", "height", "duration_ms",
+    )
+    both = base.unionByName(near)
+    pairs = media.media_neardup_pairs(both, threshold=0.98).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # Every (i, i+1000) near-dup must surface; LSH with 8 tables at
+    # cosine ~1 misses with probability ~0.
+    expected = {(i, i + 1000) for i in range(30)}
+    assert expected <= found, expected - found
+    # And no unrelated pair sneaks past exact verification.
+    assert all((a, b) in expected for a, b in found), found - expected
+    for r in pairs:
+        assert r.cosine >= 0.98
+
+
+def test_embed_media_vectors_are_unit_norm(spark):
+    m = media.synthetic_media(spark, 12)
+    emb = media.embed_media(m).collect()
+    assert len(emb) == 12
+    for r in emb:
+        assert len(r.embedding) == media.EMBED_DIMS
+        assert abs(sum(x * x for x in r.embedding) - 1.0) < 1e-9
