@@ -239,3 +239,57 @@ def test_stream_stream_attribution_matches_batch_twin(spark, sf_dir, tmp_path):
     # two input files may be missing, but most must arrive.
     assert got <= batch
     assert len(got) > 0.5 * len(batch), (len(got), len(batch))
+
+
+def test_streaming_curation_matches_batch_twin(spark, sf_dir, tmp_path):
+    from snowflake_to_bq_pipeline_spark.streaming import curation as scur
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias(
+            "ts"
+        ),
+    )
+    # Plant exact-content duplicates and a too-short doc.
+    planted = docs.limit(5).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("doc_id") + F.lit(60)
+        ).alias("ts"),
+    )
+    junk = spark.createDataFrame(
+        [(999_999, "tiny", None)], "doc_id long, text string, ts string"
+    ).select("doc_id", "text", F.to_timestamp(F.lit("2023-11-14")).alias("ts"))
+    full = docs.unionByName(planted).unionByName(junk)
+    src = str(tmp_path / "docs_src")
+    full.write.mode("overwrite").parquet(src)
+
+    batch = scur.curate_docs(
+        spark.read.parquet(src), watermark=None
+    )
+    # One survivor per fingerprint, junk filtered.
+    n_batch = batch.count()
+    assert n_batch == batch.select("fingerprint").distinct().count()
+    assert batch.filter(F.col("doc_id") == 999_999).count() == 0
+
+    stream = scur.curate_docs(
+        spark.readStream.schema(full.schema).parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # The availableNow drain dedups the same fingerprints (all planted
+    # dups are within the watermark horizon of their originals).
+    assert got.count() == n_batch
+    assert (
+        got.select("fingerprint").distinct().count()
+        == batch.select("fingerprint").distinct().count()
+    )
