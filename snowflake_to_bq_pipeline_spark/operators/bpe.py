@@ -40,6 +40,12 @@ def _word_vocab(documents: DataFrame, text_col: str) -> DataFrame:
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
 
 
+MERGES_SCHEMA = (
+    "merge_rank int, left_sym string, right_sym string, "
+    "merged_sym string, pair_count long"
+)
+
+
 def bpe_merges(
     documents: DataFrame,
     n_merges: int = 10,
@@ -52,7 +58,19 @@ def bpe_merges(
     be noise). The returned DataFrame is driver-materialized model state
     (O(n_merges) rows), parallelized back for uniform registry shape.
     """
-    spark = documents.sparkSession
+    return documents.sparkSession.createDataFrame(
+        bpe_merge_rows(documents, n_merges, text_col), MERGES_SCHEMA
+    )
+
+
+def bpe_merge_rows(
+    documents: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side merge list backing :func:`bpe_merges` — the raw model
+    state, exposed so callers (registry) can memoize the once-per-corpus
+    induction instead of re-learning it in every query that applies it."""
     vocab = _word_vocab(documents, text_col).select(
         "freq",
         # " c h a r s " — sentinel spaces so every symbol occurrence,
@@ -94,11 +112,7 @@ def bpe_merges(
                 F.lit(f" {merged} "),
             ),
         )
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left_sym string, right_sym string, "
-        "merged_sym string, pair_count long",
-    )
+    return merges
 
 
 def bpe_encode_stats(
@@ -114,11 +128,17 @@ def bpe_encode_stats(
     learner used, so learn->encode round-trips bit-identically.
 
     Distributed shape: merges are O(n_merges) driver-state (collected
-    once — they ARE the model); encoding runs over the DISTINCT word
-    vocabulary (Zipf-small vs the corpus), then the corpus-sized word
-    stream broadcast-joins the encoded vocab. The only corpus-sized
-    shuffle is the final per-doc count aggregation. Per-word token counts
-    stay JVM-side end to end — the merge replay is a fixed chain of
+    once — they ARE the model); the corpus regexp/explode pass runs ONCE
+    into a ``(doc_id, word, n_occ)`` partial aggregate (map-side combine
+    collapses repeated words before the shuffle) held in the managed
+    persist, because BOTH consumers — the distinct-word vocabulary and
+    the per-doc rollup — hang off it and Spark does not reuse exchanges
+    across consumers (see operators/_cache.py). Encoding runs over the
+    DISTINCT vocabulary (Zipf-small vs the corpus), broadcast-joins back,
+    and the final per-doc aggregation sums pre-counted occurrences
+    (``n_occ``-weighted), so the post-persist shuffles move per-doc
+    distinct words, not the raw word stream. Per-word token counts stay
+    JVM-side end to end — the merge replay is a fixed chain of
     ``F.replace`` calls, no Python in the hot path.
 
     Output: (doc_id, n_words, n_bpe_tokens, tokens_per_word).
@@ -129,13 +149,20 @@ def bpe_encode_stats(
             for r in merges.collect()
         ),
     )
-    words = documents.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
-        ).alias("word"),
+    doc_word = swap_cache(
+        "bpe.doc_word",
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(WORD_RE), 0
+                )
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n_occ")),
     )
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("__dummy")).select("word")
+    vocab = doc_word.select("word").distinct()
     seq = F.concat(
         F.lit(" "),
         F.concat_ws(" ", F.split(F.col("word"), "")),
@@ -148,11 +175,13 @@ def bpe_encode_stats(
         F.array_size(F.split(F.trim(seq), " ")).alias("word_tokens"),
     )
     return (
-        words.join(F.broadcast(encoded), "word")
+        doc_word.join(F.broadcast(encoded), "word")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("word_tokens").alias("n_bpe_tokens"),
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("word_tokens")).alias(
+                "n_bpe_tokens"
+            ),
         )
         .select(
             "doc_id",

@@ -299,35 +299,35 @@ def budget_fallback_allocation(
     rounded division — engine-identical), and the allocated amount
     rounds via floor(x*100+0.5)/100, the tie-free half-up on doubles.
 
-    Scale: two aggregates over the time rows (contributor grain, then
-    order grain from the contributor grain — second shuffle is over the
-    already-aggregated table), the allocation flags ride the flagship's
-    alloc aggregate, orders joins last; no window functions.
+    Scale: ONE scan of the fact table and ONE wide shuffle — the time
+    (N) and allocation (A/R) sums share a single conditional aggregate
+    at (order, contributor) grain (the same fold the flagship uses,
+    plans/budget.py:176); contributors with only A/R rows and no time
+    drop out via the ``__sup_mic IS NOT NULL`` filter, reproducing the
+    old sup_time-base/alloc-left-join shape. The order grain then
+    re-aggregates the already-tiny contributor table, and orders joins
+    last; no window functions.
     """
     is_time = F.col("l_returnflag") == "N"
     net_mic = money_micros(
         net_price(F.col("l_extendedprice"), F.col("l_discount"))
     )
-    sup_time = (
-        lineitem.filter(is_time)
-        .groupBy(
-            F.col("l_orderkey").alias("order_key"),
-            F.col("l_suppkey").alias("contributor_key"),
-        )
-        .agg(F.sum(net_mic).alias("__sup_mic"))
-    )
-    ord_time = sup_time.groupBy("order_key").agg(
-        F.sum("__sup_mic").alias("__ord_mic")
-    )
-    alloc = (
-        lineitem.filter(F.col("l_returnflag").isin("A", "R"))
+    per_contrib = (
+        lineitem.filter(F.col("l_returnflag").isin("N", "A", "R"))
         .groupBy(
             F.col("l_orderkey").alias("order_key"),
             F.col("l_suppkey").alias("contributor_key"),
         )
         .agg(
-            money_from_micros_sum(F.sum(net_mic)).alias("__ind_budget")
+            F.sum(F.when(is_time, net_mic)).alias("__sup_mic"),
+            money_from_micros_sum(
+                F.sum(F.when(~is_time, net_mic))
+            ).alias("__ind_budget"),
         )
+    )
+    sup_time = per_contrib.filter(F.col("__sup_mic").isNotNull())
+    ord_time = sup_time.groupBy("order_key").agg(
+        F.sum("__sup_mic").alias("__ord_mic")
     )
     share = F.when(
         F.col("__ord_mic") > 0,
@@ -342,7 +342,6 @@ def budget_fallback_allocation(
     has_ind = F.col("__ind_budget").isNotNull()
     return (
         sup_time.join(ord_time, "order_key")
-        .join(alloc, ["order_key", "contributor_key"], "left")
         .join(
             orders.select(
                 F.col("o_orderkey").alias("order_key"), "o_totalprice"
