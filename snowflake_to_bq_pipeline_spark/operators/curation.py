@@ -745,3 +745,103 @@ def dsir_importance_weights(
             ).alias("target_leaning"),
         )
     )
+
+
+#: Output shard count for balanced training-shard assignment.
+N_SHARDS = 16
+
+
+def shard_assignment(
+    documents: DataFrame,
+    n_tokens: Column,
+    n_shards: int = N_SHARDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Balanced training-shard assignment: (id, n_tokens, shard_id).
+
+    Writing a curated corpus as N shards with equal TOKEN mass (not equal
+    doc counts — doc lengths are heavy-tailed) is the last step before
+    training ingestion. Greedy first-fit-decreasing is inherently
+    sequential; the distributed equivalent is rank-round-robin: order docs
+    by token count descending and deal rank r to shard (r-1) mod N. Each
+    shard receives every N-th doc of the sorted stream, so shard token
+    totals differ by at most one doc per N-block — the same bound
+    longest-processing-time scheduling gives, with no sequential state.
+
+    The global rank uses the two-phase range-partitioned numbering
+    (operators/sync.global_row_number) — no single-partition window, so
+    the sort scales to corpus size. Deterministic: ties break on the id.
+    """
+    from .sync import global_row_number
+
+    sized = documents.select(
+        F.col(id_col), n_tokens.cast("bigint").alias("n_tokens")
+    ).withColumn("__neg_nt", -F.col("n_tokens"))
+    ranked = global_row_number(sized, ["__neg_nt", id_col])
+    return ranked.select(
+        id_col,
+        "n_tokens",
+        ((F.col("__rn") - 1) % n_shards).cast("bigint").alias("shard_id"),
+    )
+
+
+def shard_balance(assignment: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Per-shard balance report over a :func:`shard_assignment` output.
+
+    (shard_id, n_docs, tokens_total, token_share, balance_ratio) where
+    balance_ratio = shard tokens / ideal (corpus/N) — the number a
+    training job watches: max/min balance_ratio bounds stragglers. Two
+    tiny aggregates (shard grain, then corpus total joined back); exact
+    integer sums, rounded ratios.
+    """
+    per = assignment.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_total"),
+    )
+    tot = per.agg(F.sum("tokens_total").alias("__corpus"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard_id",
+        "n_docs",
+        "tokens_total",
+        F.round(
+            F.col("tokens_total").cast("double") / F.col("__corpus"), 6
+        ).alias("token_share"),
+        F.round(
+            F.col("tokens_total").cast("double")
+            * F.lit(float(n_shards))
+            / F.col("__corpus"),
+            6,
+        ).alias("balance_ratio"),
+    )
+
+
+def dsir_select_topk(weights: DataFrame, frac: float) -> DataFrame:
+    """Hard top-k DSIR selection: keep the ``frac`` highest-weight docs.
+
+    The zero-temperature variant of importance resampling — rank all
+    background docs by ``log_weight`` descending (ties on doc_id) and
+    keep the top ``ceil(frac * n)``. Rank comes from the two-phase
+    range-partitioned numbering (no one-task global sort); the cutoff
+    count joins in as a broadcast 1-row aggregate, so the plan is fully
+    lazy and corpus-scale.
+    """
+    from .sync import global_row_number
+
+    sized = weights.select("doc_id", "source", "log_weight").withColumn(
+        "__negw", -F.col("log_weight")
+    )
+    ranked = global_row_number(sized, ["__negw", "doc_id"])
+    cnt = weights.agg(F.count(F.lit(1)).alias("__cnt"))
+    return (
+        ranked.crossJoin(F.broadcast(cnt))
+        .filter(
+            F.col("__rn")
+            <= F.ceil(F.lit(frac) * F.col("__cnt")).cast("bigint")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "log_weight",
+            F.col("__rn").alias("selection_rank"),
+        )
+    )

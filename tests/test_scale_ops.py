@@ -187,3 +187,23 @@ def test_safe_stale_delete_scopes_to_latest_snapshot(spark, sf_dir):
     cur_after = cleaned.filter(F.to_date(F.col("ts")) == F.lit(latest)).count()
     assert cur_after == cur_before - stale.count()
     assert cleaned.count() == events.count() - stale.count()
+
+
+def test_shard_assignment_balanced_and_complete(spark, sf_dir):
+    """Every doc lands in exactly one shard; token mass is near-uniform
+    (rank-round-robin bounds shard totals within one max-doc per block)."""
+    from snowflake_to_bq_pipeline_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.array_size(
+        F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+    )
+    assign = curation.shard_assignment(docs, nt)
+    assert assign.count() == docs.count()
+    assert assign.select("doc_id").distinct().count() == docs.count()
+    bal = curation.shard_balance(assign).collect()
+    assert len(bal) == curation.N_SHARDS
+    ratios = [r["balance_ratio"] for r in bal]
+    # Deal-by-rank keeps shards within one largest-doc of ideal; on the
+    # synthetic corpus that is a tight band around 1.0.
+    assert max(ratios) < 1.2 and min(ratios) > 0.8
