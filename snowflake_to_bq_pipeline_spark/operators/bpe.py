@@ -31,8 +31,17 @@ from ._cache import swap_cache
 WORD_RE = "[a-z0-9]+"
 
 
+def fan_out_docs(documents: DataFrame, text_col: str) -> DataFrame:
+    """Parallelize the CPU-heavy regexp/explode scan (catalog.fan_out)."""
+    from ..catalog import fan_out
+
+    return fan_out(documents.select("doc_id", F.col(text_col)))
+
+
 def _word_vocab(documents: DataFrame, text_col: str) -> DataFrame:
-    words = documents.select(
+    from ..catalog import fan_out
+
+    words = fan_out(documents.select(F.col(text_col))).select(
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
         ).alias("word")
@@ -151,7 +160,7 @@ def bpe_encode_stats(
     )
     doc_word = swap_cache(
         "bpe.doc_word",
-        documents.select(
+        fan_out_docs(documents, text_col).select(
             "doc_id",
             F.explode(
                 F.regexp_extract_all(

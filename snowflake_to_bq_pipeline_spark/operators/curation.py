@@ -47,7 +47,11 @@ def pii_redact(documents: DataFrame, text_col: str = "text") -> DataFrame:
     redacted = t
     for _, pat, repl in PII_PATTERNS:
         redacted = F.regexp_replace(redacted, pat, repl)
-    out = documents.select("doc_id", redacted.alias("redacted_text"), *counts)
+    from ..catalog import fan_out
+
+    out = fan_out(documents.select("doc_id", t)).select(
+        "doc_id", redacted.alias("redacted_text"), *counts
+    )
     total = sum(
         (F.col(f"n_{name}") for name, _, _ in PII_PATTERNS),
         F.lit(0).cast("long"),
@@ -269,6 +273,9 @@ def repetition_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
     dup_trigram = F.when(
         t3 > 0, s3["dup"].cast("double") / t3.cast("double")
     ).otherwise(F.lit(0.0))
+    from ..catalog import fan_out
+
+    documents = fan_out(documents.select("doc_id", F.col(text_col)))
     return documents.select(
         "doc_id",
         top_bigram.alias("top_bigram_frac"),
@@ -315,9 +322,13 @@ def decontamination_overlap(
         F.array_size(w) >= k, F.sequence(F.lit(1), F.array_size(w) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
     parts = [F.element_at(F.col("__w"), F.col("i") + j) for j in range(k)]
+    from ..catalog import fan_out
+
     grams = _swap_cache(
         "decontam",
-        documents.select(
+        fan_out(
+            documents.select("doc_id", "source", F.col(text_col))
+        ).select(
             "doc_id", "source", w.alias("__w"), F.explode(idx).alias("i")
         )
         .select(
@@ -515,7 +526,11 @@ def paragraph_dedup(
             F.array_join(F.slice(w, i * k + 1, k), " ").alias("chunk_text"),
         ),
     )
-    ch = df.select("doc_id", F.explode(chunks).alias("c")).select(
+    from ..catalog import fan_out
+
+    ch = fan_out(df.select("doc_id", F.col(text_col))).select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select(
         "doc_id",
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.col("c.chunk_text").alias("chunk_text"),
@@ -669,9 +684,13 @@ def dsir_importance_weights(
     idx = F.when(
         F.array_size(w) >= 2, F.sequence(F.lit(1), F.array_size(w) - 1)
     ).otherwise(F.array().cast("array<int>"))
+    from ..catalog import fan_out
+
     grams = _swap_cache(
         "dsir_grams",
-        documents.select(
+        fan_out(
+            documents.select("doc_id", "source", F.col(text_col))
+        ).select(
             "doc_id", "source", w.alias("__w"), F.explode(idx).alias("i")
         ).select(
             "doc_id",
@@ -844,4 +863,52 @@ def dsir_select_topk(weights: DataFrame, frac: float) -> DataFrame:
             "log_weight",
             F.col("__rn").alias("selection_rank"),
         )
+    )
+
+
+#: Temperature for exponent-smoothed source sampling (the mT5/XLM-R
+#: multilingual mix value).
+MIX_ALPHA = 0.3
+
+
+def source_mix_temperature(
+    documents: DataFrame, alpha: float = MIX_ALPHA, text_col: str = "text"
+) -> DataFrame:
+    """Temperature-smoothed source sampling plan: p_i^alpha renormalized.
+
+    The published multilingual/source mixing rule (exponent smoothing,
+    mT5 / XLM-R): raw token shares are raised to ``alpha`` < 1 and
+    renormalized, upsampling the tail without flattening the head the
+    way a uniform target does (:func:`source_mix_weights`). Outputs the
+    raw and smoothed shares plus the resulting per-source sampling
+    weight smoothed/raw.
+
+    Shape: one source rollup (the only data-sized pass), then two 1-row
+    broadcast totals joins — pow/round on already-reduced rows only, so
+    the 6-decimal rounding is engine-stable.
+    """
+    per_source = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.array_size(F.split(F.col(text_col), " ")).cast("long")
+        ).alias("n_tokens"),
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("__tot"))
+    share = F.col("n_tokens").cast("double") / F.col("__tot").cast("double")
+    with_share = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("__share"),
+        F.pow(share, F.lit(alpha)).alias("__pa"),
+    )
+    z = with_share.agg(F.sum("__pa").alias("__z"))
+    smoothed = F.col("__pa") / F.col("__z")
+    return with_share.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("__share"), 6).alias("token_share"),
+        F.round(smoothed, 6).alias("smoothed_share"),
+        F.round(smoothed / F.col("__share"), 6).alias("sample_weight"),
     )

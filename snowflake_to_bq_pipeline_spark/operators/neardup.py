@@ -64,11 +64,15 @@ def shingles(
     guarded because Spark's sequence(1, 0) counts DOWN instead of being
     empty.
     """
+    from ..catalog import fan_out
+
     w = F.split(F.col(text_col), " ")
     idx = F.when(
         F.array_size(w) >= k, F.sequence(F.lit(1), F.array_size(w) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    exploded = documents.select(
+    # fan_out: split/explode here is the CPU floor of every near-dup
+    # consumer; a single-row-group local file would run it one-core.
+    exploded = fan_out(documents.select("doc_id", F.col(text_col))).select(
         "doc_id", w.alias("__w"), F.explode(idx).alias("i")
     )
     parts = [F.element_at(F.col("__w"), F.col("i") + j) for j in range(k)]
@@ -461,9 +465,11 @@ def substring_dup_profile(
     from pyspark.sql import Window
 
     w_len = F.length(F.col(text_col))
+    from ..catalog import fan_out
+
     wins = _swap_cache(
         "substr_windows",
-        documents.filter(w_len >= window)
+        fan_out(documents.filter(w_len >= window))
         .select(
             "doc_id",
             w_len.alias("__len"),

@@ -201,7 +201,9 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    toks = documents.select(
+    from ..catalog import fan_out
+
+    toks = fan_out(documents.select("doc_id", F.col(text_col))).select(
         "doc_id", F.explode(_tokens(F.col(text_col))).alias("token")
     )
     tok_counts = toks.groupBy("doc_id", "token").agg(
@@ -395,24 +397,51 @@ def charlm_perplexity(
     aggregation.
     """
     t = F.col(text_col)
-    tri = documents.select(
+    # Build each row's trigram array row-locally, THEN explode: the
+    # Generate input is the compact gram array, so generated rows carry
+    # 3 chars each — exploding a position sequence instead would drag the
+    # full text column through every generated row (measured 2.5× slower
+    # at sf0.1 on this corpus).
+    from ..catalog import fan_out
+
+    tri = fan_out(documents.select("doc_id", "source", t)).select(
         "doc_id",
         "source",
         F.explode(
             F.when(
-                F.length(t) >= 3, F.sequence(F.lit(1), F.length(t) - 2)
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("i"),
-        t,
+                F.length(t) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 2),
+                    lambda i: t.substr(i, F.lit(3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g3"),
     ).select(
         "doc_id",
         "source",
-        F.substring(t, F.col("i"), 3).alias("g3"),
-        F.substring(t, F.col("i"), 2).alias("g2"),
+        "g3",
+        F.substring(F.col("g3"), 1, 2).alias("g2"),
     )
     is_ref = F.col("source") == ref_source
-    c3 = tri.filter(is_ref).groupBy("g3").agg(F.count(F.lit(1)).alias("c3"))
-    c2 = tri.filter(is_ref).groupBy("g2").agg(F.count(F.lit(1)).alias("c2"))
+    from ._cache import swap_cache
+
+    # The trigram model table is alphabet-bounded (tiny) and consumed
+    # twice — by the score join and by the bigram rollup below; persist
+    # it so the reference slice is exploded/counted exactly once.
+    c3 = swap_cache(
+        "charlm.c3",
+        tri.filter(is_ref)
+        .groupBy("g3")
+        .agg(F.count(F.lit(1)).alias("c3")),
+    )
+    # count2(b) == Σ_c count3(b·c) exactly: trigrams and their prefix
+    # bigrams are enumerated at the same positions (1..len-2), so the
+    # bigram model is a rollup of the (tiny) trigram model table — no
+    # second corpus-sized pass over the reference slice.
+    c2 = (
+        c3.groupBy(F.substring(F.col("g3"), 1, 2).alias("g2"))
+        .agg(F.sum("c3").alias("c2"))
+    )
     logp = F.log(
         (F.coalesce(F.col("c3"), F.lit(0)) + 1).cast("double")
         / (F.coalesce(F.col("c2"), F.lit(0)) + CHARLM_ALPHABET).cast("double")

@@ -1866,6 +1866,18 @@ def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivfpq_topk")  # rows-only: ranks by the trained composed model
+def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (FAISS IndexIVFPQ layout): coarse inverted
+    lists route queries to n_probe lists, PQ codes on RESIDUALS score
+    candidates via broadcast LUT + per-list bias — the deployable
+    billion-scale configuration; recall vs brute force in
+    tests/test_pq.py."""
+    return pq.ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+
+
 @query("pq_compression_stats")  # rows-only: fidelity of the trained model
 def pq_compression_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ fidelity report: raw vs coded bytes per vector and mean
@@ -3275,6 +3287,39 @@ def source_mix_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.source_mix_weights(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "source_mix_temperature",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot FROM s),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / tot AS share,
+             POW(CAST(n_tokens AS DOUBLE) / tot, {curation.MIX_ALPHA})
+               AS pa
+      FROM s CROSS JOIN t
+    ),
+    z AS (SELECT SUM(pa) AS z FROM w)
+    SELECT source, n_docs, n_tokens,
+           ROUND(share, 6) AS token_share,
+           ROUND(pa / z, 6) AS smoothed_share,
+           ROUND(pa / z / share, 6) AS sample_weight
+    FROM w CROSS JOIN z
+    """,
+)
+def source_mix_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source mix (p^alpha renormalized — the
+    mT5/XLM-R multilingual sampling rule, alpha=0.3): upweights tail
+    sources without flattening the head like the uniform target does."""
+    return curation.source_mix_temperature(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 from .operators import scd, skew  # noqa: E402
 from .plans import engagement  # noqa: E402
 
@@ -4241,6 +4286,7 @@ _WINDOW_ORDER = [
     "shard_assignment_balanced",
     "shard_balance_summary",
     "dsir_select_topk",
+    "source_mix_temperature",
     "substring_dup_profile",
     "dsir_importance_weights",
     "charlm_perplexity",
@@ -4361,6 +4407,7 @@ _WINDOW_ORDER = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "pq_compression_stats",
     "sketch_distinct_users",
     "sketch_value_quantiles",

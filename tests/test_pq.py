@@ -56,3 +56,19 @@ def test_pq_compression_stats(spark, sf_dir):
     assert row.n_vectors == emb.count()
     assert row.raw_bytes_per_vec == 256 and row.coded_bytes_per_vec == 8
     assert 0.0 < row.mean_recon_cosine <= 1.0
+
+
+def test_ivfpq_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 10
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, pred, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.ivfpq_topk(emb, pred, k=20).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    # Residual coding + 6/16 probes: expect at least the flat-PQ bar.
+    assert recall >= 0.5, recall
