@@ -6,12 +6,17 @@ this learns one — the byte-pair-encoding merge table of Sennrich et al.
 training corpora.
 
 Distributed shape: the corpus collapses once into a word-frequency
-vocabulary (one groupBy over tokens — the only corpus-sized pass).
-Each merge iteration then runs over the VOCABULARY (O(distinct words)
-rows): count symbol pairs weighted by word frequency, pick the best
-pair (1-row collect), apply the merge with a literal string replace.
-That per-iteration vocab shuffle is the published algorithm's cost
-model; driver state is one (pair, count) row per iteration.
+vocabulary (one groupBy over tokens — the only corpus-sized pass),
+capped at the top ``VOCAB_CAP`` words by frequency. The capped vocab
+is bounded MODEL-TRAINING state (like the IVF centroids): real
+tokenizer trainers (HuggingFace ``tokenizers``, SentencePiece) learn
+merges from exactly such a bounded word-count dictionary, because the
+Zipf head carries essentially all pair mass — a word outside the top
+256k occurs too rarely to flip any merge decision. The merge loop then
+runs driver-side over that dictionary: 10 merges over <=256k words is
+millions of integer adds, not a distributed job, and replacing 10
+(shuffle + sort + collect) Spark rounds with one collect removes the
+per-iteration scheduling cost entirely at ANY corpus scale.
 
 Determinism: pair counts are exact integer sums; ties break on the
 lexicographically smallest pair, so the merge table is a pure function
@@ -29,6 +34,12 @@ from ._cache import swap_cache
 
 #: Token pattern shared with the text ops: lowercase alnum runs.
 WORD_RE = "[a-z0-9]+"
+
+#: Bounded word-frequency dictionary size for merge learning. The Zipf
+#: head carries the pair mass; a word below this rank is too rare to
+#: change any merge decision, and the cap makes the driver-side model
+#: state O(1) in corpus size (collected rows, not corpus rows).
+VOCAB_CAP = 1 << 18
 
 
 def fan_out_docs(documents: DataFrame, text_col: str) -> DataFrame:
@@ -79,48 +90,51 @@ def bpe_merge_rows(
 ) -> list[tuple[int, str, str, str, int]]:
     """Driver-side merge list backing :func:`bpe_merges` — the raw model
     state, exposed so callers (registry) can memoize the once-per-corpus
-    induction instead of re-learning it in every query that applies it."""
-    vocab = _word_vocab(documents, text_col).select(
-        "freq",
-        # " c h a r s " — sentinel spaces so every symbol occurrence,
-        # including first/last, matches the padded " a b " search key.
-        F.concat(
-            F.lit(" "),
-            F.concat_ws(" ", F.split(F.col("word"), "")),
-            F.lit(" "),
-        ).alias("seq"),
+    induction instead of re-learning it in every query that applies it.
+
+    One distributed pass builds the word-frequency dictionary (capped at
+    the top ``VOCAB_CAP`` words by ``(freq DESC, word)`` — deterministic
+    and, per the module docstring, semantics-preserving for any real
+    corpus); the merge loop itself runs driver-side over that bounded
+    dictionary with the SAME semantics the previous distributed learner
+    had: exact integer pair counts, lexicographically-smallest tie-break
+    on the ``"left right"`` key, stop when the best pair count drops
+    below 2, and padded-sentinel ``str.replace`` merge application.
+    """
+    vocab_rows = (
+        _word_vocab(documents, text_col)
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(VOCAB_CAP)
+        .collect()
     )
+    # " c h a r s " — sentinel spaces so every symbol occurrence,
+    # including first/last, matches the padded " a b " search key.
+    vocab = [
+        (" " + " ".join(r["word"]) + " ", int(r["freq"])) for r in vocab_rows
+    ]
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        vocab = swap_cache("bpe.vocab", vocab)
-        arr = F.split(F.trim(F.col("seq")), " ")
-        pairs = F.zip_with(
-            F.slice(arr, 1, F.greatest(F.array_size(arr) - 1, F.lit(0))),
-            F.slice(arr, 2, F.greatest(F.array_size(arr) - 1, F.lit(0))),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        )
-        best = (
-            vocab.select("freq", F.explode(pairs).alias("pair"))
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("pair"))
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0]["n"] < 2:
+        counts: dict[tuple[str, str], int] = {}
+        for seq, freq in vocab:
+            syms = seq.split()
+            for x, y in zip(syms, syms[1:]):
+                key = (x, y)
+                counts[key] = counts.get(key, 0) + freq
+        if not counts:
             break
-        pair, n = best[0]["pair"], int(best[0]["n"])
-        left, right = pair.split(" ")
+        best_n = max(counts.values())
+        if best_n < 2:
+            break
+        # Space-joined string order equals (left, right) tuple order when
+        # symbols are space-free (0x20 sorts below every alnum char), so
+        # min() here reproduces the old ORDER BY n DESC, pair ASC.
+        left, right = min(p for p, c in counts.items() if c == best_n)
         merged = left + right
-        merges.append((rank, left, right, merged, n))
-        vocab = vocab.withColumn(
-            "seq",
-            F.replace(
-                F.col("seq"),
-                F.lit(f" {left} {right} "),
-                F.lit(f" {merged} "),
-            ),
-        )
+        merges.append((rank, left, right, merged, best_n))
+        vocab = [
+            (seq.replace(f" {left} {right} ", f" {merged} "), freq)
+            for seq, freq in vocab
+        ]
     return merges
 
 

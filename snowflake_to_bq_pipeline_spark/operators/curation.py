@@ -912,3 +912,86 @@ def source_mix_temperature(
         F.round(smoothed, 6).alias("smoothed_share"),
         F.round(smoothed / F.col("__share"), 6).alias("sample_weight"),
     )
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language
+#: Models: ... Gopher", §A1.1 — public paper), scaled to the synthetic
+#: corpus' 20-90-word documents where the paper's 50-100k bounds would
+#: never bind.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORDS = 2
+#: Small fixed stopword list (the paper uses a similar hand-picked set).
+GOPHER_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "that"]
+GOPHER_WORD_RE = "[^ ]+"
+
+
+def gopher_quality_rules(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher-style quality rule evaluation.
+
+    Complements :func:`quality_funnel` (token-count gates) with the
+    word-SHAPE heuristics from the Gopher appendix: word-count bounds,
+    mean word length window, alphabetic-word fraction, symbol-to-word
+    ratio (``#``/ellipsis), and a minimum distinct-stopword count. Each
+    rule is surfaced as its own boolean plus the conjunction, so the
+    downstream filter can report per-rule kill counts.
+
+    Scale: strictly row-local (split + higher-order array folds — no
+    explode, no shuffle); every metric is a deterministic integer or a
+    6dp-rounded ratio of integers, so any engine agrees bit-for-bit.
+    """
+    t = F.col(text_col)
+    ws = F.regexp_extract_all(t, F.lit(GOPHER_WORD_RE), 0)
+    n_words = F.array_size(ws).cast("long")
+    total_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = F.round(
+        total_chars.cast("double") / n_words.cast("double"), 6
+    )
+    n_alpha = F.array_size(
+        F.filter(ws, lambda w: w.rlike("[a-z]"))
+    ).cast("long")
+    alpha_frac = F.round(
+        n_alpha.cast("double") / n_words.cast("double"), 6
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.round(
+        (n_hash + n_ellipsis).cast("double") / n_words.cast("double"), 6
+    )
+    n_stop = F.array_size(
+        F.array_intersect(
+            F.array_distinct(ws),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_len = (mean_len >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_len <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    r_sym = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        n_stop.alias("n_stopwords"),
+        r_words.alias("pass_word_count"),
+        r_len.alias("pass_mean_word_len"),
+        r_alpha.alias("pass_alpha_frac"),
+        r_sym.alias("pass_symbol_ratio"),
+        r_stop.alias("pass_stopwords"),
+        (r_words & r_len & r_alpha & r_sym & r_stop).alias("keep"),
+    )

@@ -559,3 +559,63 @@ def kmeans_clusters(
             ).alias("cosine_to_centroid"),
         )
     )
+
+
+#: Exact-sum decimal for centroid/outlier math: squared diffs of unit-ish
+#: vectors are < 4, so 64 terms stay far under the integer capacity while
+#: 12 fractional digits keep the rounding-to-6dp boundary stable.
+OUT_DEC = "decimal(28,12)"
+
+
+def centroid_outliers(
+    embeddings: DataFrame, k: int = 50, dims: int = 64
+) -> DataFrame:
+    """Semantic outliers: the ``k`` vectors farthest from the corpus
+    centroid — the standard embedding-space triage for mislabeled /
+    off-distribution training documents (cf. SemDeDup-style cluster
+    outlier pruning).
+
+    Determinism across engines: the centroid is NOT a plain double AVG
+    (double sums are add-order-dependent, so a parallel engine and the
+    oracle can disagree in the last ulp and flip the 6dp rounding).
+    Instead each dimension sums exactly as DECIMAL(28,12) — associative,
+    partition-order-free — and converts to double once; squared diffs
+    likewise sum as exact decimals per vector.
+
+    Scale: one 1-row aggregate (64 decimal sums + a count, fully
+    map-side combined) broadcast back via crossJoin; the distance is a
+    row-local fold (no shuffle), and the global top-k is a TakeOrdered —
+    O(k) driver state, never a full sort.
+    """
+    v = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sums = [
+        F.sum(F.element_at(F.col("e"), i).cast(OUT_DEC)).alias(f"__s{i}")
+        for i in range(1, dims + 1)
+    ]
+    cent = _vectors(embeddings).agg(*sums, F.count(F.lit(1)).alias("__n"))
+    c_arr = F.array(
+        *[
+            F.col(f"__s{i}").cast("double")
+            / F.col("__n").cast("double")
+            for i in range(1, dims + 1)
+        ]
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("e"), F.col("__c"), lambda x, c: ((x - c) * (x - c)).cast(OUT_DEC)
+        ),
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, x: (acc + x).cast("decimal(38,12)"),
+    )
+    return (
+        v.crossJoin(F.broadcast(cent.select(c_arr.alias("__c"))))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.sqrt(dist2.cast("double")), 6).alias("centroid_dist"),
+        )
+        .orderBy(F.col("centroid_dist").desc(), F.col("vec_id"))
+        .limit(k)
+    )
