@@ -4259,6 +4259,100 @@ def dsir_select_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in curation.GOPHER_STOPWORDS)
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '{curation.GOPHER_WORD_RE}') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             ROUND(CAST(list_sum(list_transform(ws, w -> len(w)))
+                        AS DOUBLE) / len(ws), 6) AS mean_word_len,
+             ROUND(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                        AS DOUBLE) / len(ws), 6) AS alpha_word_frac,
+             ROUND(CAST((len(text) - len(replace(text, '#', '')))
+                        + (len(text) - len(replace(text, '...', ''))) / 3
+                        AS DOUBLE) / len(ws), 6) AS symbol_ratio,
+             CAST(len(list_intersect(list_distinct(ws),
+                                     [{_GOPHER_STOP_SQL}]))
+                  AS BIGINT) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+           n_stopwords,
+           n_words >= {curation.GOPHER_MIN_WORDS}
+             AND n_words <= {curation.GOPHER_MAX_WORDS} AS pass_word_count,
+           mean_word_len >= {curation.GOPHER_MIN_MEAN_WORD_LEN}
+             AND mean_word_len <= {curation.GOPHER_MAX_MEAN_WORD_LEN}
+             AS pass_mean_word_len,
+           alpha_word_frac >= {curation.GOPHER_MIN_ALPHA_FRAC}
+             AS pass_alpha_frac,
+           symbol_ratio <= {curation.GOPHER_MAX_SYMBOL_RATIO}
+             AS pass_symbol_ratio,
+           n_stopwords >= {curation.GOPHER_MIN_STOPWORDS} AS pass_stopwords,
+           (n_words >= {curation.GOPHER_MIN_WORDS}
+            AND n_words <= {curation.GOPHER_MAX_WORDS}
+            AND mean_word_len >= {curation.GOPHER_MIN_MEAN_WORD_LEN}
+            AND mean_word_len <= {curation.GOPHER_MAX_MEAN_WORD_LEN}
+            AND alpha_word_frac >= {curation.GOPHER_MIN_ALPHA_FRAC}
+            AND symbol_ratio <= {curation.GOPHER_MAX_SYMBOL_RATIO}
+            AND n_stopwords >= {curation.GOPHER_MIN_STOPWORDS}) AS keep
+    FROM m
+    """,
+)
+def gopher_quality_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-appendix word-shape quality rules per document (Rae et al.
+    2021 §A1.1) — the rule-based complement to the token-count funnel.
+    Row-local plan: split + higher-order folds, zero shuffle."""
+    return curation.gopher_quality_rules(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@query(
+    "embedding_outlier_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos
+      FROM v
+    ),
+    cent AS (
+      SELECT pos,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM d GROUP BY pos
+    ),
+    dist AS (
+      SELECT d.vec_id,
+             SUM(CAST((d.val - cent.c) * (d.val - cent.c)
+                      AS DECIMAL(28,12))) AS s2
+      FROM d JOIN cent USING (pos) GROUP BY d.vec_id
+    )
+    SELECT v.vec_id, v.label,
+           ROUND(SQRT(CAST(dist.s2 AS DOUBLE)), 6) AS centroid_dist
+    FROM dist JOIN v USING (vec_id)
+    ORDER BY centroid_dist DESC, vec_id
+    LIMIT 50
+    """,
+)
+def embedding_outlier_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier triage: top-50 vectors by distance to the
+    corpus centroid (exact decimal sums make the centroid and distances
+    engine-identical; plan is one 1-row aggregate + TakeOrdered)."""
+    return similarity.centroid_outliers(
+        load_table(spark, sf_dir, "embeddings"), k=50, dims=_ANN_DIMS
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the driver's correctness window.
 #
@@ -4283,6 +4377,8 @@ def dsir_select_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINDOW_ORDER = [
     # -- slots 1-24: never driver-checked (new this round) -------------
+    "gopher_quality_rules",
+    "embedding_outlier_topk",
     "shard_assignment_balanced",
     "shard_balance_summary",
     "dsir_select_topk",

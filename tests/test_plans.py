@@ -176,3 +176,25 @@ def test_substring_dup_profile_shuffles_hashes_not_text(spark, sf_dir):
     # raw text column never appears in an exchange's output schema.
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    """Gopher word-shape rules are strictly row-local — split + array
+    folds, no explode; the plan must contain no value-keyed Exchange."""
+    plan = _plan(QUERIES["gopher_quality_rules"](spark, sf_dir))
+    assert _only_fanout_exchanges(plan), plan[:1200]
+
+
+def test_embedding_outlier_is_one_row_agg_plus_topk(spark, sf_dir):
+    """Centroid outliers: the only aggregation is the 1-row centroid
+    (single-partition exchange), distances are row-local, and the global
+    top-k is a TakeOrdered — never a full sort of the corpus."""
+    plan = _plan(QUERIES["embedding_outlier_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    import re
+
+    keyed = [
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\(([^,)]*)", plan)
+    ]
+    assert not keyed, f"unexpected value-keyed shuffles on {keyed}"
