@@ -209,20 +209,20 @@ def tfidf_top_terms(
     tok_counts = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("term_count")
     )
-    doc_totals = tok_counts.groupBy("doc_id").agg(
-        F.sum("term_count").alias("doc_tokens")
-    )
     df_counts = tok_counts.groupBy("token").agg(
         F.count(F.lit(1)).alias("doc_freq")
     )
     n_docs = documents.agg(F.count(F.lit(1)).alias("__n_docs"))
 
-    tf = F.col("term_count").cast("double") / F.col("doc_tokens").cast("double")
+    # Window sum over the doc_id partition the rank window already needs —
+    # replaces a groupBy(doc_id)+join (one shuffle less, same exact sum).
+    doc_tokens = F.sum("term_count").over(Window.partitionBy("doc_id"))
+    tf = F.col("term_count").cast("double") / F.col("__dt").cast("double")
     idf = F.log(F.col("__n_docs").cast("double") / F.col("doc_freq").cast("double"))
     scored = (
-        tok_counts.join(doc_totals, "doc_id")
-        .join(df_counts, "token")
+        tok_counts.join(df_counts, "token")
         .crossJoin(F.broadcast(n_docs))
+        .withColumn("__dt", doc_tokens)
         .select(
             "doc_id",
             "token",
@@ -292,72 +292,84 @@ def tfidf_doc_similarity(
             F.count(F.lit(1)).alias("term_count")
         ),
     )
-    doc_totals = tok_counts.groupBy("doc_id").agg(
-        F.sum("term_count").alias("doc_tokens")
-    )
     df_counts = tok_counts.groupBy("token").agg(
         F.count(F.lit(1)).alias("doc_freq")
     )
     n_docs = documents.agg(F.count(F.lit(1)).alias("__n_docs"))
-    tf = F.col("term_count").cast("double") / F.col("doc_tokens").cast("double")
+    # doc_tokens rides the SAME doc_id partitioning the rank window needs:
+    # a frame-less window sum replaces the former groupBy(doc_id)+join —
+    # one whole shuffle less, and Catalyst stacks both Window operators on
+    # a single exchange. Exact integer sum, so w is unchanged.
+    doc_tokens = F.sum("term_count").over(Window.partitionBy("doc_id"))
+    tf = F.col("term_count").cast("double") / F.col("__dt").cast("double")
     idf = F.log(
         F.col("__n_docs").cast("double") / F.col("doc_freq").cast("double")
     )
     scored = (
-        tok_counts.join(doc_totals, "doc_id")
-        .join(df_counts, "token")
+        tok_counts.join(df_counts, "token")
         .crossJoin(F.broadcast(n_docs))
+        .withColumn("__dt", doc_tokens)
         .select("doc_id", "token", F.round(tf * idf, 6).alias("w"))
     )
     rank_w = Window.partitionBy("doc_id").orderBy(
         F.col("w").desc(), F.col("token")
     )
-    # Persisted: norms and both self-join sides consume this chain
-    # (explode -> counts -> idf joins -> window rank), and the executed
-    # plan does not reuse the exchange across them. k rows per doc.
+    # The per-doc norm rides the SAME doc_id partition as the rank: a
+    # stacked frame-less window sums w^2 over the rows that survived the
+    # rank filter (exact decimals, add-order-free), so each top-k row
+    # carries its document's norm into the self-join — no norms groupBy
+    # and no per-side pair joins afterwards (three shuffles gone).
+    norm_w = Window.partitionBy("doc_id")
+    # Persisted: both self-join sides consume this chain (explode ->
+    # counts -> idf join -> stacked windows), and the executed plan does
+    # not reuse the exchange across them. k rows per doc.
     from ._cache import swap_cache
 
     topk = swap_cache(
         "tfidf_topk",
         scored.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
-        .select("doc_id", "token", "w"),
-    )
-    norms = topk.groupBy("doc_id").agg(
-        F.sqrt(
-            F.sum((F.col("w") * F.col("w")).cast(SIM_DEC)).cast("double")
-        ).alias("nrm")
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast(SIM_DEC))
+                .over(norm_w)
+                .cast("double")
+            ),
+        )
+        .select("doc_id", "token", "w", "nrm"),
     )
     a = topk.select(
-        F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("wa")
+        F.col("doc_id").alias("doc_a"),
+        "token",
+        F.col("w").alias("wa"),
+        F.col("nrm").alias("__na"),
     )
     b = topk.select(
-        F.col("doc_id").alias("doc_b"), "token", F.col("w").alias("wb")
+        F.col("doc_id").alias("doc_b"),
+        "token",
+        F.col("w").alias("wb"),
+        F.col("nrm").alias("__nb"),
     )
     dots = (
         a.join(b, "token")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        # __na/__nb are functions of the doc ids, so adding them to the
+        # grouping key changes no groups — it just carries them through.
+        .groupBy("doc_a", "doc_b", "__na", "__nb")
         .agg(
             F.sum((F.col("wa") * F.col("wb")).cast(SIM_DEC))
             .cast("double")
             .alias("__dot")
         )
     )
-    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("__na"))
-    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("__nb"))
-    return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6).alias(
-                "cosine"
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    return dots.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6).alias(
+            "cosine"
+        ),
+    ).filter(F.col("cosine") >= threshold)
 
 
 #: Add-one smoothing mass for the char-LM: a fixed pseudo-alphabet size
