@@ -582,26 +582,37 @@ def centroid_outliers(
     partition-order-free — and converts to double once; squared diffs
     likewise sum as exact decimals per vector.
 
-    Scale: one 1-row aggregate (64 decimal sums + a count, fully
-    map-side combined) broadcast back via crossJoin; the distance is a
-    row-local fold (no shuffle), and the global top-k is a TakeOrdered —
-    O(k) driver state, never a full sort.
+    Scale: the centroid is a posexplode → groupBy(pos) partial aggregate
+    (the shuffle carries partitions × dims pre-combined rows, not the
+    corpus) folded to ONE broadcast row; the distance is a row-local fold
+    (no shuffle), and the global top-k is a TakeOrdered — O(k) driver
+    state, never a full sort. (A 64-wide unrolled aggregate computed the
+    same centroid in one pass but cost ~1.5s of analyzer/codegen time on
+    EVERY invocation — the narrow exploded shape keeps the plan small.)
     """
     v = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    sums = [
-        F.sum(F.element_at(F.col("e"), i).cast(OUT_DEC)).alias(f"__s{i}")
-        for i in range(1, dims + 1)
-    ]
-    cent = _vectors(embeddings).agg(*sums, F.count(F.lit(1)).alias("__n"))
-    c_arr = F.array(
-        *[
-            F.col(f"__s{i}").cast("double")
-            / F.col("__n").cast("double")
-            for i in range(1, dims + 1)
-        ]
+    per_dim = (
+        v.select(F.posexplode("e").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.col("val").cast(OUT_DEC)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
+    cent = per_dim.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "pos",
+                    (F.col("s").cast("double") / F.col("n").cast("double"))
+                    .alias("c"),
+                )
+            )
+        ).alias("__pc")
+    )
+    c_arr = F.transform("__pc", lambda x: x["c"])
     dist2 = F.aggregate(
         F.zip_with(
             F.col("e"), F.col("__c"), lambda x, c: ((x - c) * (x - c)).cast(OUT_DEC)
