@@ -4415,11 +4415,13 @@ _WINDOW_ORDER = [
     "sequence_packing",
     "pack_fill_summary",
     "source_language_mix",
-    # -- slots 28-31: engine code changed this round --------------------
+    # -- engine code changed this round: fresh hash signal needed ------
     "repetition_filter",
     "individual_budget_tracking",
     "budget_vs_actual",
     "ngram_jaccard_dups",
+    "tfidf_doc_similarity",
+    "tfidf_top_terms",
     # -- fill to 50 with the longest-unchecked stable passers; the
     # remainder and the rows-only ops (no hash verdict possible) follow
     "full_sync_snapshot",
@@ -4490,8 +4492,6 @@ _WINDOW_ORDER = [
     "sales_rollup_sets",
     "source_mix_weights",
     "stratified_sample_mix",
-    "tfidf_doc_similarity",
-    "tfidf_top_terms",
     "utilization_rollup",
     "view_variance_detection",
     "work_item_enriched",
