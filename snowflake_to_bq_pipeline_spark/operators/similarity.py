@@ -528,7 +528,10 @@ def ivf_topk(
 
 
 def kmeans_clusters(
-    embeddings: DataFrame, n_clusters: int = 16, n_iters: int = 3
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Topical document clustering: final k-means assignments + sizes.
 
@@ -539,7 +542,11 @@ def kmeans_clusters(
     data-sized shuffle beyond the training iterations themselves.
     """
     v = _vectors(embeddings)
-    cents = train_centroids(v, n_clusters, n_iters)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids(v, n_clusters, n_iters)
+    )
     assigned = _assign(v, cents, "vec_id", "e", 1)
     sizes = assigned.groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -629,4 +636,96 @@ def centroid_outliers(
         )
         .orderBy(F.col("centroid_dist").desc(), F.col("vec_id"))
         .limit(k)
+    )
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    tau: float = 0.3,
+    n_iters: int = 3,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication —
+    k-means the embedding space, score cosine only WITHIN each cluster,
+    connect pairs above ``tau`` transitively, keep each group's min-id
+    representative. The semantic complement to MinHash/SimHash (those
+    catch lexical near-dups; this catches paraphrases that share no
+    n-grams).
+
+    Scale posture: clustering is what makes the quadratic tractable —
+    pair scoring is bounded by the LARGEST CLUSTER, never the corpus
+    (SemDeDup runs with n_clusters ∝ corpus size so cluster populations
+    stay roughly constant; our default suits the test corpus). The
+    within-cluster join shuffles on cent_id, group resolution reuses the
+    verified pointer-jumping CC (operators/graph.py). Model state is the
+    O(n_clusters) centroid table — same bounded-model discipline as IVF.
+
+    Output: (vec_id, cluster_id, group_id, group_size, keep) — one row
+    per vector; ``keep`` is False only for non-canonical members of a
+    semantic-dup group.
+    """
+    from .graph import connected_components
+
+    import numpy as np
+    import pandas as pd
+
+    v = _vectors(embeddings)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids(v, n_clusters, n_iters)
+    )
+    assigned = _assign(v, cents, "vec_id", "e", 1).select(
+        "vec_id", "cent_id", "e"
+    )
+
+    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        # One BLAS matmul per cluster (the blocked_pairs scoring shape —
+        # a row-pair expression fold priced each of the |c|² cosines as
+        # an interpreted 64-step lambda, measured ~10x slower). Clusters
+        # too big for one cell would sub-block exactly like blocked_pairs.
+        e = np.array(pdf["e"].tolist(), dtype=np.float64)
+        n = np.sqrt((e * e).sum(axis=1))
+        cos = np.round((e @ e.T) / np.outer(n, n), 6)
+        ia, ib = np.nonzero(cos >= tau)
+        ids = pdf["vec_id"].to_numpy()
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cosine": cos[ia[keep], ib[keep]],
+            }
+        )
+
+    pairs = (
+        assigned.select("cent_id", "vec_id", "e")
+        .groupBy("cent_id")
+        .applyInPandas(score_cluster, "vec_a long, vec_b long, cosine double")
+    )
+    labels = connected_components(pairs, "vec_a", "vec_b")
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    grouped = labels.join(sizes, "label").select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("group_id"),
+        "group_size",
+    )
+    return (
+        assigned.select("vec_id", F.col("cent_id").alias("cluster_id"))
+        .join(grouped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(F.col("group_id"), F.col("vec_id")).alias("group_id"),
+            F.coalesce(F.col("group_size"), F.lit(1).cast("long")).alias(
+                "group_size"
+            ),
+            (
+                F.coalesce(F.col("group_id"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("keep"),
+        )
     )

@@ -3571,13 +3571,42 @@ def click_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_joins.attribution_batch(load_table(spark, sf_dir, "events"))
 
 
+#: Trained k-means centroids per (sf_dir, k, iters) — collected rows, the
+#: same once-per-corpus model-memo pattern as _BPE_MERGE_CACHE (the model
+#: IS driver state; re-learning it per consuming query is pure waste).
+_CENTROID_CACHE: dict[tuple[str, int, int], list] = {}
+
+
+def _centroids_for(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    rows = _CENTROID_CACHE.get((sf_dir, k, iters))
+    if rows is None:
+        rows = [
+            (int(r["cent_id"]), list(r["ce"]))
+            for r in similarity.train_centroids(
+                load_table(spark, sf_dir, "embeddings").select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("e"),
+                ),
+                k,
+                iters,
+            ).collect()
+        ]
+        _CENTROID_CACHE[(sf_dir, k, iters)] = rows
+    return spark.createDataFrame(rows, "cent_id long, ce array<double>")
+
+
 @query("kmeans_doc_clusters")  # rows-only: iterative float clustering
 def kmeans_doc_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means topical clustering of document embeddings (assignments,
     cluster sizes, cosine-to-centroid); self-consistency and inertia
-    properties asserted in tests/test_similarity.py."""
+    properties asserted in tests/test_similarity.py. Shares the trained
+    k=8 model with semdedup_prune via the centroid memo."""
     return similarity.kmeans_clusters(
-        load_table(spark, sf_dir, "embeddings"), n_clusters=8
+        load_table(spark, sf_dir, "embeddings"),
+        n_clusters=8,
+        centroids=_centroids_for(spark, sf_dir, 8),
     )
 
 
@@ -4259,6 +4288,20 @@ def dsir_select_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("semdedup_prune")  # rows-only: k-means model + float clustering
+def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023): within-k-means-cluster
+    cosine groups resolved transitively; keep = min-id representative.
+    Group/keep invariants asserted in tests/test_similarity.py. Shares
+    the trained k=8 model with kmeans_doc_clusters via the centroid
+    memo."""
+    return similarity.semdedup_prune(
+        load_table(spark, sf_dir, "embeddings"),
+        n_clusters=8,
+        centroids=_centroids_for(spark, sf_dir, 8),
+    )
+
+
 _GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in curation.GOPHER_STOPWORDS)
 
 
@@ -4500,6 +4543,7 @@ _WINDOW_ORDER = [
     "kmeans_doc_clusters",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "semdedup_prune",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",

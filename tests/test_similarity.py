@@ -114,3 +114,33 @@ def test_kmeans_clusters_self_consistent(spark, sf_dir):
         (r["vec_id"], r["cent_id"]) for r in rows
     )
     out.unpersist()
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.semdedup_prune(emb, n_clusters=4).collect()
+    n_vecs = emb.count()
+    assert len(out) == n_vecs  # one row per vector, none lost
+    rows = {r["vec_id"]: r for r in out}
+    groups: dict[int, list] = {}
+    for r in out:
+        groups.setdefault(r["group_id"], []).append(r)
+    for gid, members in groups.items():
+        # group id is the min member id, and exactly that member is kept
+        assert gid == min(m["vec_id"] for m in members)
+        assert [m["keep"] for m in members].count(True) == 1
+        assert rows[gid]["keep"]
+        # semantic groups never span kmeans clusters (pairs are scored
+        # within-cluster only)
+        assert len({m["cluster_id"] for m in members}) == 1
+        for m in members:
+            assert m["group_size"] == len(members)
+    # determinism: a second full run reproduces the same assignment
+    again = similarity.semdedup_prune(emb, n_clusters=4).collect()
+    key = lambda r: r["vec_id"]
+    assert sorted(map(tuple, again), key=lambda t: t[0]) == sorted(
+        map(tuple, out), key=lambda t: t[0]
+    )
