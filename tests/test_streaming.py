@@ -293,3 +293,54 @@ def test_streaming_curation_matches_batch_twin(spark, sf_dir, tmp_path):
         got.select("fingerprint").distinct().count()
         == batch.select("fingerprint").distinct().count()
     )
+
+
+def test_streaming_resumes_from_checkpoint_across_restart(
+    spark, sf_dir, tmp_path
+):
+    """Fault-tolerance contract: a second run of the SAME query over the
+    SAME checkpoint after new files arrive must resume exactly-once —
+    every window emitted once, closed windows equal to the batch twin over
+    ALL data, nothing re-emitted from before the restart.
+
+    The event stream is split at the median timestamp so arrival order
+    respects event time (files arriving out of event-time order beyond
+    the watermark are the documented drop case, not the resume case
+    under test)."""
+    import datetime as dt
+
+    events = load_table(spark, sf_dir, "events")
+    median_ts = events.select(
+        F.expr("percentile(unix_micros(ts), 0.5)")
+    ).collect()[0][0]
+    median_ts = F.timestamp_micros(F.lit(int(median_ts)))
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events.filter(F.col("ts") <= median_ts).write.parquet(
+        src, mode="append"
+    )
+    incremental.run_incremental_sync(spark, src, target, ckpt)
+    first = [tuple(r) for r in spark.read.parquet(target).collect()]
+    assert len(first) > 0  # drain 1 closed some windows
+
+    # "Restart": new files land, same checkpoint, fresh query object.
+    events.filter(F.col("ts") > median_ts).write.parquet(
+        src, mode="append"
+    )
+    incremental.run_incremental_sync(spark, src, target, ckpt)
+    final = [tuple(r) for r in spark.read.parquet(target).collect()]
+
+    # No window emitted twice across the restart boundary.
+    assert len(final) == len(set(final))
+    # Everything from drain 1 survives verbatim (resume, not recompute).
+    assert set(first) <= set(final)
+
+    batch = {tuple(r) for r in incremental.windowed_counts_batch(events).collect()}
+    s = set(final)
+    assert s <= batch
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(minutes=10)
+    for row in batch - s:
+        assert row[1] > horizon, f"closed window missing after resume: {row}"
