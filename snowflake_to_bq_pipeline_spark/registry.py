@@ -4288,6 +4288,45 @@ def dsir_select_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .plans import bom  # noqa: E402
+
+
+@query(
+    "bom_per_case_consumption",
+    oracle="""
+    WITH yields AS (
+      SELECT l_orderkey AS batch_key,
+             CAST(l_quantity AS DOUBLE) AS batch_yield
+      FROM lineitem WHERE l_linenumber = 1
+    ),
+    consumed AS (
+      SELECT l_orderkey AS batch_key, l_partkey AS material_key,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS total_consumed
+      FROM lineitem WHERE l_linenumber > 1
+      GROUP BY l_orderkey, l_partkey
+    )
+    SELECT c.batch_key, c.material_key, p.p_name AS material_name,
+           c.total_consumed, y.batch_yield,
+           ROUND(CAST(c.total_consumed AS DOUBLE) / y.batch_yield, 6)
+             AS per_case_qty
+    FROM consumed c
+    JOIN yields y USING (batch_key)
+    JOIN part p ON c.material_key = p.p_partkey
+    WHERE y.batch_yield > 0
+      AND ROUND(CAST(c.total_consumed AS DOUBLE) / y.batch_yield, 6) > 0
+    """,
+)
+def bom_per_case_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOM import rows: per-case material consumption per production
+    batch (ref: Kelvin BOM creater/Code.gs:352 — totalConsumed /
+    batchYield at 6dp). Batch = order; line 1 = finished-good yield."""
+    return bom.bom_per_case(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 @query("semdedup_prune")  # rows-only: k-means model + float clustering
 def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (Abbas et al. 2023): within-k-means-cluster
@@ -4422,6 +4461,7 @@ _WINDOW_ORDER = [
     # -- slots 1-24: never driver-checked (new this round) -------------
     "gopher_quality_rules",
     "embedding_outlier_topk",
+    "bom_per_case_consumption",
     "shard_assignment_balanced",
     "shard_balance_summary",
     "dsir_select_topk",
