@@ -539,3 +539,54 @@ def substring_dup_profile(
             ).alias("dup_char_share"),
         )
     )
+
+
+def ngram_containment_pairs(
+    documents: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Pairs where one doc's shingle set is largely CONTAINED in the
+    other's: max(|A∩B|/|A|, |A∩B|/|B|) ≥ threshold.
+
+    The asymmetric complement of :func:`ngram_jaccard_pairs` — a short
+    document quoted inside a long one scores near-zero Jaccard (the union
+    is dominated by the long side) but containment ≈ 1 on the short side,
+    which is exactly the quotation/subset-dup case corpus dedup cares
+    about (cf. the containment measure of Broder 1997, "On the
+    resemblance and containment of documents").
+
+    Same physical shape as the Jaccard op (and the same shared shingle
+    persist): hashed-shingle equi-join for intersections, two reduced-side
+    size joins, row-local arithmetic — no cross product.
+    """
+    sh = _swap_cache(
+        "jaccard",
+        shingles(documents, text_col, k).select(
+            "doc_id", F.xxhash64("shingle").alias("__h")
+        ),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "__h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "__h")
+    inter = (
+        a.join(b, "__h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection_size"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    c_a = F.col("intersection_size").cast("double") / F.col("size_a").cast("double")
+    c_b = F.col("intersection_size").cast("double") / F.col("size_b").cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(c_a, c_b) >= threshold)
+        .select(
+            "doc_a", "doc_b", "intersection_size", "size_a", "size_b",
+            F.round(c_a, 6).alias("containment_a"),
+            F.round(c_b, 6).alias("containment_b"),
+        )
+    )

@@ -1128,6 +1128,42 @@ def ngram_jaccard_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_for(spark, sf_dir)
 
 
+_CONTAINMENT_TAU = 0.8
+
+
+@query(
+    "ngram_containment_dups",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS intersection_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, intersection_size,
+           sa.sz AS size_a, sb.sz AS size_b,
+           ROUND(CAST(intersection_size AS DOUBLE) / sa.sz, 6)
+             AS containment_a,
+           ROUND(CAST(intersection_size AS DOUBLE) / sb.sz, 6)
+             AS containment_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE GREATEST(CAST(intersection_size AS DOUBLE) / sa.sz,
+                   CAST(intersection_size AS DOUBLE) / sb.sz)
+          >= {_CONTAINMENT_TAU}
+    """,
+)
+def ngram_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (Broder 1997): subset/quotation
+    pairs that symmetric Jaccard misses; same hashed-shingle join shape
+    and shared shingle persist as the Jaccard op."""
+    return neardup.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), _CONTAINMENT_TAU
+    )
+
+
 @query("dedup_minhash_lsh")  # rows-only: depends on Spark xxhash64
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified (recall vs exact Jaccard
@@ -4462,6 +4498,7 @@ _WINDOW_ORDER = [
     "gopher_quality_rules",
     "embedding_outlier_topk",
     "bom_per_case_consumption",
+    "ngram_containment_dups",
     "shard_assignment_balanced",
     "shard_balance_summary",
     "dsir_select_topk",
