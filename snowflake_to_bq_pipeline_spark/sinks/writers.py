@@ -318,3 +318,28 @@ def expire_snapshots(
     for v in doomed:
         shutil.rmtree(os.path.join(path, f"{prefix}{v}"))
     return doomed
+
+
+def write_training_shards(
+    assigned: DataFrame,
+    path: str,
+    shard_col: str = "shard_id",
+    order_col: str | None = None,
+) -> None:
+    """Materialize a training-shard assignment as one parquet file per
+    shard — the physical export the token-balanced assignment
+    (operators/curation.shard_assignment) exists for: a training job maps
+    one shard file to one data-loader worker, so per-shard token balance
+    becomes wall-clock balance.
+
+    Shape: hash-repartition on the shard id (so each shard's rows sit in
+    one task — colliding shards share a task but still emit separate
+    files via partitionBy), optional in-shard sort for deterministic
+    intra-file order, dynamic partition write. File count = shard count
+    exactly; no small-file spray.
+    """
+    n_shards = assigned.select(shard_col).distinct().count()
+    df = assigned.repartition(max(n_shards, 1), F.col(shard_col))
+    if order_col is not None:
+        df = df.sortWithinPartitions(shard_col, order_col)
+    df.write.partitionBy(shard_col).mode("overwrite").parquet(path)

@@ -277,3 +277,33 @@ def test_embed_media_vectors_are_unit_norm(spark):
     for r in emb:
         assert len(r.embedding) == media.EMBED_DIMS
         assert abs(sum(x * x for x in r.embedding) - 1.0) < 1e-9
+
+
+def test_write_training_shards_one_file_per_shard(spark, sf_dir, tmp_path):
+    import glob as _glob
+
+    from snowflake_to_bq_pipeline_spark.operators import curation
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.sinks import writers
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.array_size(F.split(F.col("text"), " "))
+    assigned = curation.shard_assignment(docs, n_tokens, n_shards=4)
+    out = str(tmp_path / "shards")
+    writers.write_training_shards(assigned, out, order_col="doc_id")
+
+    shard_dirs = sorted(_glob.glob(out + "/shard_id=*"))
+    assert len(shard_dirs) == 4
+    for d in shard_dirs:
+        files = [f for f in _glob.glob(d + "/*.parquet")]
+        assert len(files) == 1, f"{d} has {len(files)} files"
+    back = spark.read.parquet(out)
+    assert back.count() == assigned.count()
+    got = {
+        (r["doc_id"], int(r["shard_id"])) for r in back.collect()
+    }
+    want = {
+        (r["doc_id"], int(r["shard_id"])) for r in assigned.collect()
+    }
+    assert got == want
