@@ -1,0 +1,60 @@
+"""End-to-end training-corpus pipeline: stage accounting, idempotence,
+and output-shape invariants over the composed (already oracle-gated)
+operators."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from snowflake_to_bq_pipeline_spark import pipelines
+from snowflake_to_bq_pipeline_spark.catalog import load_table
+
+
+def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus")
+    stats = pipelines.build_training_corpus(
+        spark, sf_dir, out, n_shards=4
+    )
+    # Monotone funnel: every stage can only drop documents.
+    order = [
+        "input",
+        "after_quality",
+        "after_exact_dedup",
+        "after_fuzzy_dedup",
+        "after_mix_sample",
+        "written",
+    ]
+    vals = [stats[k] for k in order]
+    assert vals == sorted(vals, reverse=True), stats
+    assert stats["written"] == stats["after_mix_sample"]
+    assert stats["written"] > 0
+
+    # Physical layout: one file per (non-empty) shard.
+    shard_dirs = glob.glob(out + "/shard_id=*")
+    assert 0 < len(shard_dirs) <= 4
+    for d in shard_dirs:
+        assert len(glob.glob(d + "/*.parquet")) == 1
+
+    # Written docs are a subset of the input with text intact.
+    back = spark.read.parquet(out)
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("src_text")
+    )
+    joined = back.join(src, "doc_id")
+    assert joined.count() == stats["written"]
+    assert joined.filter(F.col("text") != F.col("src_text")).count() == 0
+
+    # Determinism: a second run reproduces the identical selection.
+    out2 = str(tmp_path / "corpus2")
+    stats2 = pipelines.build_training_corpus(
+        spark, sf_dir, out2, n_shards=4
+    )
+    assert stats2 == stats
+    a = {tuple(r) for r in back.select("doc_id", "shard_id").collect()}
+    b = {
+        tuple(r)
+        for r in spark.read.parquet(out2).select("doc_id", "shard_id").collect()
+    }
+    assert a == b
