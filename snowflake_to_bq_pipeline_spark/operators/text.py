@@ -493,3 +493,69 @@ def charlm_perplexity(
             ).alias("is_fluent"),
         )
     )
+
+
+#: Vocabulary-size checkpoints for the coverage curve.
+COVERAGE_KS = (5, 10, 20, 50, 100)
+
+
+def vocab_coverage_curve(
+    documents: DataFrame,
+    ks: tuple[int, ...] = COVERAGE_KS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf coverage curve: what share of all token OCCURRENCES the top-k
+    vocabulary entries cover, for each checkpoint k — the number that
+    sizes a tokenizer vocabulary (coverage_share at the knee) and
+    predicts the OOV rate (1 − coverage_share).
+
+    Scale: token counts partial-aggregate per token; ranking uses the
+    two-phase global row number (no single-partition window over a
+    possibly-billion-row vocabulary); the curve itself is ONE aggregate
+    row of conditional sums exploded to a row per checkpoint — exact
+    integer arithmetic end to end, shares divide once at the end.
+    """
+    from .sync import global_row_number
+
+    counts = (
+        documents.select(
+            F.explode(_tokens(F.col(text_col))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .withColumn("__negocc", -F.col("occ"))
+    )
+    ranked = global_row_number(counts, ["__negocc", "token"], row_col="rk")
+    aggs = [F.sum("occ").alias("__tot"), F.count(F.lit(1)).alias("__vocab")]
+    for k in ks:
+        aggs.append(
+            F.sum(F.when(F.col("rk") <= k, F.col("occ"))).alias(f"__c{k}")
+        )
+        aggs.append(
+            F.count(F.when(F.col("rk") <= k, F.lit(1))).alias(f"__n{k}")
+        )
+    one = ranked.agg(*aggs)
+    per_k = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("long").alias("k"),
+                    F.col(f"__n{k}").alias("tokens_in_vocab"),
+                    F.coalesce(F.col(f"__c{k}"), F.lit(0).cast("long")).alias(
+                        "occurrences_covered"
+                    ),
+                )
+                for k in ks
+            ]
+        )
+    ).alias("s")
+    return one.select(per_k, "__tot").select(
+        F.col("s.k").alias("k"),
+        F.col("s.tokens_in_vocab").alias("tokens_in_vocab"),
+        F.col("s.occurrences_covered").alias("occurrences_covered"),
+        F.round(
+            F.col("s.occurrences_covered").cast("double")
+            / F.col("__tot").cast("double"),
+            6,
+        ).alias("coverage_share"),
+    )

@@ -1858,6 +1858,40 @@ def vocab_top_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH c AS (
+      SELECT token, COUNT(*) AS occ FROM (
+        SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+        FROM documents
+      ) GROUP BY token
+    ),
+    r AS (
+      SELECT occ, ROW_NUMBER() OVER (ORDER BY occ DESC, token) AS rk
+      FROM c
+    ),
+    t AS (SELECT CAST(SUM(occ) AS BIGINT) AS tot FROM c),
+    ks(k) AS (VALUES {", ".join(f"({k})" for k in text_ops.COVERAGE_KS)})
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           COUNT(r.rk) AS tokens_in_vocab,
+           CAST(COALESCE(SUM(r.occ), 0) AS BIGINT) AS occurrences_covered,
+           ROUND(CAST(COALESCE(SUM(r.occ), 0) AS DOUBLE) / t.tot, 6)
+             AS coverage_share
+    FROM ks
+    LEFT JOIN r ON r.rk <= ks.k
+    CROSS JOIN t
+    GROUP BY ks.k, t.tot
+    """,
+)
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf vocabulary coverage at checkpoint sizes (tokenizer sizing /
+    OOV-rate curve); two-phase global rank, one conditional aggregate."""
+    return text_ops.vocab_coverage_curve(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@query(
     "doc_length_histogram",
     oracle="""
     WITH b AS (
@@ -4499,6 +4533,7 @@ _WINDOW_ORDER = [
     "embedding_outlier_topk",
     "bom_per_case_consumption",
     "ngram_containment_dups",
+    "vocab_coverage_curve",
     "shard_assignment_balanced",
     "shard_balance_summary",
     "dsir_select_topk",
