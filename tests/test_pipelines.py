@@ -58,3 +58,31 @@ def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out2).select("doc_id", "shard_id").collect()
     }
     assert a == b
+
+
+def test_cli_list_and_run(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "snowflake_to_bq_pipeline_spark", "list"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0
+    lines = dict(
+        l.split("\t") for l in r.stdout.strip().splitlines() if "\t" in l
+    )
+    assert "budget_vs_actual" in lines and lines["budget_vs_actual"] == "oracle"
+
+    out = str(tmp_path / "cli_out")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "snowflake_to_bq_pipeline_spark",
+            "run", "row_count_by_day", "--out", out,
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["rows"] > 0
