@@ -360,3 +360,57 @@ def customer_revenue_deciles(orders: DataFrame) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+def reporting_lag_analysis(
+    lineitem: DataFrame, orders: DataFrame, due_days: int = 30
+) -> DataFrame:
+    """Reporting-lag profile per reporting date — the dashboard's
+    date-timing analysis (ref: dashboard/main.py:1846
+    ``analyze_date_differences``: per REPORTING_DATE, lag between the
+    last recognized time entry and the reporting date, with record/hour/
+    client/user rollups; DATE_TIMING_ANALYSIS_REPORT.md).
+
+    Mapping: a work item reports at its due date (order date +
+    ``due_days`` — the flagship's schedule rule); each (order,
+    contributor) pair's last time entry is its max ship date. Lag =
+    days from last entry to the reporting date — how stale recognized
+    work is when reported.
+
+    Scale: one partial aggregation at the (order, contributor) grain,
+    one broadcast-or-shuffle join to orders on the order key, then a
+    date-grain rollup whose two exact distinct counts ride Spark's
+    standard two-phase distinct expansion. Averages derive from exact
+    integer sums, divided once and rounded 6.
+    """
+    per = (
+        lineitem.filter(F.col("l_returnflag") == "N")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max("l_shipdate").alias("__last_entry"),
+            F.sum(dec(F.col("l_quantity"))).alias("__hours_dec"),
+            F.count(F.lit(1)).alias("__records"),
+        )
+    )
+    due = F.timestamp_add("DAY", F.lit(due_days), F.col("o_orderdate"))
+    joined = per.join(
+        orders.select("o_orderkey", due.alias("__due")),
+        per.l_orderkey == F.col("o_orderkey"),
+    )
+    lag = F.datediff(F.col("__due"), F.col("__last_entry"))
+    return (
+        joined.groupBy(F.col("__due").alias("reporting_date"))
+        .agg(
+            F.count(F.lit(1)).alias("pair_count"),
+            F.sum("__records").alias("total_records"),
+            money(F.sum("__hours_dec")).alias("total_hours"),
+            F.round(
+                F.sum(lag).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_reporting_lag_days"),
+            F.max(lag).cast("long").alias("max_reporting_lag_days"),
+            F.countDistinct("l_orderkey").alias("unique_orders"),
+            F.countDistinct("l_suppkey").alias("unique_contributors"),
+        )
+    )

@@ -4358,6 +4358,42 @@ def dsir_select_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "reporting_lag_analysis",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS last_entry,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS hours_dec,
+             COUNT(*) AS records
+      FROM lineitem WHERE l_returnflag = 'N'
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    j AS (
+      SELECT p.*, o.o_orderdate + INTERVAL 30 DAY AS due
+      FROM per p JOIN orders o ON p.l_orderkey = o.o_orderkey
+    )
+    SELECT due AS reporting_date,
+           COUNT(*) AS pair_count,
+           CAST(SUM(records) AS BIGINT) AS total_records,
+           CAST(ROUND(SUM(hours_dec), 2) AS DOUBLE) AS total_hours,
+           ROUND(CAST(SUM(DATEDIFF('day', last_entry, due)) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_reporting_lag_days,
+           CAST(MAX(DATEDIFF('day', last_entry, due)) AS BIGINT)
+             AS max_reporting_lag_days,
+           COUNT(DISTINCT l_orderkey) AS unique_orders,
+           COUNT(DISTINCT l_suppkey) AS unique_contributors
+    FROM j GROUP BY due
+    """,
+)
+def reporting_lag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting-lag profile (ref: dashboard/main.py:1846 date-timing
+    analysis): staleness of recognized work at each reporting date."""
+    return dashboard.reporting_lag_analysis(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 from .plans import bom  # noqa: E402
 
 
@@ -4534,6 +4570,7 @@ _WINDOW_ORDER = [
     "bom_per_case_consumption",
     "ngram_containment_dups",
     "vocab_coverage_curve",
+    "reporting_lag_analysis",
     "shard_assignment_balanced",
     "shard_balance_summary",
     "dsir_select_topk",
