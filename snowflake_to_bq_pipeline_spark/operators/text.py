@@ -9,7 +9,12 @@ All metrics are pure built-in column expressions (regexp/length/hash) —
 JVM codegen, no Python UDFs — and every float derives from exact integer
 counts through a fixed expression, so results are engine-reproducible.
 
-Scale: embarrassingly parallel per-row transforms; no shuffle at all.
+Scale: the per-doc metrics are embarrassingly parallel row transforms
+with no shuffle at all; the corpus-level ops (vocab, TF-IDF, coverage)
+shuffle only reduced aggregates — token counts partial-combine map-side,
+TF-IDF stacks its per-doc totals/norms as windows on the rank exchange,
+and global rankings use the two-phase row number (no single-partition
+sorts anywhere).
 """
 
 from __future__ import annotations
