@@ -381,3 +381,59 @@ def test_streaming_volume_anomaly_matches_batch_twin(spark, sf_dir, tmp_path):
     fired_stream = {r for r in got if r[-1]}
     fired_batch = {r for r in want if r[-1]}
     assert fired_stream <= fired_batch
+
+
+def test_merge_sink_resumes_from_checkpoint_across_restart(
+    spark, sf_dir, tmp_path
+):
+    """Keyed MERGE sink across a restart: first drain lands half the
+    stream, a second run over the SAME checkpoint lands the rest; the
+    target must converge to latest-per-key over ALL data — no lost
+    updates, no resurrection of older rows after the restart."""
+    from snowflake_to_bq_pipeline_spark.operators.dedup import latest_record
+    from snowflake_to_bq_pipeline_spark.streaming import merge_sink
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "m2src")
+    os.makedirs(src_dir)
+    target = str(tmp_path / "m2target")
+    ckpt = str(tmp_path / "m2ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*/")
+        )
+        merge_sink.run_merge_stream(
+            spark, stream, target, ckpt,
+            ["user_id"], "ts", tiebreak_cols=["event_id"],
+        )
+
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src_dir, "a.parquet")
+    )
+    run()
+    first = {
+        (r.user_id, r.event_id) for r in spark.read.parquet(target).collect()
+    }
+    assert first == {
+        (r.user_id, r.event_id)
+        for r in latest_record(
+            events.filter(F.col("event_id") % 2 == 0),
+            ["user_id"], "ts", ["event_id"],
+        ).collect()
+    }
+
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src_dir, "b.parquet")
+    )
+    run()  # fresh query object, same checkpoint: must process ONLY file b
+    got = {
+        (r.user_id, r.event_id) for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        (r.user_id, r.event_id)
+        for r in latest_record(events, ["user_id"], "ts", ["event_id"]).collect()
+    }
+    assert got == want
