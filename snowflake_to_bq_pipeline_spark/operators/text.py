@@ -564,3 +564,46 @@ def vocab_coverage_curve(
             6,
         ).alias("coverage_share"),
     )
+
+
+def char_entropy_score(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-distribution entropy (nats) — the classic
+    cheap gibberish detector: natural text sits in a band, key-mash /
+    binary-pasted text spikes high, single-character spam collapses to 0.
+
+    Exactness discipline: H = ln N − (Σ n_c·ln n_c)/N, where every term
+    depends only on an INTEGER count — each n·ln n rounds to 9 decimals
+    and sums as exact DECIMAL (add-order-free), so both engines fold the
+    identical values regardless of partitioning (the charlm precedent).
+
+    Scale: explode → two partial aggregations ((doc, char) then doc);
+    the alphabet bounds distinct rows per doc, so the shuffle carries
+    ~|alphabet| rows per document, not characters.
+    """
+    chars = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), ""), lambda c: c != F.lit("")
+            )
+        ).alias("ch"),
+    )
+    rc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n").cast("double")
+    term = F.round(n * F.log(n), 9).cast(SIM_DEC)
+    agg = rc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_chars_used"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.sum(term).alias("__s"),
+    )
+    big_n = F.col("n_chars_used").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_chars_used",
+        "distinct_chars",
+        F.round(
+            F.log(big_n) - F.col("__s").cast("double") / big_n, 6
+        ).alias("char_entropy"),
+    )

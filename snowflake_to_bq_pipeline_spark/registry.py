@@ -1858,6 +1858,38 @@ def vocab_top_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "char_entropy_score",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    rc AS (
+      SELECT doc_id, ch, COUNT(*) AS n FROM c WHERE ch != ''
+      GROUP BY doc_id, ch
+    ),
+    a AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_chars_used,
+             COUNT(*) AS distinct_chars,
+             SUM(CAST(ROUND(n * LN(n), 9) AS DECIMAL(28,12))) AS s
+      FROM rc GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_used, distinct_chars,
+           ROUND(LN(n_chars_used) - CAST(s AS DOUBLE) / n_chars_used, 6)
+             AS char_entropy
+    FROM a
+    """,
+)
+def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per doc (gibberish detector);
+    every term derives from integer counts via round-9 + exact decimal
+    sums, so both engines agree bit-for-bit."""
+    return text_ops.char_entropy_score(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@query(
     "vocab_coverage_curve",
     oracle=f"""
     WITH c AS (
@@ -4571,6 +4603,7 @@ _WINDOW_ORDER = [
     "ngram_containment_dups",
     "vocab_coverage_curve",
     "reporting_lag_analysis",
+    "char_entropy_score",
     "shard_assignment_balanced",
     "shard_balance_summary",
     "dsir_select_topk",
