@@ -590,3 +590,50 @@ def ngram_containment_pairs(
             F.round(c_b, 6).alias("containment_b"),
         )
     )
+
+
+def doc_novelty(
+    documents: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the share of a doc's shingles that FIRST
+    appear in that doc (first occurrence = smallest doc_id carrying the
+    shingle) — the dedup-aware growth accounting view: a crawl snapshot
+    whose novelty collapses toward zero is re-collecting what the corpus
+    already has, regardless of whether any single pair clears a dup
+    threshold.
+
+    Same hashed-shingle table (and shared persist) as the Jaccard ops;
+    first-occurrence attribution is one groupBy(shingle) MIN plus a join
+    back — shuffles fixed 8-byte keys, never text. The 64-bit collision
+    trade matches ngram_jaccard_pairs (collision probability
+    ~distinct²/2⁶⁴ against the string-exact oracle).
+    """
+    sh = _swap_cache(
+        "jaccard",
+        shingles(documents, text_col, k).select(
+            "doc_id", F.xxhash64("shingle").alias("__h")
+        ),
+    )
+    first = sh.groupBy("__h").agg(F.min("doc_id").alias("__first"))
+    return (
+        sh.join(first, "__h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__first") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty_share"),
+        )
+    )

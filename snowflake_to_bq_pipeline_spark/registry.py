@@ -1128,6 +1128,30 @@ def ngram_jaccard_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_for(spark, sf_dir)
 
 
+@query(
+    "doc_novelty_profile",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    first AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0
+                          END) AS DOUBLE) / COUNT(*), 6) AS novelty_share
+    FROM sh s JOIN first f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def doc_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty share (first-occurrence shingle attribution) —
+    dedup-aware corpus growth accounting; shares the hashed-shingle
+    persist with the Jaccard ops."""
+    return neardup.doc_novelty(load_table(spark, sf_dir, "documents"))
+
+
 _CONTAINMENT_TAU = 0.8
 
 
@@ -4604,6 +4628,7 @@ _WINDOW_ORDER = [
     "vocab_coverage_curve",
     "reporting_lag_analysis",
     "char_entropy_score",
+    "doc_novelty_profile",
     "shard_assignment_balanced",
     "shard_balance_summary",
     "dsir_select_topk",
