@@ -426,3 +426,60 @@ def mad_outlier_stats(
             ).alias("outlier_frac"),
         )
     )
+
+
+#: A key is "flappy" when it transitions this many times more than a
+#: clean progression through its distinct statuses would need.
+FLAP_FACTOR = 2
+
+
+def status_flap_audit(
+    events: DataFrame,
+    key_col: str = "user_id",
+    status_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Flip-flop detection per key: how often the status CHANGES vs how
+    many distinct statuses exist. A clean lifecycle visits each status
+    once (transitions ≈ distinct−1); a sync war — two pipelines writing
+    conflicting states, the failure mode the reference repeatedly
+    debugged in its sync-issue postmortems — shows transitions far above
+    that (A→B→A→B...).
+
+    Scale: one window over the (key, time) partition — single hash
+    shuffle, ordered within partition; the distinct count rides the same
+    aggregation. Total order includes a tiebreak column so the
+    transition count is engine-deterministic under timestamp ties.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = F.when(
+        F.lag(status_col).over(w).isNotNull()
+        & (F.col(status_col) != F.lag(status_col).over(w)),
+        1,
+    ).otherwise(0)
+    per = (
+        events.select(key_col, status_col, ts_col, tiebreak_col)
+        .withColumn("__chg", changed)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__chg").alias("n_transitions"),
+            F.countDistinct(status_col).alias("n_distinct_statuses"),
+        )
+    )
+    clean = F.greatest(F.col("n_distinct_statuses") - 1, F.lit(1))
+    return per.select(
+        key_col,
+        "n_events",
+        "n_transitions",
+        "n_distinct_statuses",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.greatest(F.col("n_events") - 1, F.lit(1)).cast("double"),
+            6,
+        ).alias("churn_ratio"),
+        (F.col("n_transitions") > clean * FLAP_FACTOR).alias("is_flappy"),
+    )

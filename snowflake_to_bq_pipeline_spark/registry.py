@@ -1882,6 +1882,38 @@ def vocab_top_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "status_flap_audit",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ),
+    per AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND event_type != prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions,
+             COUNT(DISTINCT event_type) AS n_distinct_statuses
+      FROM seq GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_transitions, n_distinct_statuses,
+           ROUND(CAST(n_transitions AS DOUBLE)
+                 / GREATEST(n_events - 1, 1), 6) AS churn_ratio,
+           n_transitions > GREATEST(n_distinct_statuses - 1, 1)
+             * {quality.FLAP_FACTOR} AS is_flappy
+    FROM per
+    """,
+)
+def status_flap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key status flip-flop audit (the reference's sync-war symptom
+    — conflicting writers toggling state — as a first-class monitor)."""
+    return quality.status_flap_audit(load_table(spark, sf_dir, "events"))
+
+
+@query(
     "char_entropy_score",
     oracle="""
     WITH c AS (
@@ -4629,6 +4661,7 @@ _WINDOW_ORDER = [
     "reporting_lag_analysis",
     "char_entropy_score",
     "doc_novelty_profile",
+    "status_flap_audit",
     "shard_assignment_balanced",
     "shard_balance_summary",
     "dsir_select_topk",
