@@ -637,3 +637,49 @@ def doc_novelty(
             ).alias("novelty_share"),
         )
     )
+
+
+def minhash_recall_report(
+    documents: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Dedup-QA report: recall/precision of the MinHash+LSH pair path
+    against the exact shingle-Jaccard ground truth, as ONE auditable row
+    — the number a pipeline operator watches before trusting the scale
+    path (exact is the oracle only at validation scale; in production
+    this runs on a sampled slice).
+
+    Because LSH candidates are exact-verified downstream, precision is 1
+    by construction — the report measures it anyway (an engine regression
+    that broke verification would surface here first). Recall < 1 means
+    banding missed true pairs (tune bands/rows).
+
+    Shape: both pair tables reuse their shared shingle persists; the
+    comparison is two joins on the (doc_a, doc_b) key folded to one
+    aggregate row. Exact integer counts; ratios divide once, round 6.
+    """
+    exact = ngram_jaccard_pairs(documents, threshold, text_col, k).select(
+        "doc_a", "doc_b"
+    )
+    approx = minhash_lsh_pairs(documents, threshold, text_col, k).select(
+        "doc_a", "doc_b"
+    )
+    common = exact.join(approx, ["doc_a", "doc_b"]).select("doc_a")
+    counts = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_approx")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+    )
+    safe = lambda num, den: F.when(
+        F.col(den) > 0,
+        F.round(F.col(num).cast("double") / F.col(den).cast("double"), 6),
+    ).otherwise(F.lit(1.0))
+    return counts.select(
+        "n_exact",
+        "n_approx",
+        "n_common",
+        safe("n_common", "n_exact").alias("recall"),
+        safe("n_common", "n_approx").alias("precision"),
+    )

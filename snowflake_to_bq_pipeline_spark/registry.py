@@ -1188,6 +1188,15 @@ def ngram_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("minhash_recall_report")  # rows-only: minhash is xxhash64-dependent
+def minhash_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dedup-QA report: recall/precision of the MinHash+LSH path
+    vs exact Jaccard ground truth (floor asserted in tests)."""
+    return neardup.minhash_recall_report(
+        load_table(spark, sf_dir, "documents"), _JACCARD_TAU
+    )
+
+
 @query("dedup_minhash_lsh")  # rows-only: depends on Spark xxhash64
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified (recall vs exact Jaccard
@@ -4784,6 +4793,7 @@ _WINDOW_ORDER = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "semdedup_prune",
+    "minhash_recall_report",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",

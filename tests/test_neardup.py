@@ -105,3 +105,18 @@ def test_substring_dup_profile_interval_union_no_double_count(spark):
         assert out[d].n_dup_windows == 10
         assert out[d].dup_chars == 120
         assert out[d].dup_char_share == 1.0
+
+
+def test_minhash_recall_report_floor(spark, sf_dir):
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.operators import neardup
+
+    row = neardup.minhash_recall_report(
+        load_table(spark, sf_dir, "documents"), 0.6
+    ).collect()[0]
+    # Verified candidates can never invent a pair: precision is exactly 1
+    # whenever anything was found, and approx pairs are a subset of exact.
+    assert row["n_common"] == row["n_approx"]
+    assert row["precision"] == 1.0
+    # Banding recall floor (same bar as test_minhash_recall).
+    assert row["recall"] >= 0.9, row
