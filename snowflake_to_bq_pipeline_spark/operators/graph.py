@@ -45,12 +45,13 @@ def _cut_lineage(df: DataFrame) -> DataFrame:
 #: Blind warm-start rounds. Correctness does NOT depend on this constant —
 #: the verified loop below propagates until a checked fixed point — so it
 #: only tunes job count: pointer jumping covers diameter 2^ITERS before
-#: the first (propagate + count) verification round runs. 2 covers
-#: diameter-4 clusters blind (near-dup clusters are almost always
-#: star-shaped around a template, diameter <= 2-3); pathological graphs
-#: just pay extra verified rounds. Measured at sf0.1: 3 -> 2 saves ~0.7s
+#: the first (propagate + count) verification round runs. Near-dup
+#: clusters are almost always star-shaped around a template (diameter
+#: <= 2), which ONE blind round plus the verified fixed-point round
+#: already covers; deeper graphs just pay extra verified rounds.
+#: Measured at sf0.1: 3 -> 2 saved ~0.7s, 2 -> 1 another ~0.7-2s, each
 #: with an identical verified result.
-ITERS = 2
+ITERS = 1
 
 #: Extra verified rounds attempted when the blind ``ITERS`` rounds have not
 #: reached a fixed point (pathological diameters); each costs one count job.
