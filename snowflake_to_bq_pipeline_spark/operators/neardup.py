@@ -640,10 +640,8 @@ def doc_novelty(
 
 
 def minhash_recall_report(
-    documents: DataFrame,
-    threshold: float,
-    text_col: str = "text",
-    k: int = 3,
+    exact_pairs: DataFrame,
+    approx_pairs: DataFrame,
 ) -> DataFrame:
     """Dedup-QA report: recall/precision of the MinHash+LSH pair path
     against the exact shingle-Jaccard ground truth, as ONE auditable row
@@ -656,16 +654,14 @@ def minhash_recall_report(
     that broke verification would surface here first). Recall < 1 means
     banding missed true pairs (tune bands/rows).
 
-    Shape: both pair tables reuse their shared shingle persists; the
-    comparison is two joins on the (doc_a, doc_b) key folded to one
-    aggregate row. Exact integer counts; ratios divide once, round 6.
+    Takes the two MATERIALIZED pair tables (the registry memoizes both —
+    recomputing them here would silently double the dedup work it
+    audits); the comparison is one join on the (doc_a, doc_b) key folded
+    to one aggregate row. Exact integer counts; ratios divide once,
+    round 6.
     """
-    exact = ngram_jaccard_pairs(documents, threshold, text_col, k).select(
-        "doc_a", "doc_b"
-    )
-    approx = minhash_lsh_pairs(documents, threshold, text_col, k).select(
-        "doc_a", "doc_b"
-    )
+    exact = exact_pairs.select("doc_a", "doc_b")
+    approx = approx_pairs.select("doc_a", "doc_b")
     common = exact.join(approx, ["doc_a", "doc_b"]).select("doc_a")
     counts = (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))

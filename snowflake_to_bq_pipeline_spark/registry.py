@@ -1191,19 +1191,39 @@ def ngram_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("minhash_recall_report")  # rows-only: minhash is xxhash64-dependent
 def minhash_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dedup-QA report: recall/precision of the MinHash+LSH path
-    vs exact Jaccard ground truth (floor asserted in tests)."""
+    vs exact Jaccard ground truth (floor asserted in tests); consumes the
+    memoized pair tables the dedup queries already materialized."""
     return neardup.minhash_recall_report(
-        load_table(spark, sf_dir, "documents"), _JACCARD_TAU
+        _jaccard_pairs_for(spark, sf_dir),
+        _minhash_pairs_for(spark, sf_dir),
     )
+
+
+#: Memoized MinHash+LSH pair table per sf_dir — the pair view and the
+#: recall report share it (same pattern/lifecycle as _JACCARD_PAIRS_CACHE).
+_MINHASH_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _minhash_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _MINHASH_PAIRS_CACHE.get(sf_dir)
+    if df is None:
+        for old in _MINHASH_PAIRS_CACHE.values():
+            old.unpersist(blocking=False)
+        _MINHASH_PAIRS_CACHE.clear()
+        from pyspark.storagelevel import StorageLevel
+
+        df = neardup.minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"), _JACCARD_TAU
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _MINHASH_PAIRS_CACHE[sf_dir] = df
+    return df
 
 
 @query("dedup_minhash_lsh")  # rows-only: depends on Spark xxhash64
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified (recall vs exact Jaccard
     is asserted in tests/test_neardup.py)."""
-    return neardup.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), _JACCARD_TAU
-    )
+    return _minhash_pairs_for(spark, sf_dir)
 
 
 @query("dedup_simhash")  # rows-only: depends on Spark xxhash64

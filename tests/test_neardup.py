@@ -111,8 +111,10 @@ def test_minhash_recall_report_floor(spark, sf_dir):
     from snowflake_to_bq_pipeline_spark.catalog import load_table
     from snowflake_to_bq_pipeline_spark.operators import neardup
 
+    docs = load_table(spark, sf_dir, "documents")
     row = neardup.minhash_recall_report(
-        load_table(spark, sf_dir, "documents"), 0.6
+        neardup.ngram_jaccard_pairs(docs, 0.6),
+        neardup.minhash_lsh_pairs(docs, 0.6),
     ).collect()[0]
     # Verified candidates can never invent a pair: precision is exactly 1
     # whenever anything was found, and approx pairs are a subset of exact.
