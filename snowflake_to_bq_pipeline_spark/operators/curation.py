@@ -947,6 +947,13 @@ def gopher_quality_rules(
     6dp-rounded ratio of integers, so any engine agrees bit-for-bit.
     """
     t = F.col(text_col)
+    return documents.select("doc_id", *gopher_rule_cols(t))
+
+
+def gopher_rule_cols(t) -> list:
+    """The Gopher metric/rule column list for text expression ``t`` —
+    shared by the per-doc view and the per-source rollup so both score
+    identically (row-local; composes into a single scan)."""
     ws = F.regexp_extract_all(t, F.lit(GOPHER_WORD_RE), 0)
     n_words = F.array_size(ws).cast("long")
     total_chars = F.aggregate(
@@ -981,8 +988,7 @@ def gopher_quality_rules(
     r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
     r_sym = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
     r_stop = n_stop >= GOPHER_MIN_STOPWORDS
-    return documents.select(
-        "doc_id",
+    return [
         n_words.alias("n_words"),
         mean_len.alias("mean_word_len"),
         alpha_frac.alias("alpha_word_frac"),
@@ -994,4 +1000,49 @@ def gopher_quality_rules(
         r_sym.alias("pass_symbol_ratio"),
         r_stop.alias("pass_stopwords"),
         (r_words & r_len & r_alpha & r_sym & r_stop).alias("keep"),
+    ]
+
+
+def source_quality_report(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-source quality scoreboard — the mix-monitoring rollup that
+    answers "which source is degrading": document count, Gopher-rule
+    keep rate, mean heuristic quality score, and the quality-bucket
+    composition, per source.
+
+    Single scan: both rule sets are row-local expression families
+    (text.quality_score_cols, gopher_rule_cols) stacked into one select,
+    then ONE partial-aggregated groupBy(source). The mean averages
+    per-doc scores already rounded to 4dp through an exact decimal sum,
+    so the rollup is engine-identical.
+    """
+    from .text import quality_score_cols
+
+    t = F.col(text_col)
+    _, score, bucket = quality_score_cols(t)
+    # gopher_rule_cols ends with the conjunction ("keep") column.
+    keep = gopher_rule_cols(t)[-1]
+    rows = documents.select(
+        "source",
+        score.alias("__score"),
+        bucket.alias("__bucket"),
+        keep.alias("__keep"),
+    )
+    n = F.count(F.lit(1))
+    return rows.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.round(
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).cast("double")
+            / n.cast("double"),
+            6,
+        ).alias("gopher_keep_rate"),
+        F.round(
+            F.sum(F.col("__score").cast("decimal(18,6)")).cast("double")
+            / n.cast("double"),
+            6,
+        ).alias("avg_quality_score"),
+        F.count(F.when(F.col("__bucket") == "high", 1)).alias("n_high"),
+        F.count(F.when(F.col("__bucket") == "medium", 1)).alias("n_medium"),
+        F.count(F.when(F.col("__bucket") == "low", 1)).alias("n_low"),
     )

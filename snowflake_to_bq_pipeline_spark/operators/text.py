@@ -54,10 +54,10 @@ def text_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality score + bucket (length / stopword / diversity mix),
-    the composition style of C4/Gopher-class quality filters."""
-    t = F.col(text_col)
+def quality_score_cols(t: Column) -> tuple[Column, Column, Column]:
+    """(n_tokens, score, bucket) expression triple for ``t`` — shared by
+    the per-doc view and any rollup so every consumer scores identically
+    (row-local; composes into a single scan)."""
     toks = _tokens(t)
     n_tokens = F.array_size(toks)
     stop_hits = F.array_size(F.regexp_extract_all(t, F.lit(STOPWORD_RE), 0))
@@ -75,14 +75,23 @@ def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * diversity,
         4,
     )
+    bucket = (
+        F.when(score >= 0.75, F.lit("high"))
+        .when(score >= 0.5, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return n_tokens, score, bucket
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score + bucket (length / stopword / diversity mix),
+    the composition style of C4/Gopher-class quality filters."""
+    n_tokens, score, bucket = quality_score_cols(F.col(text_col))
     return documents.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         score.alias("quality_score"),
-        F.when(score >= 0.75, F.lit("high"))
-        .when(score >= 0.5, F.lit("medium"))
-        .otherwise(F.lit("low"))
-        .alias("quality_bucket"),
+        bucket.alias("quality_bucket"),
     )
 
 

@@ -4550,6 +4550,80 @@ def bom_per_case_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_quality_report",
+    oracle=rf"""
+    WITH t AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+               AS n_tokens,
+             CAST(len(list_distinct(regexp_extract_all(text, '[a-z0-9]+')))
+                  AS BIGINT) AS n_distinct,
+             CAST(len(regexp_extract_all(text,
+                  '\b(the|a|is|and|of|to|in)\b')) AS BIGINT) AS stop_hits,
+             regexp_extract_all(text, '{curation.GOPHER_WORD_RE}') AS ws,
+             text
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             ROUND(
+               0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+               + 0.3 * (1.0 - LEAST(
+                   (CASE WHEN n_tokens > 0
+                         THEN CAST(stop_hits AS DOUBLE) / n_tokens
+                         ELSE 0.0 END) * 2.0, 1.0))
+               + 0.3 * (CASE WHEN n_tokens > 0
+                             THEN CAST(n_distinct AS DOUBLE) / n_tokens
+                             ELSE 0.0 END),
+               4) AS score,
+             len(ws) AS n_words,
+             ROUND(CAST(list_sum(list_transform(ws, w -> len(w)))
+                        AS DOUBLE) / len(ws), 6) AS mean_word_len,
+             ROUND(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                        AS DOUBLE) / len(ws), 6) AS alpha_frac,
+             ROUND(CAST((len(text) - len(replace(text, '#', '')))
+                        + (len(text) - len(replace(text, '...', ''))) / 3
+                        AS DOUBLE) / len(ws), 6) AS symbol_ratio,
+             len(list_intersect(list_distinct(ws),
+                 [{", ".join(f"'{w}'" for w in curation.GOPHER_STOPWORDS)}]))
+               AS n_stop
+      FROM t
+    ),
+    k AS (
+      SELECT source, score,
+             CASE WHEN score >= 0.75 THEN 'high'
+                  WHEN score >= 0.5 THEN 'medium'
+                  ELSE 'low' END AS bucket,
+             (n_words >= {curation.GOPHER_MIN_WORDS}
+              AND n_words <= {curation.GOPHER_MAX_WORDS}
+              AND mean_word_len >= {curation.GOPHER_MIN_MEAN_WORD_LEN}
+              AND mean_word_len <= {curation.GOPHER_MAX_MEAN_WORD_LEN}
+              AND alpha_frac >= {curation.GOPHER_MIN_ALPHA_FRAC}
+              AND symbol_ratio <= {curation.GOPHER_MAX_SYMBOL_RATIO}
+              AND n_stop >= {curation.GOPHER_MIN_STOPWORDS}) AS keep
+      FROM s
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS gopher_keep_rate,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_quality_score,
+           COUNT(CASE WHEN bucket = 'high' THEN 1 END) AS n_high,
+           COUNT(CASE WHEN bucket = 'medium' THEN 1 END) AS n_medium,
+           COUNT(CASE WHEN bucket = 'low' THEN 1 END) AS n_low
+    FROM k GROUP BY source
+    """,
+)
+def source_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality scoreboard (mix monitoring): Gopher keep rate,
+    mean heuristic score, bucket composition — one scan, one rollup."""
+    return curation.source_quality_report(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 @query("semdedup_prune")  # rows-only: k-means model + float clustering
 def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (Abbas et al. 2023): within-k-means-cluster
@@ -4691,6 +4765,7 @@ _WINDOW_ORDER = [
     "char_entropy_score",
     "doc_novelty_profile",
     "status_flap_audit",
+    "source_quality_report",
     "shard_assignment_balanced",
     "shard_balance_summary",
     "dsir_select_topk",
