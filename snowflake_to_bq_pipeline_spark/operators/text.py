@@ -306,22 +306,21 @@ def tfidf_doc_similarity(
             F.count(F.lit(1)).alias("term_count")
         ),
     )
-    df_counts = tok_counts.groupBy("token").agg(
-        F.count(F.lit(1)).alias("doc_freq")
-    )
     n_docs = documents.agg(F.count(F.lit(1)).alias("__n_docs"))
-    # doc_tokens rides the SAME doc_id partitioning the rank window needs:
-    # a frame-less window sum replaces the former groupBy(doc_id)+join —
-    # one whole shuffle less, and Catalyst stacks both Window operators on
-    # a single exchange. Exact integer sum, so w is unchanged.
+    # BOTH corpus statistics ride windows instead of groupBy+join: the
+    # document frequency is a frame-less count over the token partition,
+    # per-doc token totals a frame-less sum over the doc partition the
+    # rank window needs anyway. Two exchanges total (token, then doc) and
+    # no join — exact integer counts, so w is unchanged.
+    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("token"))
     doc_tokens = F.sum("term_count").over(Window.partitionBy("doc_id"))
     tf = F.col("term_count").cast("double") / F.col("__dt").cast("double")
     idf = F.log(
-        F.col("__n_docs").cast("double") / F.col("doc_freq").cast("double")
+        F.col("__n_docs").cast("double") / F.col("__df").cast("double")
     )
     scored = (
-        tok_counts.join(df_counts, "token")
-        .crossJoin(F.broadcast(n_docs))
+        tok_counts.crossJoin(F.broadcast(n_docs))
+        .withColumn("__df", doc_freq)
         .withColumn("__dt", doc_tokens)
         .select("doc_id", "token", F.round(tf * idf, 6).alias("w"))
     )
