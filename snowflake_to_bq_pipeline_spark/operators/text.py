@@ -223,19 +223,18 @@ def tfidf_top_terms(
     tok_counts = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("term_count")
     )
-    df_counts = tok_counts.groupBy("token").agg(
-        F.count(F.lit(1)).alias("doc_freq")
-    )
     n_docs = documents.agg(F.count(F.lit(1)).alias("__n_docs"))
 
-    # Window sum over the doc_id partition the rank window already needs —
-    # replaces a groupBy(doc_id)+join (one shuffle less, same exact sum).
+    # Both corpus statistics ride frame-less windows (token partition,
+    # then the doc partition the rank needs anyway) — replaces two
+    # groupBy+join rounds with two stacked exchanges, exact counts.
+    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("token"))
     doc_tokens = F.sum("term_count").over(Window.partitionBy("doc_id"))
     tf = F.col("term_count").cast("double") / F.col("__dt").cast("double")
     idf = F.log(F.col("__n_docs").cast("double") / F.col("doc_freq").cast("double"))
     scored = (
-        tok_counts.join(df_counts, "token")
-        .crossJoin(F.broadcast(n_docs))
+        tok_counts.crossJoin(F.broadcast(n_docs))
+        .withColumn("doc_freq", doc_freq.cast("long"))
         .withColumn("__dt", doc_tokens)
         .select(
             "doc_id",
