@@ -234,6 +234,40 @@ def dup_candidate_pairs(
 BLOCKS = 16
 
 
+def _score_block_pair(a, b, threshold, diagonal):
+    """BLAS-score one grid cell: all cosines between block ``a`` and block
+    ``b`` (pandas frames with ``vec_id``/``e``), emitting (vec_a < vec_b)
+    pairs at or above ``threshold``. ``diagonal`` cells hold the same block
+    on both sides (both orientations present → keep a < b); off-diagonal
+    cells see each unordered pair once → normalize orientation. Shared by
+    the corpus-wide grid (``blocked_pairs``) and the per-cluster grid
+    (``_cluster_blocked_pairs``)."""
+    import numpy as np
+    import pandas as pd
+
+    if not len(a) or not len(b):
+        return pd.DataFrame(
+            {"vec_a": [], "vec_b": [], "cosine": []}
+        ).astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
+    ea = np.array(a["e"].tolist(), dtype=np.float64)
+    eb = np.array(b["e"].tolist(), dtype=np.float64)
+    na = np.sqrt((ea * ea).sum(axis=1))
+    nb = np.sqrt((eb * eb).sum(axis=1))
+    cos = np.round((ea @ eb.T) / np.outer(na, nb), 6)
+    ia, ib = np.nonzero(cos >= threshold)
+    ids_a = a["vec_id"].to_numpy()[ia]
+    ids_b = b["vec_id"].to_numpy()[ib]
+    if diagonal:  # cell holds both orientations: keep a < b
+        keep = ids_a < ids_b
+    else:  # off-diagonal pair appears once: normalize orientation
+        keep = np.ones(len(ids_a), dtype=bool)
+    lo = np.minimum(ids_a[keep], ids_b[keep])
+    hi = np.maximum(ids_a[keep], ids_b[keep])
+    return pd.DataFrame(
+        {"vec_a": lo, "vec_b": hi, "cosine": cos[ia[keep], ib[keep]]}
+    )
+
+
 def blocked_pairs(
     v: DataFrame, threshold: float, n_blocks: int = BLOCKS
 ) -> DataFrame:
@@ -260,9 +294,6 @@ def blocked_pairs(
     (ulp-level reassociation sits ~9 orders of magnitude below the
     rounding step).
     """
-    import numpy as np
-    import pandas as pd
-
     spark = v.sparkSession
     grid = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
@@ -279,28 +310,8 @@ def blocked_pairs(
 
     def score_cell(key, pdf):
         bi, bj = key
-        a = pdf[pdf["side"] == 0]
-        b = pdf[pdf["side"] == 1]
-        if not len(a) or not len(b):
-            return pd.DataFrame(
-                {"vec_a": [], "vec_b": [], "cosine": []}
-            ).astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
-        ea = np.array(a["e"].tolist(), dtype=np.float64)
-        eb = np.array(b["e"].tolist(), dtype=np.float64)
-        na = np.sqrt((ea * ea).sum(axis=1))
-        nb = np.sqrt((eb * eb).sum(axis=1))
-        cos = np.round((ea @ eb.T) / np.outer(na, nb), 6)
-        ia, ib = np.nonzero(cos >= threshold)
-        ids_a = a["vec_id"].to_numpy()[ia]
-        ids_b = b["vec_id"].to_numpy()[ib]
-        if bi == bj:  # diagonal cell holds both orientations: keep a < b
-            keep = ids_a < ids_b
-        else:  # off-diagonal pair appears once: normalize orientation
-            keep = np.ones(len(ids_a), dtype=bool)
-        lo = np.minimum(ids_a[keep], ids_b[keep])
-        hi = np.maximum(ids_a[keep], ids_b[keep])
-        return pd.DataFrame(
-            {"vec_a": lo, "vec_b": hi, "cosine": cos[ia[keep], ib[keep]]}
+        return _score_block_pair(
+            pdf[pdf["side"] == 0], pdf[pdf["side"] == 1], threshold, bi == bj
         )
 
     return (
@@ -639,12 +650,78 @@ def centroid_outliers(
     )
 
 
+#: Upper bound on rows per semdedup scoring cell: a cell-pair task holds at
+#: most ~2×this many embeddings and a this²-sized cosine block — the knob
+#: that keeps executor memory flat no matter how skewed the k-means
+#: clustering comes out.
+SEMDEDUP_CELL_ROWS = 4096
+
+
+def _cluster_blocked_pairs(
+    assigned: DataFrame, tau: float, max_cell_rows: int
+) -> DataFrame:
+    """Within-cluster cosine pairs ≥ ``tau`` with BOUNDED per-task state.
+
+    The naive shape (one applyInPandas group per cluster) materializes an
+    entire cluster's embedding matrix and its |c|² cosine block in a single
+    task — quadratic memory in the largest cluster, an OOM under skew. This
+    is the ``blocked_pairs`` grid with ``cent_id`` as an extra grid key:
+    each cluster's members hash into ``ceil(|c| / max_cell_rows)``
+    sub-blocks, every (bi ≤ bj) sub-block pair is one cell, and a cell task
+    scores at most ~max_cell_rows² cosines regardless of cluster sizes.
+
+    Cluster sizes drive the grid and are an O(n_clusters) driver collect —
+    the same bounded-model state as the centroid table itself (the quadratic
+    WORK within a giant cluster is inherent to SemDeDup; what this bounds is
+    per-task memory, and adding executors now shrinks wall-clock instead of
+    deepening one task's OOM).
+    """
+    spark = assigned.sparkSession
+    sizes = {
+        r["cent_id"]: r["n"]
+        for r in assigned.groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    grid_rows, nsub_rows = [], []
+    for cid in sorted(sizes):
+        nsub = max(1, -(-sizes[cid] // max_cell_rows))
+        nsub_rows.append((cid, nsub))
+        grid_rows.extend(
+            (cid, i, j) for i in range(nsub) for j in range(i, nsub)
+        )
+    grid = spark.createDataFrame(grid_rows, "cent_id long, bi int, bj int")
+    nsub_df = spark.createDataFrame(nsub_rows, "cent_id long, nsub int")
+    tagged = assigned.join(F.broadcast(nsub_df), "cent_id").withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.col("nsub")).cast("int")
+    )
+    side_a = grid.join(
+        tagged.withColumnRenamed("blk", "bi"), ["cent_id", "bi"]
+    ).select("cent_id", "bi", "bj", F.lit(0).alias("side"), "vec_id", "e")
+    side_b = grid.join(
+        tagged.withColumnRenamed("blk", "bj"), ["cent_id", "bj"]
+    ).select("cent_id", "bi", "bj", F.lit(1).alias("side"), "vec_id", "e")
+
+    def score_cell(key, pdf):
+        _cid, bi, bj = key
+        return _score_block_pair(
+            pdf[pdf["side"] == 0], pdf[pdf["side"] == 1], tau, bi == bj
+        )
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("cent_id", "bi", "bj")
+        .applyInPandas(score_cell, "vec_a long, vec_b long, cosine double")
+    )
+
+
 def semdedup_prune(
     embeddings: DataFrame,
     n_clusters: int = 8,
     tau: float = 0.3,
     n_iters: int = 3,
     centroids: DataFrame | None = None,
+    max_cell_rows: int = SEMDEDUP_CELL_ROWS,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): semantic deduplication —
     k-means the embedding space, score cosine only WITHIN each cluster,
@@ -654,21 +731,24 @@ def semdedup_prune(
     n-grams).
 
     Scale posture: clustering is what makes the quadratic tractable —
-    pair scoring is bounded by the LARGEST CLUSTER, never the corpus
+    pair scoring work is bounded by the LARGEST CLUSTER, never the corpus
     (SemDeDup runs with n_clusters ∝ corpus size so cluster populations
-    stay roughly constant; our default suits the test corpus). The
-    within-cluster join shuffles on cent_id, group resolution reuses the
-    verified pointer-jumping CC (operators/graph.py). Model state is the
+    stay roughly constant; grow ``n_clusters`` with the corpus the same
+    way — our default suits the test corpus). Per-task MEMORY is bounded
+    separately and unconditionally: clusters larger than
+    ``max_cell_rows`` sub-block into the ``blocked_pairs`` grid keyed by
+    (cent_id, bi, bj), so a skewed clustering degrades into more bounded
+    cell tasks instead of one quadratic-memory task
+    (``_cluster_blocked_pairs``). Group resolution reuses the verified
+    pointer-jumping CC (operators/graph.py). Model state is the
     O(n_clusters) centroid table — same bounded-model discipline as IVF.
 
     Output: (vec_id, cluster_id, group_id, group_size, keep) — one row
     per vector; ``keep`` is False only for non-canonical members of a
     semantic-dup group.
     """
+    from ._cache import swap_cache
     from .graph import connected_components
-
-    import numpy as np
-    import pandas as pd
 
     v = _vectors(embeddings)
     cents = (
@@ -676,34 +756,13 @@ def semdedup_prune(
         if centroids is not None
         else train_centroids(v, n_clusters, n_iters)
     )
-    assigned = _assign(v, cents, "vec_id", "e", 1).select(
-        "vec_id", "cent_id", "e"
+    # Persisted: the cluster-size collect, the grid join, and the final
+    # cluster_id projection all consume the assignment pass.
+    assigned = swap_cache(
+        "semdedup_assigned",
+        _assign(v, cents, "vec_id", "e", 1).select("vec_id", "cent_id", "e"),
     )
-
-    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-        # One BLAS matmul per cluster (the blocked_pairs scoring shape —
-        # a row-pair expression fold priced each of the |c|² cosines as
-        # an interpreted 64-step lambda, measured ~10x slower). Clusters
-        # too big for one cell would sub-block exactly like blocked_pairs.
-        e = np.array(pdf["e"].tolist(), dtype=np.float64)
-        n = np.sqrt((e * e).sum(axis=1))
-        cos = np.round((e @ e.T) / np.outer(n, n), 6)
-        ia, ib = np.nonzero(cos >= tau)
-        ids = pdf["vec_id"].to_numpy()
-        keep = ids[ia] < ids[ib]
-        return pd.DataFrame(
-            {
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "cosine": cos[ia[keep], ib[keep]],
-            }
-        )
-
-    pairs = (
-        assigned.select("cent_id", "vec_id", "e")
-        .groupBy("cent_id")
-        .applyInPandas(score_cluster, "vec_a long, vec_b long, cosine double")
-    )
+    pairs = _cluster_blocked_pairs(assigned, tau, max_cell_rows)
     labels = connected_components(pairs, "vec_a", "vec_b")
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("group_size")

@@ -144,3 +144,48 @@ def test_semdedup_invariants(spark, sf_dir):
     assert sorted(map(tuple, again), key=lambda t: t[0]) == sorted(
         map(tuple, out), key=lambda t: t[0]
     )
+
+
+def test_semdedup_subblocking_bounds_cells(spark, sf_dir):
+    """Skewed-cluster regime: with every vector forced into ONE cluster,
+    sub-blocking must (a) keep each scoring cell's membership bounded —
+    no task materializes the whole cluster — and (b) emit exactly the
+    pairs the single-cell plan emits."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = similarity._vectors(emb).withColumn(
+        "cent_id", F.lit(0).cast("long")
+    )
+    n = assigned.count()
+    max_cell = 40
+    nsub = -(-n // max_cell)
+    assert nsub > 1  # the skew case actually sub-blocks
+    # hash placement keeps every sub-block well under the whole cluster
+    counts = (
+        assigned.withColumn(
+            "blk", F.pmod(F.xxhash64("vec_id"), F.lit(nsub))
+        )
+        .groupBy("blk")
+        .count()
+        .collect()
+    )
+    assert len(counts) == nsub
+    assert max(r["count"] for r in counts) <= 3 * max_cell
+    blocked = sorted(
+        map(tuple, similarity._cluster_blocked_pairs(assigned, 0.3, max_cell).collect())
+    )
+    single = sorted(
+        map(tuple, similarity._cluster_blocked_pairs(assigned, 0.3, 10**9).collect())
+    )
+    assert blocked == single
+    assert len(blocked) > 0  # τ=0.3 on this corpus has real pairs
+
+
+def test_semdedup_equal_across_cell_sizes(spark, sf_dir):
+    """End-to-end semdedup output is invariant to the memory knob."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = similarity.semdedup_prune(
+        emb, n_clusters=4, max_cell_rows=64
+    ).collect()
+    b = similarity.semdedup_prune(emb, n_clusters=4).collect()
+    key = lambda t: t[0]
+    assert sorted(map(tuple, a), key=key) == sorted(map(tuple, b), key=key)
