@@ -257,12 +257,20 @@ def tfidf_top_terms(
 SIM_DEC = "decimal(28,12)"
 
 
+#: Max-df guard for the tfidf self-join: a top-k token held by more
+#: documents than this is a hot inverted-index bucket (its join cell is
+#: df² pairs) and is excluded from CANDIDATE GENERATION — never from the
+#: dot product, so results are exact (see tfidf_doc_similarity).
+TFIDF_MAX_DF = 1024
+
+
 def tfidf_doc_similarity(
     documents: DataFrame,
     threshold: float = 0.7,
     k: int = 10,
     text_col: str = "text",
     ngram: int = 3,
+    max_df: int = TFIDF_MAX_DF,
 ) -> DataFrame:
     """Doc-doc cosine similarity on top-k TF-IDF terms (sparse vectors).
 
@@ -278,9 +286,21 @@ def tfidf_doc_similarity(
     textually fixed expression, so the oracle hash-matches.
 
     Scale: shuffle on term (sparse buckets), then one shuffle on the pair
-    key. For corpora with residual hot n-grams (boilerplate headers), add
-    a max-df prune before the join — at high τ those terms can't carry a
-    match anyway.
+    key. Residual hot n-grams (corpus-wide boilerplate that still makes
+    many top-k lists) are handled by the max-df guard: tokens with top-k
+    document frequency > ``max_df`` are excluded from CANDIDATE
+    GENERATION, and candidate pairs are then exactly rescored over their
+    FULL top-k vectors — so the guard changes which join buckets exist,
+    never the output. Completeness bound (why no pair is lost at high τ):
+    a pair can only be missed if every shared token is high-df and at
+    least one endpoint doc d is non-exempt, i.e. has high-token squared
+    norm mass hm(d) = Σ_{t hot} (w_t/‖d‖)² < τ²·0.98; Cauchy-Schwarz over
+    the shared tokens then caps the pair's cosine at √hm(d)·1 < τ. Docs
+    violating the mass bound are exempt (their rows stay join-eligible),
+    so the argument holds unconditionally. The guard activates only when
+    a hot token exists — detected with one bounded aggregate over the
+    persisted top-k table (max df is O(1) driver state); on clean corpora
+    the plan is the plain single self-join.
     """
     from pyspark.sql import Window
 
@@ -363,18 +383,63 @@ def tfidf_doc_similarity(
         F.col("w").alias("wb"),
         F.col("nrm").alias("__nb"),
     )
-    dots = (
-        a.join(b, "token")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        # __na/__nb are functions of the doc ids, so adding them to the
-        # grouping key changes no groups — it just carries them through.
-        .groupBy("doc_a", "doc_b", "__na", "__nb")
-        .agg(
-            F.sum((F.col("wa") * F.col("wb")).cast(SIM_DEC))
-            .cast("double")
-            .alias("__dot")
+
+    # Max-df guard activation check: one bounded aggregate over the
+    # persisted top-k table (the persist fills here if cold — every later
+    # consumer reuses it). O(1) rows to the driver.
+    hottest = topk.groupBy("token").agg(
+        F.count(F.lit(1)).alias("__df2")
+    ).agg(F.max("__df2").alias("m")).collect()[0]["m"]
+
+    if hottest is not None and hottest > max_df:
+        # Hot regime: candidates come from non-hot tokens (plus all rows
+        # of exempt docs — see docstring bound), then every candidate
+        # pair is rescored over its FULL top-k vectors, so values and the
+        # surviving pair set are identical to the unguarded plan.
+        tdf = topk.groupBy("token").agg(F.count(F.lit(1)).alias("__df2"))
+        nw = F.col("w") / F.col("nrm")
+        hm = F.sum(
+            F.when(F.col("__df2") > max_df, nw * nw).otherwise(F.lit(0.0))
+        ).over(Window.partitionBy("doc_id"))
+        elig = (
+            topk.join(tdf, "token")
+            .withColumn("__hm", hm)
+            .filter(
+                (F.col("__df2") <= max_df)
+                | (F.col("__hm") >= F.lit(threshold * threshold * 0.98))
+            )
+            .select("doc_id", "token")
         )
-    )
+        cand = (
+            elig.select(F.col("doc_id").alias("doc_a"), "token")
+            .join(elig.select(F.col("doc_id").alias("doc_b"), "token"), "token")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates()
+        )
+        dots = (
+            cand.join(a, "doc_a")
+            .join(b, ["token", "doc_b"])
+            .groupBy("doc_a", "doc_b", "__na", "__nb")
+            .agg(
+                F.sum((F.col("wa") * F.col("wb")).cast(SIM_DEC))
+                .cast("double")
+                .alias("__dot")
+            )
+        )
+    else:
+        dots = (
+            a.join(b, "token")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            # __na/__nb are functions of the doc ids, so adding them to the
+            # grouping key changes no groups — it just carries them through.
+            .groupBy("doc_a", "doc_b", "__na", "__nb")
+            .agg(
+                F.sum((F.col("wa") * F.col("wb")).cast(SIM_DEC))
+                .cast("double")
+                .alias("__dot")
+            )
+        )
     return dots.select(
         "doc_a",
         "doc_b",

@@ -8,7 +8,8 @@ STRICTER lens than tests/conftest.assert_matches_oracle:
   column can hash-mismatch even when values are numerically identical)
 - value comparison at round-9 floats (tighter than the test suite's round-6)
 
-Usage: python tools/oracle_sweep.py [sf_dir]
+Usage: python tools/oracle_sweep.py [sf_dir] [query_name ...]
+(with query names given, only those queries are swept)
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ from snowflake_to_bq_pipeline_spark.registry import ORACLES, QUERIES
 from snowflake_to_bq_pipeline_spark.session import get_spark
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 
 
 def norm(rows, cols_in, ndigits=9):
@@ -54,7 +56,8 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     bad = []
-    for name in sorted(ORACLES):
+    names = sorted(ONLY & set(ORACLES)) if ONLY else sorted(ORACLES)
+    for name in names:
         t0 = time.time()
         try:
             df = QUERIES[name](spark, SF_DIR)
@@ -103,7 +106,7 @@ def main():
         if probs:
             bad.append((name, "; ".join(probs)))
     print("\n=== SUMMARY ===")
-    print(f"{len(ORACLES) - len(bad)}/{len(ORACLES)} clean")
+    print(f"{len(names) - len(bad)}/{len(names)} clean")
     for name, p in bad:
         print(f"  {name}: {p}")
 
