@@ -157,3 +157,65 @@ def pipeline_alerts(
         action.alias("recommended_action"),
         target.alias("target_pipeline"),
     )
+
+
+def alert_digest(
+    events: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    **alert_kwargs,
+) -> DataFrame:
+    """Severity-rolled digest of the alert dataset — the engine form of the
+    reference's report ASSEMBLY step (pipeline_fallback_monitor.py:247 and
+    data_quality_agent.py:244 build severity-ranked HTML/e-mail digests from
+    the raw monitor outputs; transport stays out of scope).
+
+    One row per alert_source (the digest's sections): alert counts by
+    severity, distinct offending entities, the worst offender (CRITICAL
+    first, then highest observed value, entity as the deterministic
+    tie-break), and the dominant recommended action (most frequent, ties
+    lexicographic). Consumes ``pipeline_alerts`` unchanged.
+
+    Scale: the alert dataset is violation-sized (tiny at any corpus
+    scale); rollup windows partition by alert_source over those rows.
+    """
+    from pyspark.sql import Window
+
+    alerts = pipeline_alerts(events, orders, lineitem, **alert_kwargs)
+    is_crit = F.col("severity") == SEVERITY_CRITICAL
+    summary = alerts.groupBy("alert_source").agg(
+        F.count(F.lit(1)).alias("alerts_total"),
+        F.count(F.when(is_crit, F.lit(1))).alias("critical_count"),
+        F.count(F.when(~is_crit, F.lit(1))).alias("warning_count"),
+        F.countDistinct("entity").alias("distinct_entities"),
+    )
+    sev_rank = F.when(is_crit, F.lit(0)).otherwise(F.lit(1))
+    worst_w = Window.partitionBy("alert_source").orderBy(
+        sev_rank, F.col("observed").desc(), F.col("entity")
+    )
+    worst = (
+        alerts.withColumn("__rn", F.row_number().over(worst_w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "alert_source",
+            F.col("entity").alias("worst_entity"),
+            F.col("observed").alias("worst_observed"),
+            F.col("severity").alias("worst_severity"),
+        )
+    )
+    act_w = Window.partitionBy("alert_source").orderBy(
+        F.col("__n").desc(), F.col("recommended_action")
+    )
+    top_action = (
+        alerts.groupBy("alert_source", "recommended_action")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__rn", F.row_number().over(act_w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "alert_source",
+            F.col("recommended_action").alias("top_action"),
+        )
+    )
+    return summary.join(worst, "alert_source").join(
+        top_action, "alert_source"
+    )

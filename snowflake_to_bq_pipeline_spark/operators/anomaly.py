@@ -101,3 +101,141 @@ def volume_anomaly_dow(
         z.alias("z_score"),
         F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+#: Exact-sum accumulator for the multivariate sufficient statistics:
+#: features are integers or 6dp-rounded doubles, so pairwise products have
+#: at most 12 fractional decimal digits and the cast is lossless — the sums
+#: are add-order-independent on any partitioning.
+MV_DEC = "decimal(38,12)"
+
+
+def multivariate_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    contamination: float = 0.1,
+) -> DataFrame:
+    """Joint multivariate outlier score per (stream, day) — the engine form
+    of the reference's per-table multivariate anomaly models
+    (anomaly_detection_agent.py:124-156 train_models/detect_anomalies:
+    IsolationForest over scaled daily feature vectors, contamination=0.1).
+
+    A forest is neither deterministic nor SQL-expressible; the engine uses
+    the classical closed-form equivalent: per stream, each day's feature
+    vector x = (event volume, mean value, mean hour-of-day) scores its
+    Mahalanobis distance against the stream's own history — the full 3x3
+    covariance (not just per-feature z-scores), so a day that is
+    individually unremarkable on every axis but breaks the CORRELATION
+    structure (e.g. high volume with low mean value where the two always
+    move together) still scores high. The top ``contamination`` fraction
+    of days per stream is flagged, mirroring the reference's contamination
+    parameter.
+
+    Determinism: daily features derive from exact integer sums (counts,
+    value micros, hour sums) rounded once; the covariance's sufficient
+    statistics accumulate in exact decimal (MV_DEC); the distance is one
+    fixed double expression over those — engine-reproducible, and the
+    DuckDB oracle mirrors it textually. Covariance inversion is the 3x3
+    adjugate over a single division; near-singular covariance (|det| under
+    1e-9) yields NULL distances and no flags rather than garbage.
+
+    Scale: one partial aggregation of the raw table to (stream, day)
+    features; stats are O(streams) rows broadcast back; ranking windows
+    partition by stream over day-grain rows (bounded: days per stream,
+    never data-sized).
+    """
+    from pyspark.sql import Window
+
+    mic = F.floor(F.col(value_col) * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    daily = df.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum(mic).alias("__vm"),
+        F.sum(F.hour(F.col(ts_col)).cast("long")).alias("__hs"),
+    )
+    ndub = F.col("event_count").cast("double")
+    feats = daily.select(
+        "event_type",
+        "day",
+        "event_count",
+        F.round(F.col("__vm").cast("double") / ndub / F.lit(1000000.0), 6)
+        .alias("avg_value"),
+        F.round(F.col("__hs").cast("double") / ndub, 6).alias("avg_hour"),
+    )
+    x1 = F.col("event_count").cast("double")
+    x2 = F.col("avg_value")
+    x3 = F.col("avg_hour")
+    stats = feats.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__nd"),
+        F.sum(x1.cast(MV_DEC)).alias("__s1"),
+        F.sum(x2.cast(MV_DEC)).alias("__s2"),
+        F.sum(x3.cast(MV_DEC)).alias("__s3"),
+        F.sum((x1 * x1).cast(MV_DEC)).alias("__s11"),
+        F.sum((x1 * x2).cast(MV_DEC)).alias("__s12"),
+        F.sum((x1 * x3).cast(MV_DEC)).alias("__s13"),
+        F.sum((x2 * x2).cast(MV_DEC)).alias("__s22"),
+        F.sum((x2 * x3).cast(MV_DEC)).alias("__s23"),
+        F.sum((x3 * x3).cast(MV_DEC)).alias("__s33"),
+    )
+    nd = F.col("__nd").cast("double")
+    m1 = F.col("__s1").cast("double") / nd
+    m2 = F.col("__s2").cast("double") / nd
+    m3 = F.col("__s3").cast("double") / nd
+    c11 = F.col("__s11").cast("double") / nd - m1 * m1
+    c12 = F.col("__s12").cast("double") / nd - m1 * m2
+    c13 = F.col("__s13").cast("double") / nd - m1 * m3
+    c22 = F.col("__s22").cast("double") / nd - m2 * m2
+    c23 = F.col("__s23").cast("double") / nd - m2 * m3
+    c33 = F.col("__s33").cast("double") / nd - m3 * m3
+    det = (
+        c11 * (c22 * c33 - c23 * c23)
+        - c12 * (c12 * c33 - c13 * c23)
+        + c13 * (c12 * c23 - c13 * c22)
+    )
+    d1 = x1 - m1
+    d2 = x2 - m2
+    d3 = x3 - m3
+    quad = (
+        d1 * d1 * (c22 * c33 - c23 * c23)
+        + d2 * d2 * (c11 * c33 - c13 * c13)
+        + d3 * d3 * (c11 * c22 - c12 * c12)
+        + F.lit(2.0) * d1 * d2 * (c13 * c23 - c12 * c33)
+        + F.lit(2.0) * d1 * d3 * (c12 * c23 - c13 * c22)
+        + F.lit(2.0) * d2 * d3 * (c12 * c13 - c11 * c23)
+    ) / det
+    md2 = F.when((F.col("__nd") > 3) & (F.abs(det) > 1e-9), quad)
+    scored = feats.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "event_count",
+        "avg_value",
+        "avg_hour",
+        # greatest() skips nulls in both engines, so gate the NULL case
+        # explicitly: singular covariance means NO distance, not 0.
+        F.when(
+            md2.isNotNull(),
+            F.round(F.sqrt(F.greatest(md2, F.lit(0.0))), 6),
+        ).alias("mahalanobis"),
+        F.col("__nd").alias("__nd"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("mahalanobis").desc_nulls_last(), F.col("day")
+    )
+    limit = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.lit(contamination) * F.col("__nd").cast("double")),
+    )
+    return (
+        scored.withColumn("md_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "is_anomaly",
+            F.col("mahalanobis").isNotNull() & (F.col("md_rank") <= limit),
+        )
+        .drop("__nd")
+    )

@@ -37,6 +37,47 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _corpus_fingerprint(sf_dir: str, *tables: str) -> str:
+    """Snapshot fingerprint of the given tables' parquet files (path, size,
+    mtime).  The cross-query model/intermediate memos below key on
+    ``(sf_dir, fingerprint)`` instead of the path alone, so a dataset
+    REWRITTEN at the same path misses the cache and recomputes rather than
+    silently serving stale pairs/models for the life of the process.
+    Cost: a handful of ``os.stat`` calls per lookup — no data is read."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    for table in tables:
+        p = os.path.join(sf_dir, f"{table}.parquet")
+        paths = []
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                paths.extend(os.path.join(root, f) for f in files)
+        elif os.path.exists(p):
+            paths = [p]
+        for fp in sorted(paths):
+            st = os.stat(fp)
+            h.update(f"{fp}|{st.st_size}|{st.st_mtime_ns};".encode())
+    return h.hexdigest()
+
+
+def clear_model_caches() -> None:
+    """Explicit invalidation hook for every cross-query memo (pair tables,
+    k-means centroids, BPE merges, DSIR weights) — exposed to the CLI for
+    long-lived sessions that want a hard reset regardless of fingerprints."""
+    for cache in (
+        _JACCARD_PAIRS_CACHE,
+        _MINHASH_PAIRS_CACHE,
+        _DSIR_W_CACHE,
+    ):
+        for df in cache.values():
+            df.unpersist(blocking=False)
+        cache.clear()
+    _CENTROID_CACHE.clear()
+    _BPE_MERGE_CACHE.clear()
+
+
 # ---------------------------------------------------------------------------
 # §2-A  Sync / reconciliation
 # ---------------------------------------------------------------------------
@@ -590,6 +631,119 @@ def volume_anomaly_dow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multivariate_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS event_count,
+             SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS vm,
+             SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS hs
+      FROM events GROUP BY 1, 2
+    ),
+    feats AS (
+      SELECT event_type, day, event_count,
+             ROUND(CAST(vm AS DOUBLE) / CAST(event_count AS DOUBLE)
+                   / 1000000.0, 6) AS avg_value,
+             ROUND(CAST(hs AS DOUBLE) / CAST(event_count AS DOUBLE), 6)
+               AS avg_hour
+      FROM daily
+    ),
+    stats AS (
+      SELECT event_type, COUNT(*) AS nd,
+             SUM(CAST(CAST(event_count AS DOUBLE) AS DECIMAL(38,12))) AS s1,
+             SUM(CAST(avg_value AS DECIMAL(38,12))) AS s2,
+             SUM(CAST(avg_hour AS DECIMAL(38,12))) AS s3,
+             SUM(CAST(CAST(event_count AS DOUBLE) * CAST(event_count AS DOUBLE)
+                 AS DECIMAL(38,12))) AS s11,
+             SUM(CAST(CAST(event_count AS DOUBLE) * avg_value
+                 AS DECIMAL(38,12))) AS s12,
+             SUM(CAST(CAST(event_count AS DOUBLE) * avg_hour
+                 AS DECIMAL(38,12))) AS s13,
+             SUM(CAST(avg_value * avg_value AS DECIMAL(38,12))) AS s22,
+             SUM(CAST(avg_value * avg_hour AS DECIMAL(38,12))) AS s23,
+             SUM(CAST(avg_hour * avg_hour AS DECIMAL(38,12))) AS s33
+      FROM feats GROUP BY event_type
+    ),
+    means AS (
+      SELECT event_type, nd,
+             CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE) AS m2,
+             CAST(s3 AS DOUBLE) / CAST(nd AS DOUBLE) AS m3,
+             CAST(s11 AS DOUBLE) / CAST(nd AS DOUBLE) AS e11,
+             CAST(s12 AS DOUBLE) / CAST(nd AS DOUBLE) AS e12,
+             CAST(s13 AS DOUBLE) / CAST(nd AS DOUBLE) AS e13,
+             CAST(s22 AS DOUBLE) / CAST(nd AS DOUBLE) AS e22,
+             CAST(s23 AS DOUBLE) / CAST(nd AS DOUBLE) AS e23,
+             CAST(s33 AS DOUBLE) / CAST(nd AS DOUBLE) AS e33
+      FROM stats
+    ),
+    cov AS (
+      SELECT event_type, nd, m1, m2, m3,
+             e11 - m1 * m1 AS c11, e12 - m1 * m2 AS c12,
+             e13 - m1 * m3 AS c13, e22 - m2 * m2 AS c22,
+             e23 - m2 * m3 AS c23, e33 - m3 * m3 AS c33
+      FROM means
+    ),
+    covd AS (
+      SELECT *,
+             c11 * (c22 * c33 - c23 * c23)
+             - c12 * (c12 * c33 - c13 * c23)
+             + c13 * (c12 * c23 - c13 * c22) AS det
+      FROM cov
+    ),
+    scored AS (
+      SELECT f.event_type, f.day, f.event_count, f.avg_value, f.avg_hour,
+             c.nd,
+             CASE WHEN c.nd > 3 AND ABS(c.det) > 1e-9 THEN
+               ((CAST(f.event_count AS DOUBLE) - c.m1)
+                  * (CAST(f.event_count AS DOUBLE) - c.m1)
+                  * (c.c22 * c.c33 - c.c23 * c.c23)
+                + (f.avg_value - c.m2) * (f.avg_value - c.m2)
+                  * (c.c11 * c.c33 - c.c13 * c.c13)
+                + (f.avg_hour - c.m3) * (f.avg_hour - c.m3)
+                  * (c.c11 * c.c22 - c.c12 * c.c12)
+                + 2.0 * (CAST(f.event_count AS DOUBLE) - c.m1)
+                  * (f.avg_value - c.m2) * (c.c13 * c.c23 - c.c12 * c.c33)
+                + 2.0 * (CAST(f.event_count AS DOUBLE) - c.m1)
+                  * (f.avg_hour - c.m3) * (c.c12 * c.c23 - c.c13 * c.c22)
+                + 2.0 * (f.avg_value - c.m2) * (f.avg_hour - c.m3)
+                  * (c.c12 * c.c13 - c.c11 * c.c23)) / c.det
+             END AS md2
+      FROM feats f JOIN covd c USING (event_type)
+    ),
+    dist AS (
+      SELECT event_type, day, event_count, avg_value, avg_hour, nd,
+             CASE WHEN md2 IS NOT NULL
+                  THEN ROUND(SQRT(GREATEST(md2, 0.0)), 6) END AS mahalanobis
+      FROM scored
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY mahalanobis DESC NULLS LAST, day
+             ) AS BIGINT) AS md_rank
+      FROM dist
+    )
+    SELECT event_type, day, event_count, avg_value, avg_hour, mahalanobis,
+           md_rank,
+           mahalanobis IS NOT NULL
+             AND md_rank <= GREATEST(CAST(1 AS BIGINT),
+                   CAST(FLOOR(0.1 * CAST(nd AS DOUBLE)) AS BIGINT))
+             AS is_anomaly
+    FROM ranked
+    """,
+)
+def multivariate_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream multivariate (Mahalanobis) daily outlier score — the
+    deterministic engine form of the reference's per-table IsolationForest
+    anomaly models (anomaly_detection_agent.py:124-156, contamination
+    0.1): full-covariance joint distance over (volume, mean value, mean
+    hour) so correlation-breaking days flag even when every single feature
+    stays in range."""
+    return anomaly.multivariate_anomaly(load_table(spark, sf_dir, "events"))
+
+
+@query(
     "bloom_filtered_entries",
     oracle="""
     SELECT l_returnflag,
@@ -701,11 +855,10 @@ def row_count_compare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators import alerts as alerts_op  # noqa: E402
 
-
-@query(
-    "pipeline_alerts",
-    oracle="""
-    WITH daily AS (
+#: Shared oracle CTE chain building the unified alert dataset — consumed
+#: by both pipeline_alerts (the dataset) and alert_digest (its severity
+#: rollup), so the two oracles can never drift apart.
+_ALERTS_SQL_CTES = """daily AS (
       SELECT CAST(ts AS DATE) AS d, COUNT(*) AS event_count
       FROM events GROUP BY CAST(ts AS DATE)
     ),
@@ -783,27 +936,36 @@ from .operators import alerts as alerts_op  # noqa: E402
              CASE WHEN CAST(ABS(sc - tc) AS DOUBLE) > 0.5 * CAST(sc AS DOUBLE)
                   THEN 'CRITICAL' ELSE 'WARNING' END
       FROM recon WHERE sc != tc
-    )
-    SELECT *,
-           CASE
-             WHEN alert_source = 'freshness' AND severity = 'CRITICAL'
-               THEN 'trigger_fallback_sync'
-             WHEN alert_source = 'freshness' THEN 'schedule_catchup_sync'
-             WHEN alert_source = 'volume' AND severity = 'CRITICAL'
-               THEN 'trigger_full_resync'
-             WHEN alert_source = 'volume' THEN 'flag_for_review'
-             WHEN alert_source = 'dedup' THEN 'run_dedup_cleanup'
-             WHEN severity = 'CRITICAL' THEN 'backfill_date_window'
-             ELSE 'flag_for_review'
-           END AS recommended_action,
-           CASE
-             WHEN alert_source = 'freshness'
-               THEN entity || '_fallback_daily_sync'
-             WHEN alert_source = 'volume' THEN 'events_full_sync'
-             WHEN alert_source = 'dedup' THEN 'dedup_reconciliation_sync'
-             ELSE 'daily_incremental_sync'
-           END AS target_pipeline
-    FROM unioned
+    ),
+    alerts AS (
+      SELECT *,
+             CASE
+               WHEN alert_source = 'freshness' AND severity = 'CRITICAL'
+                 THEN 'trigger_fallback_sync'
+               WHEN alert_source = 'freshness' THEN 'schedule_catchup_sync'
+               WHEN alert_source = 'volume' AND severity = 'CRITICAL'
+                 THEN 'trigger_full_resync'
+               WHEN alert_source = 'volume' THEN 'flag_for_review'
+               WHEN alert_source = 'dedup' THEN 'run_dedup_cleanup'
+               WHEN severity = 'CRITICAL' THEN 'backfill_date_window'
+               ELSE 'flag_for_review'
+             END AS recommended_action,
+             CASE
+               WHEN alert_source = 'freshness'
+                 THEN entity || '_fallback_daily_sync'
+               WHEN alert_source = 'volume' THEN 'events_full_sync'
+               WHEN alert_source = 'dedup' THEN 'dedup_reconciliation_sync'
+               ELSE 'daily_incremental_sync'
+             END AS target_pipeline
+      FROM unioned
+    )"""
+
+
+@query(
+    "pipeline_alerts",
+    oracle=f"""
+    WITH {_ALERTS_SQL_CTES}
+    SELECT * FROM alerts
     """,
 )
 def pipeline_alerts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,6 +973,57 @@ def pipeline_alerts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ref: pipeline_fallback_monitor.py main flow + slack_integration_agent
     payloads, minus the delivery transport)."""
     return alerts_op.pipeline_alerts(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "alert_digest",
+    oracle=f"""
+    WITH {_ALERTS_SQL_CTES},
+    summary AS (
+      SELECT alert_source, COUNT(*) AS alerts_total,
+             COUNT(CASE WHEN severity = 'CRITICAL' THEN 1 END)
+               AS critical_count,
+             COUNT(CASE WHEN severity != 'CRITICAL' THEN 1 END)
+               AS warning_count,
+             COUNT(DISTINCT entity) AS distinct_entities
+      FROM alerts GROUP BY alert_source
+    ),
+    worst AS (
+      SELECT alert_source, entity AS worst_entity,
+             observed AS worst_observed, severity AS worst_severity,
+             ROW_NUMBER() OVER (PARTITION BY alert_source ORDER BY
+               CASE WHEN severity = 'CRITICAL' THEN 0 ELSE 1 END,
+               observed DESC, entity) AS rn
+      FROM alerts
+    ),
+    acts AS (
+      SELECT alert_source, recommended_action, COUNT(*) AS n
+      FROM alerts GROUP BY alert_source, recommended_action
+    ),
+    top_act AS (
+      SELECT alert_source, recommended_action AS top_action,
+             ROW_NUMBER() OVER (PARTITION BY alert_source
+               ORDER BY n DESC, recommended_action) AS rn
+      FROM acts
+    )
+    SELECT s.alert_source, s.alerts_total, s.critical_count,
+           s.warning_count, s.distinct_entities, w.worst_entity,
+           w.worst_observed, w.worst_severity, t.top_action
+    FROM summary s
+    JOIN worst w ON s.alert_source = w.alert_source AND w.rn = 1
+    JOIN top_act t ON s.alert_source = t.alert_source AND t.rn = 1
+    """,
+)
+def alert_digest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Severity-rolled alert digest — the reference's report-assembly step
+    (pipeline_fallback_monitor.py:247, data_quality_agent.py:244 build
+    severity-ranked digests) as a dataset: per monitor section, alert
+    counts by severity, worst offender, dominant recommended action."""
+    return alerts_op.alert_digest(
         load_table(spark, sf_dir, "events"),
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
@@ -1084,11 +1297,12 @@ _SHINGLE_SQL = """
 #: SAME pairs — a real pipeline materializes that intermediate once. One
 #: live handle (previous corpus released on swap, like operators/_cache);
 #: the table is near-dup-pair sized (tiny vs corpus), MEMORY_AND_DISK.
-_JACCARD_PAIRS_CACHE: dict[str, DataFrame] = {}
+_JACCARD_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _jaccard_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _JACCARD_PAIRS_CACHE.get(sf_dir)
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    df = _JACCARD_PAIRS_CACHE.get(key)
     if df is None:
         for old in _JACCARD_PAIRS_CACHE.values():
             old.unpersist(blocking=False)
@@ -1098,7 +1312,7 @@ def _jaccard_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = neardup.ngram_jaccard_pairs(
             load_table(spark, sf_dir, "documents"), _JACCARD_TAU
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _JACCARD_PAIRS_CACHE[sf_dir] = df
+        _JACCARD_PAIRS_CACHE[key] = df
     return df
 
 
@@ -1201,11 +1415,12 @@ def minhash_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Memoized MinHash+LSH pair table per sf_dir — the pair view and the
 #: recall report share it (same pattern/lifecycle as _JACCARD_PAIRS_CACHE).
-_MINHASH_PAIRS_CACHE: dict[str, DataFrame] = {}
+_MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _minhash_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _MINHASH_PAIRS_CACHE.get(sf_dir)
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    df = _MINHASH_PAIRS_CACHE.get(key)
     if df is None:
         for old in _MINHASH_PAIRS_CACHE.values():
             old.unpersist(blocking=False)
@@ -1215,7 +1430,7 @@ def _minhash_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = neardup.minhash_lsh_pairs(
             load_table(spark, sf_dir, "documents"), _JACCARD_TAU
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _MINHASH_PAIRS_CACHE[sf_dir] = df
+        _MINHASH_PAIRS_CACHE[key] = df
     return df
 
 
@@ -3761,13 +3976,14 @@ def click_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Trained k-means centroids per (sf_dir, k, iters) — collected rows, the
 #: same once-per-corpus model-memo pattern as _BPE_MERGE_CACHE (the model
 #: IS driver state; re-learning it per consuming query is pure waste).
-_CENTROID_CACHE: dict[tuple[str, int, int], list] = {}
+_CENTROID_CACHE: dict[tuple[str, str, int, int], list] = {}
 
 
 def _centroids_for(
     spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
 ) -> DataFrame:
-    rows = _CENTROID_CACHE.get((sf_dir, k, iters))
+    fp = _corpus_fingerprint(sf_dir, "embeddings")
+    rows = _CENTROID_CACHE.get((sf_dir, fp, k, iters))
     if rows is None:
         rows = [
             (int(r["cent_id"]), list(r["ce"]))
@@ -3780,7 +3996,7 @@ def _centroids_for(
                 iters,
             ).collect()
         ]
-        _CENTROID_CACHE[(sf_dir, k, iters)] = rows
+        _CENTROID_CACHE[(sf_dir, fp, k, iters)] = rows
     return spark.createDataFrame(rows, "cent_id long, ce array<double>")
 
 
@@ -3831,19 +4047,20 @@ from .operators import bpe  # noqa: E402
 #: Once-per-corpus tokenizer model cache: BPE merge induction is model
 #: TRAINING (10 driver-coordinated vocab passes); every query that applies
 #: the tokenizer shares the induced table rather than re-learning it, the
-#: same driver-resident-model posture as the IVF centroids. Keyed by corpus
-#: dir; deterministic (exact counts, lexicographic tie-break), so a cache
-#: hit is bit-identical to a re-run.
-_BPE_MERGE_CACHE: dict[str, list] = {}
+#: same driver-resident-model posture as the IVF centroids. Keyed by
+#: (corpus dir, snapshot fingerprint); deterministic (exact counts,
+#: lexicographic tie-break), so a cache hit is bit-identical to a re-run.
+_BPE_MERGE_CACHE: dict[tuple[str, str], list] = {}
 
 
 def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = _BPE_MERGE_CACHE.get(sf_dir)
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    rows = _BPE_MERGE_CACHE.get(key)
     if rows is None:
         rows = bpe.bpe_merge_rows(
             load_table(spark, sf_dir, "documents"), n_merges=10
         )
-        _BPE_MERGE_CACHE[sf_dir] = rows
+        _BPE_MERGE_CACHE[key] = rows
     return spark.createDataFrame(rows, bpe.MERGES_SCHEMA)
 
 
@@ -4419,11 +4636,12 @@ _DSIR_SELECT_FRAC = 0.2
 #: The weight table feeds both the weight view and the selection pass —
 #: materialized once per corpus (same shared-intermediate posture as the
 #: Jaccard pair cache above).
-_DSIR_W_CACHE: dict[str, DataFrame] = {}
+_DSIR_W_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _dsir_weights_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _DSIR_W_CACHE.get(sf_dir)
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    df = _DSIR_W_CACHE.get(key)
     if df is None:
         for old in _DSIR_W_CACHE.values():
             old.unpersist(blocking=False)
@@ -4433,7 +4651,7 @@ def _dsir_weights_for(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = curation.dsir_importance_weights(
             load_table(spark, sf_dir, "documents"), _DSIR_TARGET
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _DSIR_W_CACHE[sf_dir] = df
+        _DSIR_W_CACHE[key] = df
     return df
 
 
@@ -4738,24 +4956,75 @@ def embedding_outlier_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's CORRECTNESS gate hash-checks only the FIRST 50 entries of
 # ``queries()`` (dict insertion order).  Definition order above is narrative
 # (grouped by SURVEY §2 family), so we rebuild QUERIES here with an explicit
-# priority order:
-#   slots 1-31  — queries that have never had a driver correctness row
-#                 (registered after the r02 cutoff, VERDICT r02 §"What's
-#                 wrong" #1), including q4/q10 which fell out of the window;
-#   slots 32-.. — the flagship + queries whose code changes this round and
-#                 therefore needs a fresh hard signal;
-#   fill to 50  — long-stable passers for continuous coverage;
-#   51-81       — remaining stable §A/§C/§E passers, then the six rows-only
-#                 (no-oracle-by-design) ops, which can never produce a hash
-#                 verdict and must not occupy window slots.
+# priority order (r5 rotation): new-this-round and changed-this-round
+# queries first (fresh hash signal), then the queries whose last driver
+# verdict is OLDEST (r2-vintage, then r3-vintage) — so driver coverage
+# cycles through the whole oracle-gated surface across rounds.  Rows-only
+# ops (no oracle possible) must never hold a window slot.
 #
-# Every registered query MUST appear exactly once; the assertion below makes
-# an unlisted (or stale) name a loud import-time failure so new queries are
-# placed deliberately.
+# Every registered query MUST appear exactly once (asserted below), and the
+# window-critical set — every name whose engine code changed this round —
+# must sit at index < 50 (asserted below; replaces the stale slot-number
+# comments that caused the r4 tfidf_top_terms off-by-one).
 # ---------------------------------------------------------------------------
 
 _WINDOW_ORDER = [
-    # -- slots 1-24: never driver-checked (new this round) -------------
+    # -- DRIVER WINDOW (first 50): the driver hash-checks only these --
+    # new this round (never driver-checked)
+    "multivariate_anomaly",
+    "alert_digest",
+    # engine code changed this round / changed post-window in r4
+    "tfidf_doc_similarity",
+    "tfidf_top_terms",
+    # r2-vintage stable passers, last driver-checked in round 2
+    "full_sync_snapshot",
+    "incremental_sync_window",
+    "merge_upsert",
+    "orphaned_records",
+    "missing_records",
+    "dedup_latest_record",
+    "sync_date_dedup",
+    "paginated_extract",
+    "chunked_backfill_plan",
+    "cdc_fold_snapshot",
+    "incremental_agg_maintenance",
+    "row_count_by_day",
+    "data_quality_metrics",
+    "freshness_check",
+    "row_count_compare",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "dedup_exact",
+    "doc_fingerprint",
+    "text_stats",
+    "text_quality_score",
+    "lang_id",
+    "ann_cosine_topk",
+    "embedding_dup_pairs",
+    "vocab_top_k",
+    "doc_length_histogram",
+    # r3-vintage stable passers, last driver-checked in round 3
+    "error_window_events",
+    "event_sessions",
+    "user_running_totals",
+    "user_activity_trend",
+    "events_windowed_counts",
+    "pipeline_alerts",
+    "volume_anomaly",
+    "volume_anomaly_dow",
+    "dup_key_audit",
+    "dedup_clusters",
+    "contributor_utilization_rollup",
+    "client_budget_rollup",
+    "asof_join_last_purchase",
+    "bloom_filtered_entries",
+    "decontamination_overlap",
+    "embedding_doc_dedup",
+    "monthly_hours_pivot",
+    # -- past the window: r3/r4-checked stable passers ----------------
     "gopher_quality_rules",
     "embedding_outlier_topk",
     "bom_per_case_consumption",
@@ -4798,65 +5067,13 @@ _WINDOW_ORDER = [
     "event_session_stats",
     "paragraph_dedup",
     "distribution_drift_psi",
-    # -- slots 25-27: r3 oracle-cast fixes needing first green hash ----
     "sequence_packing",
     "pack_fill_summary",
     "source_language_mix",
-    # -- engine code changed this round: fresh hash signal needed ------
     "repetition_filter",
     "individual_budget_tracking",
     "budget_vs_actual",
     "ngram_jaccard_dups",
-    "tfidf_doc_similarity",
-    "tfidf_top_terms",
-    # -- fill to 50 with the longest-unchecked stable passers; the
-    # remainder and the rows-only ops (no hash verdict possible) follow
-    "full_sync_snapshot",
-    "incremental_sync_window",
-    "merge_upsert",
-    "orphaned_records",
-    "missing_records",
-    "dedup_latest_record",
-    "sync_date_dedup",
-    "paginated_extract",
-    "chunked_backfill_plan",
-    "cdc_fold_snapshot",
-    "incremental_agg_maintenance",
-    "row_count_by_day",
-    "data_quality_metrics",
-    "freshness_check",
-    "row_count_compare",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_supplier_volume",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "dedup_exact",
-    "doc_fingerprint",
-    "text_stats",
-    "text_quality_score",
-    "lang_id",
-    "ann_cosine_topk",
-    "embedding_dup_pairs",
-    "vocab_top_k",
-    "doc_length_histogram",
-    "error_window_events",
-    "event_sessions",
-    "user_running_totals",
-    "user_activity_trend",
-    "events_windowed_counts",
-    "pipeline_alerts",
-    "volume_anomaly",
-    "volume_anomaly_dow",
-    "dup_key_audit",
-    "dedup_clusters",
-    "contributor_utilization_rollup",
-    "client_budget_rollup",
-    "asof_join_last_purchase",
-    "bloom_filtered_entries",
-    "decontamination_overlap",
-    "embedding_doc_dedup",
-    "monthly_hours_pivot",
     "pii_redaction",
     "q10_returned_items",
     "q11_important_parts",
@@ -4882,6 +5099,7 @@ _WINDOW_ORDER = [
     "utilization_rollup",
     "view_variance_detection",
     "work_item_enriched",
+    # -- rows-only ops (no oracle possible, must never hold a slot) ---
     "bpe_merge_table",
     "bpe_encode_tokens",
     "kmeans_doc_clusters",
@@ -4904,6 +5122,25 @@ assert set(_WINDOW_ORDER) == set(QUERIES), (
     f"stale={sorted(set(_WINDOW_ORDER) - set(QUERIES))}"
 )
 assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
+
+#: Names whose engine code is new or changed THIS round: each needs a fresh
+#: driver hash verdict, so each must sit inside the 50-slot window.  Update
+#: this set whenever a round touches a query's plan or oracle.
+_WINDOW_CRITICAL = {
+    "multivariate_anomaly",
+    "alert_digest",
+    "tfidf_doc_similarity",
+    "tfidf_top_terms",
+    "pipeline_alerts",
+}
+assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (
+    "changed-this-round query outside the driver's 50-slot window: "
+    f"{[n for n in _WINDOW_CRITICAL if _WINDOW_ORDER.index(n) >= 50]}"
+)
+# rows-only ops (no oracle) can never produce a hash verdict — keep them out
+assert all(
+    _WINDOW_ORDER.index(n) >= 50 for n in QUERIES if n not in ORACLES
+), "rows-only op occupies a driver window slot"
 
 QUERIES = {name: QUERIES[name] for name in _WINDOW_ORDER}
 ORACLES = {name: ORACLES[name] for name in _WINDOW_ORDER if name in ORACLES}
