@@ -10,9 +10,13 @@ vocabulary (one groupBy over tokens — the only corpus-sized pass),
 capped at the top ``VOCAB_CAP`` words by frequency. The capped vocab
 is bounded MODEL-TRAINING state (like the IVF centroids): real
 tokenizer trainers (HuggingFace ``tokenizers``, SentencePiece) learn
-merges from exactly such a bounded word-count dictionary, because the
-Zipf head carries essentially all pair mass — a word outside the top
-256k occurs too rarely to flip any merge decision. The merge loop then
+merges from exactly such a bounded word-count dictionary. Above the
+cap the induction is deliberately APPROXIMATE: the Zipf head carries
+the dominant pair mass, but the truncated tail's aggregate mass can in
+principle flip a near-tie merge decision and the reported pair counts
+shrink by the tail's contribution — the exact capped semantics
+(merges ≡ reference BPE over the top-``VOCAB_CAP``-by-(freq, word)
+dictionary) are pinned by a pytest. The merge loop then
 runs driver-side over that dictionary: 10 merges over <=256k words is
 millions of integer adds, not a distributed job, and replacing 10
 (shuffle + sort + collect) Spark rounds with one collect removes the
@@ -35,10 +39,11 @@ from ._cache import swap_cache
 #: Token pattern shared with the text ops: lowercase alnum runs.
 WORD_RE = "[a-z0-9]+"
 
-#: Bounded word-frequency dictionary size for merge learning. The Zipf
-#: head carries the pair mass; a word below this rank is too rare to
-#: change any merge decision, and the cap makes the driver-side model
-#: state O(1) in corpus size (collected rows, not corpus rows).
+#: Bounded word-frequency dictionary size for merge learning: makes the
+#: driver-side model state O(1) in corpus size (collected rows, not corpus
+#: rows). Below the cap the induction is exact; above it, approximate —
+#: the Zipf head carries the dominant pair mass, but tail truncation can
+#: flip near-tie merges and shrinks reported pair counts.
 VOCAB_CAP = 1 << 18
 
 
@@ -93,9 +98,9 @@ def bpe_merge_rows(
     induction instead of re-learning it in every query that applies it.
 
     One distributed pass builds the word-frequency dictionary (capped at
-    the top ``VOCAB_CAP`` words by ``(freq DESC, word)`` — deterministic
-    and, per the module docstring, semantics-preserving for any real
-    corpus); the merge loop itself runs driver-side over that bounded
+    the top ``VOCAB_CAP`` words by ``(freq DESC, word)`` — deterministic;
+    exact below the cap, approximate above it per the module docstring);
+    the merge loop itself runs driver-side over that bounded
     dictionary with the SAME semantics the previous distributed learner
     had: exact integer pair counts, lexicographically-smallest tie-break
     on the ``"left right"`` key, stop when the best pair count drops

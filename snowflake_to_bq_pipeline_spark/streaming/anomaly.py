@@ -55,18 +55,34 @@ def score_windowed_counts(
 ) -> DataFrame:
     """Attach z-scores + anomaly flags to windowed counts (works on the
     streaming aggregate and its batch twin identically — the pytest
-    asserts drain-equality through this exact function)."""
+    asserts drain-equality through this exact function).
+
+    The baseline join is a LEFT join: an event type with NO history is the
+    clearest volume anomaly there is (a brand-new high-volume stream), so
+    its windows flag with a NULL z_score instead of silently dropping. A
+    degenerate zero-std baseline likewise flags whenever the observed
+    count deviates from the constant history at all (z is undefined —
+    NULL — but the deviation is certain)."""
     z = F.when(
         F.col("baseline_std") > 0,
         (F.col("event_count").cast("double") - F.col("baseline_mean"))
         / F.col("baseline_std"),
     )
+    unknown_type = F.col("baseline_mean").isNull()
+    flat_baseline_break = (
+        (F.col("baseline_std") == 0)
+        & (F.col("event_count").cast("double") != F.col("baseline_mean"))
+    )
     return (
-        counts.join(F.broadcast(baseline), "event_type")
+        counts.join(F.broadcast(baseline), "event_type", "left")
         .withColumn("z_score", F.round(z, 6))
         .withColumn(
             "is_anomaly",
-            F.coalesce(F.abs(F.col("z_score")) > z_threshold, F.lit(False)),
+            F.when(unknown_type | flat_baseline_break, F.lit(True)).otherwise(
+                F.coalesce(
+                    F.abs(F.col("z_score")) > z_threshold, F.lit(False)
+                )
+            ),
         )
     )
 

@@ -104,3 +104,32 @@ def test_bpe_encode_matches_reference_counts(spark, sf_dir):
     # as many as words.
     for r in out.values():
         assert r.n_words <= r.n_bpe_tokens
+
+
+def test_bpe_vocab_cap_semantics(spark, monkeypatch):
+    """Above VOCAB_CAP the induction is defined as reference BPE over the
+    top-cap-by-(freq, word) dictionary — exercised here by shrinking the
+    cap so the tail's aggregate pair mass WOULD flip the first merge."""
+    monkeypatch.setattr(bpe, "VOCAB_CAP", 5)
+    head = [f"abq{i}" for i in range(1, 6)]  # freq 10 each: pair (a,b) = 50
+    tail = [f"cdw{i:02d}" for i in range(20)]  # freq 3 each: pair (c,d) = 60
+    text = " ".join(head * 10 + tail * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    freqs = Counter(re.findall(bpe.WORD_RE, text.lower()))
+    capped = dict(
+        sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    )
+    assert set(capped) == set(head)  # the Zipf head is exactly the cap set
+
+    got = [
+        tuple(r)
+        for r in bpe.bpe_merges(docs, n_merges=3).orderBy("merge_rank").collect()
+    ]
+    assert got == _ref_bpe(capped, 3)
+    # and the cap genuinely bites: the uncapped corpus would merge (c, d)
+    # first on the tail's aggregate mass
+    uncapped = _ref_bpe(dict(freqs), 3)
+    assert uncapped[0][1:3] == ("c", "d")
+    assert got[0][1:3] == ("a", "b")
+    assert got != uncapped

@@ -437,3 +437,29 @@ def test_merge_sink_resumes_from_checkpoint_across_restart(
         for r in latest_record(events, ["user_id"], "ts", ["event_id"]).collect()
     }
     assert got == want
+
+
+def test_anomaly_scoring_flags_unknown_types_and_flat_baselines(spark):
+    """A stream with NO baseline history must flag (left join, null z),
+    and a zero-std baseline must flag any deviation from its constant
+    history instead of coalescing to quiet."""
+    from snowflake_to_bq_pipeline_spark.streaming import anomaly
+
+    counts = spark.createDataFrame(
+        [("known", 10), ("brand_new", 500), ("flat", 7), ("flat", 9)],
+        "event_type string, event_count long",
+    )
+    baseline = spark.createDataFrame(
+        [("known", 10.0, 2.0), ("flat", 9.0, 0.0)],
+        "event_type string, baseline_mean double, baseline_std double",
+    )
+    rows = {
+        (r.event_type, r.event_count): (r.z_score, r.is_anomaly)
+        for r in anomaly.score_windowed_counts(counts, baseline).collect()
+    }
+    assert len(rows) == 4  # nothing dropped
+    assert rows[("brand_new", 500)] == (None, True)
+    assert rows[("flat", 7)] == (None, True)
+    assert rows[("flat", 9)] == (None, False)
+    z, fired = rows[("known", 10)]
+    assert z == 0.0 and not fired
