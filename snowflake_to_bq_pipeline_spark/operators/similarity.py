@@ -496,6 +496,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 6,
     train_iters: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: k-means inverted lists; queries probe the ``n_probe``
     nearest lists only.
@@ -507,7 +508,11 @@ def ivf_topk(
     ~n_probe/n_centroids of the corpus per query.
     """
     v = _vectors(embeddings)
-    cents = train_centroids(v, n_centroids, train_iters)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids(v, n_centroids, train_iters)
+    )
 
     assigned = _assign(v, cents, "vec_id", "e", 1)
     probes = _assign(
@@ -690,6 +695,25 @@ def _cluster_blocked_pairs(
         grid_rows.extend(
             (cid, i, j) for i in range(nsub) for j in range(i, nsub)
         )
+
+    if all(nsub == 1 for _cid, nsub in nsub_rows):
+        # Every cluster fits one cell, so the one-group-per-cluster plan
+        # is ALREADY memory-bounded (|c| ≤ max_cell_rows by the collected
+        # sizes) — skip the grid's extra joins/union (measured ~1.7s of
+        # fixed plan overhead at sf0.1 with zero benefit in this regime).
+        import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+        def score_cluster(pdf):
+            return _score_block_pair(pdf, pdf, tau, True)
+
+        return (
+            assigned.select("cent_id", "vec_id", "e")
+            .groupBy("cent_id")
+            .applyInPandas(
+                score_cluster, "vec_a long, vec_b long, cosine double"
+            )
+        )
+
     grid = spark.createDataFrame(grid_rows, "cent_id long, bi int, bj int")
     nsub_df = spark.createDataFrame(nsub_rows, "cent_id long, nsub int")
     tagged = assigned.join(F.broadcast(nsub_df), "cent_id").withColumn(

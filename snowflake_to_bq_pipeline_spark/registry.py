@@ -2249,7 +2249,10 @@ def doc_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list ANN (recall vs brute force asserted in tests)."""
     df = similarity.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < 10,
+        k=5,
+        centroids=_centroids_for(spark, sf_dir, 16),
     )
     return df.withColumn("rank", F.col("rank").cast("long"))
 

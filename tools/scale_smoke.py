@@ -1,0 +1,152 @@
+"""Scale smoke: verify the heavy-hitter queries grow ~linearly from sf0.1
+to a synthetic ~sf1 corpus (10 key-shifted replicas), catching quadratic
+or driver-side blowups that the fixed-sf bench can never see.
+
+The ~sf1 corpus is built from the driver's own sf0.1 tables — each
+replica shifts every key column by i*KEY_OFFSET so joins stay consistent
+(region/nation are shared dimensions and are copied once; their keys are
+referenced unshifted). The smoke set deliberately contains only queries
+whose OUTPUT is linear in the input (aggregates, joins, windows,
+row-local scoring) — replicating a corpus multiplies near-dup pair
+counts quadratically by construction, which would test the data, not the
+engine.
+
+Usage: python tools/scale_smoke.py [--replicas 10] [--out SCALE_SMOKE.json]
+Writes a JSON report {query: {small_s, big_s, ratio}, ...} and exits
+nonzero if any ratio exceeds LINEAR_RATIO_CEILING.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from snowflake_to_bq_pipeline_spark.registry import QUERIES
+from snowflake_to_bq_pipeline_spark.session import get_spark
+
+SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Key columns shifted per replica so cross-table joins stay consistent.
+SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+#: Shared dimensions copied once (replicas reference them unshifted).
+COPY_TABLES = ["region", "nation"]
+
+KEY_OFFSET = 1_000_000_000
+
+#: Linear-output heavy hitters: shuffle/join/window/row-local shapes.
+#: A clean linear scale-up lands well under this ceiling even with fixed
+#: overheads amortized; a quadratic one lands near replicas² (~100x).
+SMOKE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q9_product_profit",
+    "q18_large_orders",
+    "individual_budget_tracking",
+    "budget_vs_actual",
+    "rolling_revenue_7d",
+    "event_session_stats",
+    "repetition_filter",
+    "charlm_perplexity",
+    "sequence_packing",
+]
+LINEAR_RATIO_CEILING = 3.0  # x replicas (see report: ratio_per_replica)
+
+
+def build_big(spark, small_dir: str, big_dir: str, replicas: int) -> None:
+    os.makedirs(big_dir, exist_ok=True)
+    for t in COPY_TABLES:
+        df = spark.read.parquet(f"{small_dir}/{t}.parquet")
+        df.write.mode("overwrite").parquet(f"{big_dir}/{t}.parquet")
+    for t, keys in SHIFT_COLS.items():
+        df = spark.read.parquet(f"{small_dir}/{t}.parquet")
+        parts = []
+        for i in range(replicas):
+            rep = df
+            for k in keys:
+                rep = rep.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
+            parts.append(rep)
+        out = parts[0]
+        for rep in parts[1:]:
+            out = out.unionByName(rep)
+        out.write.mode("overwrite").parquet(f"{big_dir}/{t}.parquet")
+
+
+def time_query(name: str, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    QUERIES[name](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--out", default="SCALE_SMOKE.json")
+    ap.add_argument(
+        "--big-dir", default="/tmp/scale_smoke_big", help="scratch dir"
+    )
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="scale-smoke")
+    print(f"building ~{args.replicas}x corpus under {args.big_dir} ...")
+    build_big(spark, SMALL_SF_DIR, args.big_dir, args.replicas)
+
+    report: dict[str, dict] = {}
+    failed = []
+    for name in SMOKE_QUERIES:
+        # warm codegen/page cache on the small corpus, then time both
+        time_query(name, spark, SMALL_SF_DIR)
+        small_s = time_query(name, spark, SMALL_SF_DIR)
+        big_s = time_query(name, spark, args.big_dir)
+        ratio = big_s / max(small_s, 1e-6)
+        per_rep = ratio / args.replicas
+        report[name] = {
+            "small_s": round(small_s, 2),
+            "big_s": round(big_s, 2),
+            "ratio": round(ratio, 2),
+            "ratio_per_replica": round(per_rep, 2),
+        }
+        flag = ""
+        if per_rep > LINEAR_RATIO_CEILING:
+            failed.append(name)
+            flag = "  <-- SUPERLINEAR"
+        print(
+            f"{name:32s} small {small_s:6.2f}s  big {big_s:7.2f}s "
+            f"ratio {ratio:6.2f} ({per_rep:4.2f}x/replica){flag}"
+        )
+
+    payload = {
+        "replicas": args.replicas,
+        "small_sf_dir": SMALL_SF_DIR,
+        "ceiling_per_replica": LINEAR_RATIO_CEILING,
+        "queries": report,
+        "superlinear": failed,
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps({"superlinear": failed, "out": args.out}))
+    shutil.rmtree(args.big_dir, ignore_errors=True)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
