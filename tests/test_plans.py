@@ -199,3 +199,19 @@ def test_embedding_outlier_is_one_row_agg_plus_topk(spark, sf_dir):
         for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan)
     }
     assert keyed <= {"pos"}, f"unexpected value-keyed shuffles on {keyed}"
+
+
+def test_multivariate_anomaly_broadcasts_stats(spark, sf_dir):
+    """The O(streams) covariance-stats table must join back by broadcast
+    (no shuffle of the daily features against model state), and the only
+    hash exchanges are the day-grain aggregate + the rank window."""
+    plan = _plan(QUERIES["multivariate_anomaly"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_alert_digest_no_cartesian_and_broadcast_rollups(spark, sf_dir):
+    plan = _plan(QUERIES["alert_digest"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the per-source rollup joins are tiny-side broadcasts
+    assert "BroadcastHashJoin" in plan
