@@ -178,10 +178,18 @@ def alert_digest(
 
     Scale: the alert dataset is violation-sized (tiny at any corpus
     scale); rollup windows partition by alert_source over those rows.
+    The dataset is persisted for the digest's three consumers (summary,
+    worst-offender, top-action) — without it the four-monitor build
+    executes once per consumer (operators/_cache.py).
     """
     from pyspark.sql import Window
 
-    alerts = pipeline_alerts(events, orders, lineitem, **alert_kwargs)
+    from ._cache import swap_cache
+
+    alerts = swap_cache(
+        "alert_digest_alerts",
+        pipeline_alerts(events, orders, lineitem, **alert_kwargs),
+    )
     is_crit = F.col("severity") == SEVERITY_CRITICAL
     summary = alerts.groupBy("alert_source").agg(
         F.count(F.lit(1)).alias("alerts_total"),
