@@ -491,6 +491,72 @@ def dataset_split(
     return df.withColumn("split", split)
 
 
+def cross_split_contamination(
+    documents: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DECONTAM_NGRAM,
+    fractions: tuple[tuple[str, float], ...] = SPLIT_FRACTIONS,
+) -> DataFrame:
+    """Held-out-leakage QA over the deterministic split: per val/test doc,
+    how many of its distinct word-``k``-grams appear anywhere in the TRAIN
+    split, plus a ``leaked`` flag.
+
+    ``dataset_split`` guarantees a doc's split never changes — but near-dup
+    documents land in DIFFERENT splits by hash, so the held-out set can
+    still share content with training data. This is the check a training
+    pipeline runs after split assignment and dedup: the split-axis twin of
+    ``decontamination_overlap`` (source-axis), with one scale difference —
+    the held-out side is a FRACTION of the corpus (~10%), not a tiny
+    benchmark, so the gram join is a plain inverted-index equi-join on
+    hashed grams (both sides shuffle on the 8-byte gram key; no broadcast
+    assumption). The hashed (doc, split, gram) table is persisted because
+    the train gram set and the held-out probe both derive from it.
+    """
+    from ..catalog import fan_out
+
+    w = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.array_size(w) >= k, F.sequence(F.lit(1), F.array_size(w) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    parts = [F.element_at(F.col("__w"), F.col("i") + j) for j in range(k)]
+    tagged = dataset_split(
+        documents.select(key_col, text_col), key_col, fractions
+    )
+    grams = _swap_cache(
+        "xsplit_grams",
+        fan_out(tagged)
+        .select(key_col, "split", w.alias("__w"), F.explode(idx).alias("i"))
+        .select(
+            key_col,
+            "split",
+            F.xxhash64(F.concat_ws(" ", *parts)).alias("__g"),
+        )
+        .dropDuplicates([key_col, "__g"]),
+    )
+    train_grams = (
+        grams.filter(F.col("split") == "train").select("__g").dropDuplicates()
+    )
+    shared = (
+        grams.filter(F.col("split") != "train")
+        .join(train_grams, "__g")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_train_ngrams"))
+    )
+    n = F.coalesce(F.col("n_shared_train_ngrams"), F.lit(0).cast("long"))
+    return (
+        tagged.filter(F.col("split") != "train")
+        .select(key_col, "split")
+        .join(shared, key_col, "left")
+        .select(
+            key_col,
+            "split",
+            n.alias("n_shared_train_ngrams"),
+            (n > 0).alias("leaked"),
+        )
+    )
+
+
 #: Words per pseudo-paragraph chunk for corpus-level chunk dedup.
 PARA_WORDS = 20
 

@@ -3662,6 +3662,54 @@ def decontamination_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cross_split_contamination",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < 'e66'
+                 THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < 'f33'
+                 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, split, gram FROM (
+        SELECT doc_id, split,
+               unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                           || w[i+3] || ' ' || w[i+4])) AS gram
+        FROM sp WHERE len(w) >= 5
+      )
+    ),
+    t AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+    sh AS (
+      SELECT g.doc_id, COUNT(*) AS n
+      FROM g JOIN t USING (gram) WHERE g.split <> 'train'
+      GROUP BY g.doc_id
+    )
+    SELECT s.doc_id, s.split,
+           COALESCE(sh.n, 0) AS n_shared_train_ngrams,
+           COALESCE(sh.n, 0) > 0 AS leaked
+    FROM sp s LEFT JOIN sh USING (doc_id)
+    WHERE s.split <> 'train'
+    """,
+)
+def cross_split_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out-leakage QA: per val/test doc, distinct word-5-grams shared
+    with ANY train-split doc under the deterministic md5 split — the check
+    that near-dup documents haven't straddled the train/eval boundary
+    (split-axis twin of decontamination_overlap; the held-out side is a
+    corpus fraction, so the gram join shuffles both sides instead of
+    assuming a broadcastable eval set)."""
+    return curation.cross_split_contamination(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@query(
     "source_mix_weights",
     oracle="""
     WITH s AS (
@@ -4975,6 +5023,7 @@ _WINDOW_ORDER = [
     # -- DRIVER WINDOW (first 50): the driver hash-checks only these --
     # new this round (never driver-checked)
     "multivariate_anomaly",
+    "cross_split_contamination",
     "alert_digest",
     # engine code changed this round / changed post-window in r4
     "tfidf_doc_similarity",
@@ -5026,8 +5075,8 @@ _WINDOW_ORDER = [
     "bloom_filtered_entries",
     "decontamination_overlap",
     "embedding_doc_dedup",
-    "monthly_hours_pivot",
     # -- past the window: r3/r4-checked stable passers ----------------
+    "monthly_hours_pivot",
     "gopher_quality_rules",
     "embedding_outlier_topk",
     "bom_per_case_consumption",
@@ -5130,6 +5179,7 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 #: driver hash verdict, so each must sit inside the 50-slot window.  Update
 #: this set whenever a round touches a query's plan or oracle.
 _WINDOW_CRITICAL = {
+    "cross_split_contamination",
     "multivariate_anomaly",
     "alert_digest",
     "tfidf_doc_similarity",
