@@ -300,7 +300,10 @@ def tfidf_doc_similarity(
     so the argument holds unconditionally. The guard activates only when
     a hot token exists — detected with one bounded aggregate over the
     persisted top-k table (max df is O(1) driver state); on clean corpora
-    the plan is the plain single self-join.
+    the plan is the plain single self-join. The check's price is one
+    small job that happens to fill the top-k persist before the join
+    instead of inside it (~0.5s at sf0.1, flat in corpus size relative
+    to the join it guards).
     """
     from pyspark.sql import Window
 

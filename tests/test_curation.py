@@ -186,3 +186,34 @@ def test_charlm_perplexity_separates_reference_like_from_garbage(spark):
     assert out[100].avg_nll < out[101].avg_nll - 1.0
     assert out[100].is_fluent
     assert not out[101].is_fluent
+
+
+def test_cross_split_contamination_flags_planted_leak(spark):
+    """A doc duplicated across the split boundary must flag as leaked;
+    unique held-out docs must not."""
+    from snowflake_to_bq_pipeline_spark.operators import curation
+
+    shared = "the same sentence appears verbatim in train and eval splits here"
+    uniq = "completely unrelated held out content with its own private words"
+    # find doc ids landing in each split under the deterministic md5 split
+    import hashlib
+
+    def split_of(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:3]
+        return "train" if h < "e66" else ("val" if h < "f33" else "test")
+
+    train_id = next(i for i in range(1000) if split_of(i) == "train")
+    heldout_leak = next(i for i in range(1000) if split_of(i) != "train")
+    heldout_clean = next(
+        i for i in range(heldout_leak + 1, 2000) if split_of(i) != "train"
+    )
+    docs = spark.createDataFrame(
+        [(train_id, shared), (heldout_leak, shared), (heldout_clean, uniq)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curation.cross_split_contamination(docs).collect()}
+    assert train_id not in rows  # train side is not reported
+    assert rows[heldout_leak].leaked
+    assert rows[heldout_leak].n_shared_train_ngrams > 0
+    assert not rows[heldout_clean].leaked
+    assert rows[heldout_clean].n_shared_train_ngrams == 0
