@@ -148,6 +148,34 @@ def multivariate_anomaly(
     """
     from pyspark.sql import Window
 
+    feats = mv_daily_features(df, ts_col, type_col, value_col)
+    stats = mv_suffstats(feats)
+    scored = mv_score(feats, stats)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("mahalanobis").desc_nulls_last(), F.col("day")
+    )
+    limit = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.lit(contamination) * F.col("__nd").cast("double")),
+    )
+    return (
+        scored.withColumn("md_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "is_anomaly",
+            F.col("mahalanobis").isNotNull() & (F.col("md_rank") <= limit),
+        )
+        .drop("__nd")
+    )
+
+
+def mv_daily_features(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(event_type, day) feature vectors from exact integer sums: volume,
+    6dp mean value (via micros), 6dp mean hour-of-day."""
     mic = F.floor(F.col(value_col) * F.lit(1000000.0) + F.lit(0.5)).cast(
         "long"
     )
@@ -160,7 +188,7 @@ def multivariate_anomaly(
         F.sum(F.hour(F.col(ts_col)).cast("long")).alias("__hs"),
     )
     ndub = F.col("event_count").cast("double")
-    feats = daily.select(
+    return daily.select(
         "event_type",
         "day",
         "event_count",
@@ -168,10 +196,16 @@ def multivariate_anomaly(
         .alias("avg_value"),
         F.round(F.col("__hs").cast("double") / ndub, 6).alias("avg_hour"),
     )
+
+
+def mv_suffstats(feats: DataFrame) -> DataFrame:
+    """Per-stream exact-decimal sufficient statistics of the daily feature
+    vectors — the O(streams)-row trained model state the scorer broadcasts
+    (the streaming twin reuses it as its batch-trained baseline)."""
     x1 = F.col("event_count").cast("double")
     x2 = F.col("avg_value")
     x3 = F.col("avg_hour")
-    stats = feats.groupBy("event_type").agg(
+    return feats.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("__nd"),
         F.sum(x1.cast(MV_DEC)).alias("__s1"),
         F.sum(x2.cast(MV_DEC)).alias("__s2"),
@@ -183,6 +217,18 @@ def multivariate_anomaly(
         F.sum((x2 * x3).cast(MV_DEC)).alias("__s23"),
         F.sum((x3 * x3).cast(MV_DEC)).alias("__s33"),
     )
+
+
+def mv_score(
+    feats: DataFrame, stats: DataFrame, how: str = "inner"
+) -> DataFrame:
+    """Mahalanobis distance of each feature row against its stream's model
+    (broadcast join; 3x3 adjugate inverse, one division). Keeps ``__nd``
+    for downstream contamination limits (NULL when ``how='left'`` and the
+    stream has no model — the streaming monitor flags those). Works
+    identically on batch day-grain features and the streaming aggregate's
+    closing windows — drain-equality is asserted through this exact
+    function."""
     nd = F.col("__nd").cast("double")
     m1 = F.col("__s1").cast("double") / nd
     m2 = F.col("__s2").cast("double") / nd
@@ -198,6 +244,9 @@ def multivariate_anomaly(
         - c12 * (c12 * c33 - c13 * c23)
         + c13 * (c12 * c23 - c13 * c22)
     )
+    x1 = F.col("event_count").cast("double")
+    x2 = F.col("avg_value")
+    x3 = F.col("avg_hour")
     d1 = x1 - m1
     d2 = x2 - m2
     d3 = x3 - m3
@@ -210,12 +259,10 @@ def multivariate_anomaly(
         + F.lit(2.0) * d2 * d3 * (c12 * c13 - c11 * c23)
     ) / det
     md2 = F.when((F.col("__nd") > 3) & (F.abs(det) > 1e-9), quad)
-    scored = feats.join(F.broadcast(stats), "event_type").select(
+    passthrough = [c for c in feats.columns if c != "event_type"]
+    return feats.join(F.broadcast(stats), "event_type", how).select(
         "event_type",
-        "day",
-        "event_count",
-        "avg_value",
-        "avg_hour",
+        *passthrough,
         # greatest() skips nulls in both engines, so gate the NULL case
         # explicitly: singular covariance means NO distance, not 0.
         F.when(
@@ -223,19 +270,4 @@ def multivariate_anomaly(
             F.round(F.sqrt(F.greatest(md2, F.lit(0.0))), 6),
         ).alias("mahalanobis"),
         F.col("__nd").alias("__nd"),
-    )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("mahalanobis").desc_nulls_last(), F.col("day")
-    )
-    limit = F.greatest(
-        F.lit(1).cast("long"),
-        F.floor(F.lit(contamination) * F.col("__nd").cast("double")),
-    )
-    return (
-        scored.withColumn("md_rank", F.row_number().over(w).cast("long"))
-        .withColumn(
-            "is_anomaly",
-            F.col("mahalanobis").isNotNull() & (F.col("md_rank") <= limit),
-        )
-        .drop("__nd")
     )

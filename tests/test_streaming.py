@@ -463,3 +463,56 @@ def test_anomaly_scoring_flags_unknown_types_and_flat_baselines(spark):
     assert rows[("flat", 9)] == (None, False)
     z, fired = rows[("known", 10)]
     assert z == 0.0 and not fired
+
+
+def test_streaming_multivariate_matches_batch_twin(spark, sf_dir, tmp_path):
+    from snowflake_to_bq_pipeline_spark.streaming import anomaly, incremental
+
+    events = load_table(spark, sf_dir, "events")
+    model = anomaly.multivariate_model(events)
+
+    src = str(tmp_path / "mv_in")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+    stream = incremental.read_events_stream(spark, src)
+    out = anomaly.multivariate_anomaly_stream(stream, model)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mv_out")
+        .option("checkpointLocation", str(tmp_path / "mv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM mv_out").collect()}
+    want = {
+        tuple(r)
+        for r in anomaly.multivariate_anomaly_batch(events, model).collect()
+    }
+    # Append mode emits only watermark-closed day windows; emitted rows
+    # carry identical features, distances, and verdicts as the batch twin.
+    assert got <= want
+    assert len(got) > 0.5 * len(want), (len(got), len(want))
+    # the trained cutoff reproduces the batch operator's decision boundary
+    # on the training corpus: every batch-flagged day that closed is
+    # flagged by the stream (it IS the same function — sanity check > 0)
+    assert sum(1 for r in want if r[-1]) > 0
+
+
+def test_multivariate_scoring_flags_unknown_stream(spark, sf_dir):
+    from snowflake_to_bq_pipeline_spark.operators.anomaly import (
+        mv_daily_features,
+    )
+    from snowflake_to_bq_pipeline_spark.streaming import anomaly
+
+    events = load_table(spark, sf_dir, "events")
+    model = anomaly.multivariate_model(events)
+    novel = events.withColumn("event_type", F.lit("brand_new_stream"))
+    rows = anomaly.score_daily_features(
+        mv_daily_features(novel), model
+    ).collect()
+    assert rows
+    assert all(r.mahalanobis is None for r in rows)
+    assert all(r.is_anomaly for r in rows)
