@@ -5,11 +5,14 @@ or driver-side blowups that the fixed-sf bench can never see.
 The ~sf1 corpus is built from the driver's own sf0.1 tables — each
 replica shifts every key column by i*KEY_OFFSET so joins stay consistent
 (region/nation are shared dimensions and are copied once; their keys are
-referenced unshifted). The smoke set deliberately contains only queries
-whose OUTPUT is linear in the input (aggregates, joins, windows,
-row-local scoring) — replicating a corpus multiplies near-dup pair
-counts quadratically by construction, which would test the data, not the
-engine.
+referenced unshifted). Naive replication would multiply near-dup PAIR
+counts quadratically (every doc gains replicas-1 identical twins), which
+tests the data, not the engine — so each documents replica suffixes
+every word with its replica index: replicas become lexically independent
+corpora, the within-replica dup structure is preserved, and the dedup /
+inverted-index family's output scales linearly too. The smoke set then
+covers both shapes: shuffle/join/window aggregates AND the
+shingle-join dedup stack.
 
 Usage: python tools/scale_smoke.py [--replicas 10] [--out SCALE_SMOKE.json]
 Writes a JSON report {query: {small_s, big_s, ratio}, ...} and exits
@@ -66,6 +69,12 @@ SMOKE_QUERIES = [
     "repetition_filter",
     "charlm_perplexity",
     "sequence_packing",
+    # dedup / inverted-index family (linear by the word-suffix construction)
+    "dedup_exact",
+    "ngram_jaccard_dups",
+    "dedup_clusters",
+    "tfidf_doc_similarity",
+    "decontamination_overlap",
 ]
 LINEAR_RATIO_CEILING = 3.0  # x replicas (see report: ratio_per_replica)
 
@@ -82,6 +91,19 @@ def build_big(spark, small_dir: str, big_dir: str, replicas: int) -> None:
             rep = df
             for k in keys:
                 rep = rep.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
+            if t == "documents" and i > 0:
+                # word-suffix the replica so it shares no n-grams/terms
+                # with any other replica (dup output stays linear)
+                rep = rep.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda w: F.concat(w, F.lit(str(i))),
+                        ),
+                        " ",
+                    ),
+                )
             parts.append(rep)
         out = parts[0]
         for rep in parts[1:]:
@@ -90,6 +112,12 @@ def build_big(spark, small_dir: str, big_dir: str, replicas: int) -> None:
 
 
 def time_query(name: str, spark, sf_dir: str) -> float:
+    # Drop cross-query memos (pair tables, models) so every timed run pays
+    # its full build — a memo hit on one side would fake a superlinear (or
+    # sublinear) ratio.
+    from snowflake_to_bq_pipeline_spark.registry import clear_model_caches
+
+    clear_model_caches()
     t0 = time.perf_counter()
     QUERIES[name](spark, sf_dir).write.format("noop").mode(
         "overwrite"
