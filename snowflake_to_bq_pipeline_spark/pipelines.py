@@ -85,7 +85,15 @@ def build_training_corpus(
     )
     stats["after_mix_sample"] = docs.count()
 
-    # 5. Token-balanced shards → one parquet file per shard.
+    # 5. Split-leakage QA: fuzzy dedup at tau should have removed
+    # cross-split near-dups; report residual exact-5-gram leakage across
+    # the deterministic train/val/test boundary (the number an eval-set
+    # owner watches — nonzero means step 3's tau is too loose).
+    leak = curation.cross_split_contamination(docs)
+    stats["heldout_docs"] = leak.count()
+    stats["heldout_leaked"] = leak.filter(F.col("leaked")).count()
+
+    # 6. Token-balanced shards → one parquet file per shard.
     n_tokens = F.array_size(F.split(F.col("text"), " "))
     assigned = curation.shard_assignment(docs, n_tokens, n_shards=n_shards)
     out = docs.join(assigned.select("doc_id", "shard_id"), "doc_id")

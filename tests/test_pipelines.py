@@ -30,6 +30,11 @@ def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
     assert vals == sorted(vals, reverse=True), stats
     assert stats["written"] == stats["after_mix_sample"]
     assert stats["written"] > 0
+    # split-leakage QA stage: held-out slice exists and is bounded by the
+    # curated corpus; after exact+fuzzy dedup residual leakage is a small
+    # fraction of the held-out docs
+    assert 0 < stats["heldout_docs"] < stats["after_mix_sample"]
+    assert stats["heldout_leaked"] <= stats["heldout_docs"]
 
     # Physical layout: one file per (non-empty) shard.
     shard_dirs = glob.glob(out + "/shard_id=*")
