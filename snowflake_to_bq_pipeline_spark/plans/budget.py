@@ -144,14 +144,20 @@ def _time_entry_summary(lineitem: DataFrame) -> DataFrame:
     Plays the v5 view's IndividualTimeEntrySummary role (L11-37);
     ``l_tax > 0`` stands in for IS_BILLABLE.
     """
-    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    net_mic = money_micros(
+        net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    )
     return (
         lineitem.filter(F.col("l_returnflag") == "N")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
-            money(F.sum(net)).alias("ind_actual_amount"),
-            money(
-                F.sum(F.when(F.col("l_tax") > 0, net).otherwise(F.lit(0).cast(DEC)))
+            money_from_micros_sum(F.sum(net_mic)).alias("ind_actual_amount"),
+            money_from_micros_sum(
+                F.sum(
+                    F.when(F.col("l_tax") > 0, net_mic).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                )
             ).alias("ind_billable_amount"),
             money(F.sum("l_quantity")).alias("ind_actual_qty"),
             F.count(F.lit(1)).alias("time_entry_count"),

@@ -24,17 +24,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import DEC, dec, money, net_price
+from ..functions import (
+    dec,
+    money,
+    money_from_micros_sum,
+    money_micros,
+    net_price,
+)
 
 SESSION_GAP_MIN = 30
 
 
 def client_budget_rollup(orders: DataFrame, lineitem: DataFrame, customer: DataFrame) -> DataFrame:
     """Per-client budget/actual totals (dashboard top-clients table)."""
+    # Long-micros money sums (functions.money_micros): bit-identical to the
+    # decimal path (same per-row 6dp rounding) with long-add aggregation.
     li = lineitem.groupBy("l_orderkey").agg(
-        F.sum(net_price(F.col("l_extendedprice"), F.col("l_discount"))).alias(
-            "__actual_dec"
-        )
+        F.sum(
+            money_micros(
+                net_price(F.col("l_extendedprice"), F.col("l_discount"))
+            )
+        ).alias("__actual_mic")
     )
     joined = orders.join(li, orders.o_orderkey == li.l_orderkey, "left").join(
         F.broadcast(customer.select("c_custkey", "c_name")),
@@ -42,10 +52,12 @@ def client_budget_rollup(orders: DataFrame, lineitem: DataFrame, customer: DataF
     )
     return joined.groupBy(F.col("c_custkey").alias("client_key"), F.col("c_name").alias("client_name")).agg(
         F.count(F.lit(1)).alias("order_count"),
-        money(F.sum(dec(F.col("o_totalprice")))).alias("total_budgeted"),
-        money(F.sum(F.coalesce(F.col("__actual_dec"), F.lit(0).cast(DEC)))).alias(
-            "total_actual"
-        ),
+        money_from_micros_sum(
+            F.sum(money_micros(F.col("o_totalprice")))
+        ).alias("total_budgeted"),
+        money_from_micros_sum(
+            F.sum(F.coalesce(F.col("__actual_mic"), F.lit(0).cast("long")))
+        ).alias("total_actual"),
     )
 
 
@@ -67,16 +79,25 @@ def contributor_utilization_rollup(
     dim joins; countDistinct(l_orderkey) is exact-distinct per contributor
     (orders-per-contributor is unbounded at scale, so no collect_set).
     """
-    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    # Long-micros money sums (functions.money_micros): bit-identical to the
+    # decimal path (same per-row 6dp rounding), ~40% faster on this
+    # multi-aggregate groupBy (the flagship's round-4 lesson).
+    net_mic = money_micros(
+        net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    )
     is_alloc = F.col("l_returnflag").isin("A", "R")
     is_time = F.col("l_returnflag") == "N"
     per = lineitem.groupBy(F.col("l_suppkey").alias("contributor_key")).agg(
         F.countDistinct("l_orderkey").alias("orders_contributed"),
-        money(F.sum(F.when(is_alloc, net))).alias("__alloc_n"),
-        money(F.sum(F.when(is_time, net))).alias("__actual_n"),
-        money(F.sum(F.when(is_time & (F.col("l_tax") > 0), net))).alias(
-            "__billable_n"
+        money_from_micros_sum(F.sum(F.when(is_alloc, net_mic))).alias(
+            "__alloc_n"
         ),
+        money_from_micros_sum(F.sum(F.when(is_time, net_mic))).alias(
+            "__actual_n"
+        ),
+        money_from_micros_sum(
+            F.sum(F.when(is_time & (F.col("l_tax") > 0), net_mic))
+        ).alias("__billable_n"),
         F.count(F.when(is_alloc, F.lit(1))).alias("allocation_count"),
         F.count(F.when(is_time, F.lit(1))).alias("time_entry_count"),
         F.min(F.when(is_time, F.col("l_shipdate"))).alias("first_entry_date"),
@@ -123,11 +144,13 @@ def view_variance_detection(lineitem: DataFrame) -> DataFrame:
     View A: all entry lines. View B: only lines a narrower view would keep
     (here: 'N'-flagged lines, mirroring a view that filters by status).
     """
-    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    net_mic = money_micros(
+        net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    )
     per = lineitem.groupBy(F.col("l_suppkey").alias("contributor_key")).agg(
-        money(F.sum(net)).alias("view_a_total"),
-        money(
-            F.sum(F.when(F.col("l_returnflag") == "N", net))
+        money_from_micros_sum(F.sum(net_mic)).alias("view_a_total"),
+        money_from_micros_sum(
+            F.sum(F.when(F.col("l_returnflag") == "N", net_mic))
         ).alias("view_b_total_n"),
         F.count(F.lit(1)).alias("view_a_entries"),
         F.count(F.when(F.col("l_returnflag") == "N", F.lit(1))).alias(

@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import DEC, dec, money, month_bucket_sum, net_price
+from ..functions import (
+    dec,
+    money,
+    money_from_micros_sum,
+    money_micros,
+    month_bucket_sum,
+    net_price,
+)
 
 
 def work_item_enriched(
@@ -67,12 +74,15 @@ def utilization_rollup(
     """Budget vs actual rolled up to (region, nation).
 
     The fact-fact aggregate (lineitem per order) happens before any
-    dimension join; decimal sums keep the two-level aggregation exact.
+    dimension join; long-micros sums (bit-identical to the decimal path,
+    functions.money_micros) keep the two-level aggregation exact.
     """
     li = lineitem.groupBy("l_orderkey").agg(
-        F.sum(net_price(F.col("l_extendedprice"), F.col("l_discount"))).alias(
-            "__actual_dec"
-        )
+        F.sum(
+            money_micros(
+                net_price(F.col("l_extendedprice"), F.col("l_discount"))
+            )
+        ).alias("__actual_mic")
     )
     dims = (
         customer.join(
@@ -89,9 +99,11 @@ def utilization_rollup(
         F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
     ).agg(
         F.count(F.lit(1)).alias("order_count"),
-        money(F.sum(dec(F.col("o_totalprice")))).alias("budget_total"),
-        money(
-            F.sum(F.coalesce(F.col("__actual_dec"), F.lit(0).cast(DEC)))
+        money_from_micros_sum(
+            F.sum(money_micros(F.col("o_totalprice")))
+        ).alias("budget_total"),
+        money_from_micros_sum(
+            F.sum(F.coalesce(F.col("__actual_mic"), F.lit(0).cast("long")))
         ).alias("actual_total"),
     )
     return grouped.select(

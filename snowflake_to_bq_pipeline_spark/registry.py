@@ -5072,10 +5072,13 @@ _WINDOW_ORDER = [
     "contributor_utilization_rollup",
     "client_budget_rollup",
     "asof_join_last_purchase",
+    "view_variance_detection",
+    "utilization_rollup",
+    "budget_fallback_allocation",
+    # -- past the window: r3/r4-checked stable passers ----------------
     "bloom_filtered_entries",
     "decontamination_overlap",
     "embedding_doc_dedup",
-    # -- past the window: r3/r4-checked stable passers ----------------
     "monthly_hours_pivot",
     "gopher_quality_rules",
     "embedding_outlier_topk",
@@ -5100,7 +5103,6 @@ _WINDOW_ORDER = [
     "json_props_profile",
     "robust_value_stats",
     "stale_snapshot_audit",
-    "budget_fallback_allocation",
     "open_orders_by_day",
     "mad_outlier_profile",
     "customer_revenue_deciles",
@@ -5148,8 +5150,6 @@ _WINDOW_ORDER = [
     "sales_rollup_sets",
     "source_mix_weights",
     "stratified_sample_mix",
-    "utilization_rollup",
-    "view_variance_detection",
     "work_item_enriched",
     # -- rows-only ops (no oracle possible, must never hold a slot) ---
     "bpe_merge_table",
@@ -5179,6 +5179,11 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 #: driver hash verdict, so each must sit inside the 50-slot window.  Update
 #: this set whenever a round touches a query's plan or oracle.
 _WINDOW_CRITICAL = {
+    "utilization_rollup",
+    "budget_fallback_allocation",
+    "contributor_utilization_rollup",
+    "client_budget_rollup",
+    "view_variance_detection",
     "cross_split_contamination",
     "multivariate_anomaly",
     "alert_digest",
