@@ -125,3 +125,59 @@ def test_snapshot_diff_changelog_replays_to_new(spark, rows):
     for r in log:
         if r["change_op"] == "UPDATE":
             assert old_rows[r["k"]] != new_rows[r["k"]]
+
+
+def test_multivariate_anomaly_partitioning_invariant(spark, sf_dir):
+    """The exact-decimal sufficient statistics make the distance (and the
+    flag set) a pure function of the data — any repartitioning of the
+    input must produce identical rows."""
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.operators import anomaly
+
+    events = load_table(spark, sf_dir, "events")
+    a = sorted(map(tuple, anomaly.multivariate_anomaly(events).collect()))
+    b = sorted(
+        map(
+            tuple,
+            anomaly.multivariate_anomaly(events.repartition(13)).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_alert_digest_partitioning_invariant(spark, sf_dir):
+    """Worst-offender and top-action picks ride deterministic tie-breaks,
+    so the digest must not depend on partitioning."""
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.operators import alerts
+
+    ev = load_table(spark, sf_dir, "events")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = sorted(map(tuple, alerts.alert_digest(ev, od, li).collect()))
+    b = sorted(
+        map(
+            tuple,
+            alerts.alert_digest(
+                ev.repartition(17), od.repartition(5), li.repartition(7)
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_cross_split_contamination_partitioning_invariant(spark, sf_dir):
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        map(tuple, curation.cross_split_contamination(docs).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            curation.cross_split_contamination(docs.repartition(11)).collect(),
+        )
+    )
+    assert a == b
