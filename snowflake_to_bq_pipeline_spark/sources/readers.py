@@ -4,9 +4,10 @@ The reference extracts from Snowflake over its Python connector and loads
 BigQuery via its client library (e.g. client_dimension_pipeline/
 client_dimension_sync_full/main.py). Spark-native equivalents:
 
-- Columnar lake formats (parquet/csv/json) — the primary path at 100 TB;
-  warehouse data lands in object storage and is read directly with
-  predicate pushdown and partition pruning.
+- Columnar lake formats (parquet/orc/csv/json, avro when the module is
+  deployed) — the primary path at 100 TB; warehouse data lands in object
+  storage and is read directly with predicate pushdown and partition
+  pruning.
 - Generic JDBC — the direct-connection path; works with any warehouse
   exposing a JDBC driver (Snowflake/BigQuery both do). Partitioned reads
   parallelize the extract across executors exactly where the reference
@@ -30,6 +31,38 @@ def read_parquet(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC read — same pushdown/pruning properties as parquet (columnar
+    footer stats); the common interchange format out of Hive-era lakes."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Avro read (row-major interchange, the common Kafka/connect landing
+    format). The ``avro`` data source is an external Spark module; when
+    the jar is not deployed this raises a clear error instead of failing
+    deep in the JVM (same contract as ``read_jdbc``)."""
+    reader = spark.read.format("avro")
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        return reader.load(path)
+    except Exception as e:
+        if "Failed to find data source: avro" in str(e):
+            raise RuntimeError(
+                "Avro source requires the spark-avro module on the "
+                "classpath (--packages org.apache.spark:spark-avro_*)"
+            ) from e
+        raise
 
 
 def read_csv(
