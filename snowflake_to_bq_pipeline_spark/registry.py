@@ -3020,6 +3020,143 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.dup_clusters(_jaccard_pairs_for(spark, sf_dir))
 
 
+@query(
+    "dedup_savings_report",
+    oracle=f"""
+    WITH RECURSIVE h AS (
+      SELECT doc_id, md5(text) AS ch,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents
+    ),
+    g AS (SELECT ch, MIN(doc_id) AS cid FROM h GROUP BY ch),
+    hd AS (
+      SELECT h.doc_id, h.toks, h.doc_id != g.cid AS is_dup
+      FROM h JOIN g ON h.ch = g.ch
+    ),
+    surv AS (SELECT doc_id, toks FROM hd WHERE NOT is_dup),
+    {_SHINGLE_SQL},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS intersection_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(intersection_size AS DOUBLE)
+            / (sa.sz + sb.sz - intersection_size) >= {_JACCARD_TAU}
+    ),
+    spairs AS (
+      SELECT doc_a, doc_b FROM pairs
+      JOIN surv sa ON doc_a = sa.doc_id
+      JOIN surv sb ON doc_b = sb.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM spairs
+      UNION
+      SELECT doc_b, doc_a FROM spairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    lab AS (SELECT node AS doc_id, MIN(r) AS canonical
+            FROM reach GROUP BY node),
+    fz AS (
+      SELECT COUNT(*) AS fuzzy_dup_docs,
+             COALESCE(CAST(SUM(s.toks) AS BIGINT), 0) AS fuzzy_dup_tokens
+      FROM lab l JOIN surv s USING (doc_id) WHERE l.doc_id != l.canonical
+    ),
+    ex AS (
+      SELECT COUNT(*) AS n_docs,
+             COUNT(CASE WHEN is_dup THEN 1 END) AS exact_dup_docs,
+             CAST(SUM(toks) AS BIGINT) AS tokens_total,
+             COALESCE(CAST(SUM(CASE WHEN is_dup THEN toks END) AS BIGINT), 0)
+               AS exact_dup_tokens
+      FROM hd
+    )
+    SELECT ex.n_docs, ex.exact_dup_docs, fz.fuzzy_dup_docs,
+           ex.exact_dup_docs + fz.fuzzy_dup_docs AS docs_removable,
+           ex.tokens_total, ex.exact_dup_tokens, fz.fuzzy_dup_tokens,
+           ROUND(CAST(ex.exact_dup_docs + fz.fuzzy_dup_docs AS DOUBLE)
+                 / CAST(ex.n_docs AS DOUBLE), 6) AS removable_doc_frac,
+           ROUND(CAST(ex.exact_dup_tokens + fz.fuzzy_dup_tokens AS DOUBLE)
+                 / CAST(ex.tokens_total AS DOUBLE), 6)
+             AS removable_token_frac
+    FROM ex CROSS JOIN fz
+    """,
+)
+def dedup_savings_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus-dedup ROI report: documents and whitespace tokens
+    removable by exact dedup (min-doc-per-content-hash) plus fuzzy dedup
+    (non-canonical Jaccard-cluster members among the exact survivors —
+    the same two stages, in the same order, as the composed training
+    pipeline). The number a corpus owner checks before paying for a
+    dedup pass; consumes the memoized pair table, so it adds one tiny
+    rollup to work the dedup queries already did."""
+    from .operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_size(F.split(F.col("text"), " ")).cast("long")
+    base = docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("ch"),
+        toks.alias("toks"),
+    )
+    g = base.groupBy("ch").agg(F.min("doc_id").alias("cid"))
+    hd = base.join(g, "ch").withColumn(
+        "is_dup", F.col("doc_id") != F.col("cid")
+    )
+    ex = hd.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("is_dup"), F.lit(1))).alias("exact_dup_docs"),
+        F.sum("toks").alias("tokens_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_dup"), F.col("toks"))),
+            F.lit(0).cast("long"),
+        ).alias("exact_dup_tokens"),
+    )
+    surv = hd.filter(~F.col("is_dup")).select("doc_id", "toks")
+    pairs = _jaccard_pairs_for(spark, sf_dir).select("doc_a", "doc_b")
+    spairs = pairs.join(
+        surv.select(F.col("doc_id").alias("doc_a")), "doc_a"
+    ).join(surv.select(F.col("doc_id").alias("doc_b")), "doc_b")
+    labels = graph.dup_clusters(spairs)
+    fz = (
+        labels.filter(~F.col("is_canonical"))
+        .join(surv, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("fuzzy_dup_docs"),
+            F.coalesce(F.sum("toks"), F.lit(0).cast("long")).alias(
+                "fuzzy_dup_tokens"
+            ),
+        )
+    )
+    removable = F.col("exact_dup_docs") + F.col("fuzzy_dup_docs")
+    tok_removable = F.col("exact_dup_tokens") + F.col("fuzzy_dup_tokens")
+    return ex.crossJoin(F.broadcast(fz)).select(
+        "n_docs",
+        "exact_dup_docs",
+        "fuzzy_dup_docs",
+        removable.alias("docs_removable"),
+        "tokens_total",
+        "exact_dup_tokens",
+        "fuzzy_dup_tokens",
+        F.round(
+            removable.cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("removable_doc_frac"),
+        F.round(
+            tok_removable.cast("double")
+            / F.col("tokens_total").cast("double"),
+            6,
+        ).alias("removable_token_frac"),
+    )
+
+
 from .operators import curation  # noqa: E402
 
 # The synthetic corpus contains no identifier-shaped strings, so the PII
@@ -5024,6 +5161,7 @@ _WINDOW_ORDER = [
     # new this round (never driver-checked)
     "multivariate_anomaly",
     "cross_split_contamination",
+    "dedup_savings_report",
     "alert_digest",
     # engine code changed this round / changed post-window in r4
     "tfidf_doc_similarity",
@@ -5071,11 +5209,11 @@ _WINDOW_ORDER = [
     "dedup_clusters",
     "contributor_utilization_rollup",
     "client_budget_rollup",
-    "asof_join_last_purchase",
     "view_variance_detection",
     "utilization_rollup",
     "budget_fallback_allocation",
     # -- past the window: r3/r4-checked stable passers ----------------
+    "asof_join_last_purchase",
     "bloom_filtered_entries",
     "decontamination_overlap",
     "embedding_doc_dedup",
@@ -5179,6 +5317,7 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 #: driver hash verdict, so each must sit inside the 50-slot window.  Update
 #: this set whenever a round touches a query's plan or oracle.
 _WINDOW_CRITICAL = {
+    "dedup_savings_report",
     "utilization_rollup",
     "budget_fallback_allocation",
     "contributor_utilization_rollup",
