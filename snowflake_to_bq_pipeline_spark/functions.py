@@ -48,11 +48,18 @@ def money_micros(col: Column) -> Column:
     5-sum aggregate) because the aggregation buffer is a primitive.
 
     FINE-GRAIN GROUPS ONLY: a group's sum must stay below ~9.2e12
-    currency units (long max in micros). Per-(order, contributor) and
-    per-order aggregates are bounded by a single order's line count, so
-    they are safe at any corpus scale; coarse rollups (client / nation /
-    region / global) must keep DECIMAL sums — see the callers in
-    plans/budget.py vs plans/dashboard.py.
+    currency units (long max in micros). "Fine-grain" means the group
+    COUNT scales with corpus size so per-group row counts stay bounded:
+    per-order and per-(order, contributor) groups are bounded by one
+    order's line count, per-client groups by one client's order count,
+    per-contributor groups by one contributor's entry count — all safe at
+    any corpus scale because entities multiply while per-entity volume
+    does not (see plans/budget.py, plans/dashboard.py). COARSE grains —
+    a FIXED number of groups regardless of corpus size (nation / region /
+    global / pure date buckets) — must NOT single-level long-sum: use the
+    salted two-phase pattern (long partials per (key, pmod(id, 4096))
+    bucket, then decimal(38,0)-sum the ≤groups*4096 partials — see
+    plans/enrichment.py utilization_rollup), or plain DECIMAL sums.
     """
     return (col.cast(DEC) * F.lit(MICROS)).cast("long")
 
@@ -61,8 +68,10 @@ def money_from_micros_sum(sum_col: Column, scale: int = 2) -> Column:
     """Finalize a long-micros money sum; bit-identical to
     ``money(sum(decimal))``: the micros→units division happens in exact
     decimal (one division per GROUP, not per row), then the same
-    round-to-scale + double cast as :func:`money`."""
-    exact = sum_col.cast("decimal(24,0)") / F.lit(MICROS)
+    round-to-scale + double cast as :func:`money`. Accepts long sums
+    (fine-grain callers) or decimal(38,0) sums (the salted two-phase
+    coarse pattern); the wide intermediate keeps both exact."""
+    exact = sum_col.cast("decimal(38,0)") / F.lit(MICROS)
     return money(exact, scale)
 
 

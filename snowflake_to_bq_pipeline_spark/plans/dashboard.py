@@ -39,6 +39,11 @@ def client_budget_rollup(orders: DataFrame, lineitem: DataFrame, customer: DataF
     """Per-client budget/actual totals (dashboard top-clients table)."""
     # Long-micros money sums (functions.money_micros): bit-identical to the
     # decimal path (same per-row 6dp rounding) with long-add aggregation.
+    # Grain audit: per-client is FINE-grain — client count scales with the
+    # corpus while orders-per-client stays bounded (TPC-H-shape: ~10-40
+    # orders/customer at every sf), so a client's micros sum never nears
+    # 2^63. Only fixed-group-count grains (nation/region/global) need the
+    # salted two-phase sum (see plans/enrichment.py utilization_rollup).
     li = lineitem.groupBy("l_orderkey").agg(
         F.sum(
             money_micros(
@@ -81,7 +86,10 @@ def contributor_utilization_rollup(
     """
     # Long-micros money sums (functions.money_micros): bit-identical to the
     # decimal path (same per-row 6dp rounding), ~40% faster on this
-    # multi-aggregate groupBy (the flagship's round-4 lesson).
+    # multi-aggregate groupBy (the flagship's round-4 lesson). Grain
+    # audit: per-contributor is FINE-grain — contributor count scales
+    # with the corpus, entries-per-contributor stays bounded (~600 lines
+    # per supplier at every sf), so the long micros sum cannot overflow.
     net_mic = money_micros(
         net_price(F.col("l_extendedprice"), F.col("l_discount"))
     )

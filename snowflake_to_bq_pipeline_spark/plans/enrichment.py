@@ -74,8 +74,16 @@ def utilization_rollup(
     """Budget vs actual rolled up to (region, nation).
 
     The fact-fact aggregate (lineitem per order) happens before any
-    dimension join; long-micros sums (bit-identical to the decimal path,
-    functions.money_micros) keep the two-level aggregation exact.
+    dimension join. Money sums are long micros (bit-identical to the
+    decimal path, functions.money_micros) — but (region, nation) is a
+    COARSE grain (25 groups regardless of corpus size), so a single-level
+    long sum would silently wrap around sf1000. The rollup therefore sums
+    in two phases: long partials per (nation, pmod(o_orderkey, 4096))
+    salt bucket — each bucket holds ~1/4096 of a nation's orders, keeping
+    the long below ~2^63 up to ~exabyte scale — then an exact
+    decimal(38,0) sum over the ≤25*4096 partial rows. The second
+    aggregate is O(groups*salts), effectively free, and the hot per-row
+    path stays a primitive long add.
     """
     li = lineitem.groupBy("l_orderkey").agg(
         F.sum(
@@ -95,15 +103,24 @@ def utilization_rollup(
         orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
         .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
     )
-    grouped = joined.groupBy(
+    partial = joined.groupBy(
+        "r_name", "n_name", F.pmod(F.col("o_orderkey"), F.lit(4096)).alias("__salt")
+    ).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(money_micros(F.col("o_totalprice"))).alias("__bud_mic"),
+        F.sum(
+            F.coalesce(F.col("__actual_mic"), F.lit(0).cast("long"))
+        ).alias("__act_mic"),
+    )
+    grouped = partial.groupBy(
         F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
     ).agg(
-        F.count(F.lit(1)).alias("order_count"),
+        F.sum("__cnt").alias("order_count"),
         money_from_micros_sum(
-            F.sum(money_micros(F.col("o_totalprice")))
+            F.sum(F.col("__bud_mic").cast("decimal(38,0)"))
         ).alias("budget_total"),
         money_from_micros_sum(
-            F.sum(F.coalesce(F.col("__actual_mic"), F.lit(0).cast("long")))
+            F.sum(F.col("__act_mic").cast("decimal(38,0)"))
         ).alias("actual_total"),
     )
     return grouped.select(

@@ -57,6 +57,38 @@ def test_money_decimal_roundtrip(spark):
     assert all(isinstance(r.m, float) for r in out)
 
 
+def test_coarse_rollup_micros_sum_survives_long_overflow(spark):
+    """Regression: utilization_rollup's coarse (region, nation) grain must
+    not wrap when the nation-level micros sum exceeds 2^63. 12 orders of
+    9e11 currency units sum to 1.08e19 micros — past long max — so a
+    single-level long sum would silently go negative; the salted
+    two-phase sum (long partials per pmod(o_orderkey, 4096) bucket, then
+    decimal(38,0) final) must return the exact total."""
+    from snowflake_to_bq_pipeline_spark.plans.enrichment import utilization_rollup
+
+    n_orders = 12
+    per_order = 9e11  # currency units; 9e17 micros per row fits a long
+    orders = spark.createDataFrame(
+        [(i, 1, per_order) for i in range(n_orders)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [(i, per_order, 0.0) for i in range(n_orders)],
+        "l_orderkey long, l_extendedprice double, l_discount double",
+    )
+    customer = spark.createDataFrame([(1, 7)], "c_custkey long, c_nationkey long")
+    nation = spark.createDataFrame(
+        [(7, "N7", 3)], "n_nationkey long, n_name string, n_regionkey long"
+    )
+    region = spark.createDataFrame([(3, "R3")], "r_regionkey long, r_name string")
+    row = utilization_rollup(orders, lineitem, customer, nation, region).collect()[0]
+    expect = float(n_orders) * per_order
+    assert row.order_count == n_orders
+    assert row.budget_total == expect, row.budget_total
+    assert row.actual_total == expect, row.actual_total
+    assert row.budget_total > 0  # the wrapped long path goes negative
+
+
 def test_sql_surface_via_registered_views(spark, sf_dir):
     catalog.register_views(spark, sf_dir)
     out = spark.sql(
