@@ -675,11 +675,14 @@ def _cluster_blocked_pairs(
     sub-blocks, every (bi ≤ bj) sub-block pair is one cell, and a cell task
     scores at most ~max_cell_rows² cosines regardless of cluster sizes.
 
-    Cluster sizes drive the grid and are an O(n_clusters) driver collect —
-    the same bounded-model state as the centroid table itself (the quadratic
-    WORK within a giant cluster is inherent to SemDeDup; what this bounds is
-    per-task memory, and adding executors now shrinks wall-clock instead of
-    deepening one task's OOM).
+    Driver state stays strictly O(n_clusters): only the per-cluster size
+    table is collected (the same bounded-model state as the centroid table
+    itself). The (cent_id, bi, bj) grid — O(Σ nsub²) rows, ~50M for one
+    skewed 40M-row cluster — is generated DISTRIBUTED by exploding index
+    sequences over the tiny nsub table, never materialized on the driver
+    (the quadratic WORK within a giant cluster is inherent to SemDeDup;
+    what this bounds is per-task AND driver memory, so adding executors
+    shrinks wall-clock instead of deepening one process's OOM).
     """
     spark = assigned.sparkSession
     sizes = {
@@ -688,13 +691,9 @@ def _cluster_blocked_pairs(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    grid_rows, nsub_rows = [], []
-    for cid in sorted(sizes):
-        nsub = max(1, -(-sizes[cid] // max_cell_rows))
-        nsub_rows.append((cid, nsub))
-        grid_rows.extend(
-            (cid, i, j) for i in range(nsub) for j in range(i, nsub)
-        )
+    nsub_rows = [
+        (cid, max(1, -(-sizes[cid] // max_cell_rows))) for cid in sorted(sizes)
+    ]
 
     if all(nsub == 1 for _cid, nsub in nsub_rows):
         # Every cluster fits one cell, so the one-group-per-cluster plan
@@ -714,8 +713,26 @@ def _cluster_blocked_pairs(
             )
         )
 
-    grid = spark.createDataFrame(grid_rows, "cent_id long, bi int, bj int")
     nsub_df = spark.createDataFrame(nsub_rows, "cent_id long, nsub int")
+    # O(Σ nsub²) grid rows, generated executor-side from the O(n_clusters)
+    # nsub table: explode bi over [0, nsub), then bj over [bi, nsub).
+    grid = (
+        nsub_df.select(
+            "cent_id",
+            "nsub",
+            F.explode(F.sequence(F.lit(0), F.col("nsub") - 1)).alias("bi"),
+        )
+        .repartition("cent_id", "bi")  # spread the bj explode; the
+        # side_a join below hashes on the same keys, so this exchange is
+        # the join's, not an extra one
+        .select(
+            "cent_id",
+            "bi",
+            F.explode(
+                F.sequence(F.col("bi"), F.col("nsub") - 1)
+            ).alias("bj"),
+        )
+    )
     tagged = assigned.join(F.broadcast(nsub_df), "cent_id").withColumn(
         "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.col("nsub")).cast("int")
     )
