@@ -42,23 +42,15 @@ def main(argv: list[str] | None = None) -> int:
     corp.add_argument("--out", required=True)
     corp.add_argument("--shards", type=int, default=8)
 
-    sub.add_parser(
-        "clear-caches",
-        help="drop every cross-query model/intermediate memo (pair tables, "
-        "centroids, BPE merges, DSIR weights); memos also self-invalidate "
-        "via corpus file fingerprints",
-    )
+    # NOTE: no clear-caches subcommand — the cross-query memos are
+    # per-process, so a fresh CLI process has nothing to clear. Embedded
+    # long-lived sessions call registry.clear_model_caches() directly
+    # (as tools/scale_smoke.py does); the memos also self-invalidate via
+    # corpus file fingerprints and are LRU-bounded (registry._ModelMemo).
 
     args = p.parse_args(argv)
 
     from .registry import ORACLES, QUERIES
-
-    if args.cmd == "clear-caches":
-        from .registry import clear_model_caches
-
-        clear_model_caches()
-        print(json.dumps({"cleared": True}))
-        return 0
 
     if args.cmd == "list":
         for name in sorted(QUERIES):

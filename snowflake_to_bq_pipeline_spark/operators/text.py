@@ -159,17 +159,30 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def vocab_top_k(documents: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+def vocab_top_k(
+    documents: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    tok_counts: DataFrame | None = None,
+) -> DataFrame:
     """Corpus-wide token heavy hitters (vocabulary building).
 
     Explode→count is partial-aggregated map-side, so the shuffle carries
     one row per (partition, token), not per occurrence; top-k is a single
-    ordered take of the (tiny) aggregate.
+    ordered take of the (tiny) aggregate. With a shared ``tok_counts``
+    (unigram_tok_counts), occurrences are the exact-integer re-sum of the
+    per-doc counts — identical values, one less corpus scan per session.
     """
-    toks = documents.select(
-        F.explode(_tokens(F.col(text_col))).alias("token")
-    )
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("occurrences"))
+    if tok_counts is None:
+        counts = (
+            documents.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("occurrences"))
+        )
+    else:
+        counts = tok_counts.groupBy("token").agg(
+            F.sum("term_count").alias("occurrences")
+        )
     return (
         counts.orderBy(F.col("occurrences").desc(), F.col("token"))
         .limit(k)
@@ -199,8 +212,35 @@ def length_histogram(
     )
 
 
+def unigram_tok_counts(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-(doc, token) unigram term counts — the shared first stage of
+    ``tfidf_top_terms`` / ``vocab_top_k`` / ``vocab_coverage_curve``.
+
+    All three queries start from the same regex tokenizer and the same
+    explode + groupBy(doc_id, token) aggregation; the registry memoizes
+    this table per corpus fingerprint (registry._tok_counts_for) so a
+    session running several of them pays the tokenize+count scan once.
+    (tfidf_doc_similarity does NOT share it: its term space is word
+    3-GRAMS by design — unigram inverted-index buckets are hot, see its
+    docstring — so its chain is disjoint and persisted internally.)
+    """
+    from ..catalog import fan_out
+
+    toks = fan_out(documents.select("doc_id", F.col(text_col))).select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    return toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("term_count")
+    )
+
+
 def tfidf_top_terms(
-    documents: DataFrame, k: int = 5, text_col: str = "text"
+    documents: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    tok_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF.
 
@@ -211,18 +251,15 @@ def tfidf_top_terms(
 
     Scale: token counts partial-aggregate on (doc_id, token); df is a
     second partial aggregate of that (already-reduced) output; N is a
-    1-row broadcast. Nothing touches the driver.
+    1-row broadcast. Nothing touches the driver. Pass a precomputed
+    ``tok_counts`` (unigram_tok_counts output, e.g. the registry's
+    fingerprint memo) to share the tokenize+count stage with the vocab
+    queries.
     """
     from pyspark.sql import Window
 
-    from ..catalog import fan_out
-
-    toks = fan_out(documents.select("doc_id", F.col(text_col))).select(
-        "doc_id", F.explode(_tokens(F.col(text_col))).alias("token")
-    )
-    tok_counts = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("term_count")
-    )
+    if tok_counts is None:
+        tok_counts = unigram_tok_counts(documents, text_col)
     n_docs = documents.agg(F.count(F.lit(1)).alias("__n_docs"))
 
     # Both corpus statistics ride frame-less windows (token partition,
@@ -583,6 +620,7 @@ def vocab_coverage_curve(
     documents: DataFrame,
     ks: tuple[int, ...] = COVERAGE_KS,
     text_col: str = "text",
+    tok_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Zipf coverage curve: what share of all token OCCURRENCES the top-k
     vocabulary entries cover, for each checkpoint k — the number that
@@ -597,14 +635,21 @@ def vocab_coverage_curve(
     """
     from .sync import global_row_number
 
-    counts = (
-        documents.select(
-            F.explode(_tokens(F.col(text_col))).alias("token")
+    if tok_counts is None:
+        counts = (
+            documents.select(
+                F.explode(_tokens(F.col(text_col))).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("occ"))
         )
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .withColumn("__negocc", -F.col("occ"))
-    )
+    else:
+        # shared memoized per-doc counts: exact-integer re-sum, identical
+        # values, one less tokenize+explode scan per session
+        counts = tok_counts.groupBy("token").agg(
+            F.sum("term_count").alias("occ")
+        )
+    counts = counts.withColumn("__negocc", -F.col("occ"))
     ranked = global_row_number(counts, ["__negocc", "token"], row_col="rk")
     aggs = [F.sum("occ").alias("__tot"), F.count(F.lit(1)).alias("__vocab")]
     for k in ks:

@@ -51,6 +51,54 @@ def test_fingerprint_stable_without_changes(tmp_path):
     assert registry._corpus_fingerprint(str(tmp_path), "documents") != a
 
 
+def test_model_memo_lru_bound_and_fingerprint_eviction():
+    m = registry._ModelMemo(maxsize=3)
+    # superseded fingerprint for the same sf_dir is dropped on put
+    m.put(("/a", "fp1", 8), "model-a1")
+    m.put(("/a", "fp2", 8), "model-a2")
+    assert m.get(("/a", "fp1", 8)) is None
+    assert m.get(("/a", "fp2", 8)) == "model-a2"
+    assert len(m) == 1
+    # same fingerprint, different params: both live
+    m.put(("/a", "fp2", 16), "model-a2-k16")
+    assert len(m) == 2
+    # LRU eviction beyond maxsize, in recency order
+    m.put(("/b", "fpb", 8), "model-b")
+    assert m.get(("/a", "fp2", 8)) == "model-a2"  # touch -> most recent
+    m.put(("/c", "fpc", 8), "model-c")  # evicts LRU = ("/a","fp2",16)
+    assert m.get(("/a", "fp2", 16)) is None
+    assert m.get(("/a", "fp2", 8)) == "model-a2"
+    assert len(m) == 3
+
+
+def test_centroid_memo_bounded_across_corpora(spark, tmp_path):
+    """Cycling more corpora than the cap must evict, and a re-request of an
+    evicted corpus must recompute the correct model (not a stale one)."""
+    import numpy as np
+
+    cap = registry._CENTROID_CACHE.maxsize
+    registry.clear_model_caches()
+    dirs = []
+    for c in range(cap + 2):
+        d = str(tmp_path / f"corpus{c}")
+        rows = [
+            (i, [float(c + 1) * 10 + (i % 2), float(i % 3)]) for i in range(12)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        dirs.append(d)
+    firsts = [registry._centroids_for(spark, d, 2, 2).collect() for d in dirs]
+    assert len(registry._CENTROID_CACHE) <= cap
+    # corpus 0 was evicted; recompute must return the same (deterministic)
+    # model, proving eviction triggers a correct recompute, not staleness
+    again = registry._centroids_for(spark, dirs[0], 2, 2).collect()
+    a = sorted((r.cent_id, [round(x, 9) for x in r.ce]) for r in again)
+    b = sorted((r.cent_id, [round(x, 9) for x in r.ce]) for r in firsts[0])
+    assert a == b
+    assert np.isfinite([x for _cid, ce in a for x in ce]).all()
+
+
 def test_clear_model_caches_resets(spark, tmp_path):
     d = str(tmp_path)
     _write_docs(spark, d, [(1, "alpha beta gamma delta epsilon zeta eta")])
