@@ -4,10 +4,17 @@
 Each query is materialized through the noop sink — every column is computed
 and shipped through the full physical plan, but nothing is written, so the
 number is plan execution, not disk bandwidth.
+
+Per-query timings are BEST-OF-N (N = $BENCH_REPS, default 3) with every
+rep recorded: single-shot runs on this VM showed a 157-184s same-code
+total spread and multi-second phantom spikes on random queries (the r5
+volume_anomaly 4.18s that re-measured at 0.65s), so round-over-round
+deltas are only readable from a best-of series plus its spread.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -25,6 +32,7 @@ BENCH_QUERIES = sorted(QUERIES)
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -45,38 +53,49 @@ def main() -> None:
                 while f.read(1 << 22):
                     pass
 
-    timings: dict[str, float] = {}
+    bests: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
         if fn is None:
             continue
         # Collect garbage OUTSIDE the timed region: accumulated noop-write
         # garbage otherwise lands a multi-second GC pause on whichever
-        # query happens to trigger it, producing the 2-8s phantom spikes
-        # observed between otherwise-identical runs.
-        import gc
-
+        # query happens to trigger it — one collection per query (not per
+        # rep) keeps the fixed System.gc() cost off the rep loop.
         gc.collect()
         spark.sparkContext._jvm.System.gc()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        ts: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ts.append(round(time.perf_counter() - t0, 3))
+        bests[name] = min(ts)
+        all_reps[name] = ts
+        print(
+            f"# {name}: best {bests[name]}s of {ts}", file=sys.stderr
+        )
 
-    total = round(sum(timings.values()), 3)
-    # The full 81-query map outgrew the driver's tail capture in round 2
-    # (BENCH_r02 "parsed": null) — keep the complete per-query timings in a
-    # sidecar file and print a compact one-line JSON that fits any tail
-    # window: total, sf, query count, and only the 5 slowest queries.
-    details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "bench_details.json")
+    total = round(sum(bests.values()), 3)
+    spreads = {n: round(max(ts) - min(ts), 3) for n, ts in all_reps.items()}
+    # The full per-query map outgrew the driver's tail capture in round 2
+    # (BENCH_r02 "parsed": null) — keep complete timings (best + every rep
+    # + spread per query) in a sidecar file and print a compact one-line
+    # JSON that fits any tail window: total, sf, rep count, and only the 5
+    # slowest queries.
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
+    )
     with open(details_path, "w") as f:
         json.dump(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "reps": reps,
+                "queries": bests,
+                "rep_times": all_reps,
+                "spreads": spreads,
                 "sf": sf,
             },
             f,
@@ -84,7 +103,7 @@ def main() -> None:
             sort_keys=True,
         )
     slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+        sorted(bests.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
     print(
         json.dumps(
@@ -94,7 +113,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "sf": sf,
-                "n_queries": len(timings),
+                "n_queries": len(bests),
+                "reps": reps,
+                "max_spread_sec": max(spreads.values()) if spreads else 0.0,
                 "details": "bench_details.json",
             }
         )
