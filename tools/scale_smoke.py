@@ -10,9 +10,18 @@ counts quadratically (every doc gains replicas-1 identical twins), which
 tests the data, not the engine — so each documents replica suffixes
 every word with its replica index: replicas become lexically independent
 corpora, the within-replica dup structure is preserved, and the dedup /
-inverted-index family's output scales linearly too. The smoke set then
-covers both shapes: shuffle/join/window aggregates AND the
-shingle-join dedup stack.
+inverted-index family's output scales linearly too. Embeddings replicas
+get the analogous treatment: each replica applies its own deterministic
+±1 sign pattern per dimension (a diagonal orthogonal map) — within a
+replica every cosine is EXACTLY preserved (both vectors flip the same
+signs), while cross-replica cosines collapse toward 0 (≈half the mass
+flips), so the semantic-dedup family's candidate pairs stay linear too.
+The smoke set covers three shapes: shuffle/join/window aggregates, the
+shingle-join lexical dedup stack, and the embedding/k-means semantic
+stack (semdedup runs with n_clusters ∝ corpus size per its documented
+contract — fixed k with 10x data would make every cluster 10x larger
+and the within-cluster pair work 10x/replica BY DESIGN, testing the
+parameterization, not the engine).
 
 Usage: python tools/scale_smoke.py [--replicas 10] [--out SCALE_SMOKE.json]
 Writes a JSON report {query: {small_s, big_s, ratio}, ...} and exits
@@ -75,8 +84,67 @@ SMOKE_QUERIES = [
     "dedup_clusters",
     "tfidf_doc_similarity",
     "decontamination_overlap",
+    # quadratic-risk family (r6): banded/bucketed candidate generators
+    # whose failure mode — super-linear pair blowup — the fixed-sf bench
+    # cannot see
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "substring_dup_profile",
+    "ngram_containment_dups",
+    "incremental_dedup_check",
+    "kmeans_doc_clusters",
 ]
 LINEAR_RATIO_CEILING = 3.0  # x replicas (see report: ratio_per_replica)
+
+#: Sub-linear per-replica ratios (<1.0) are EXPECTED on local[32] at this
+#: corpus size, not an anomaly: sf0.1 runs leave most of the 32 cores idle
+#: (shuffle partitions carry a few thousand rows; fixed per-stage costs —
+#: task scheduling, codegen dispatch, exchange setup — dominate), so the
+#: 10x corpus raises per-core utilization and throughput/row. The r5
+#: outlier ngram_jaccard_dups (0.56x/replica) is exactly this: its small
+#: run spends most wall-clock in the fixed-cost shingle/groupBy stage
+#: pipeline, which amortizes at 10x. The failure mode this smoke screens
+#: for is per-row cost RISING with scale (ratio_per_replica >> 1).
+SUBLINEAR_NOTE = (
+    "ratio_per_replica < 1 means per-row cost FELL at 10x (fixed "
+    "per-stage overheads amortized across fuller tasks on local[32]); "
+    "the screened failure mode is per-row cost rising (>> 1)."
+)
+
+
+def _semdedup_scaled(spark, sf_dir: str, n_clusters: int):
+    """semdedup_prune per its scale contract: n_clusters grows with the
+    corpus so cluster populations (and the within-cluster quadratic)
+    stay constant. The registry query fixes k=8 for the sf-pinned oracle
+    corpus; the smoke exercises the documented 100TB posture."""
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.operators import similarity
+
+    return similarity.semdedup_prune(
+        load_table(spark, sf_dir, "embeddings"), n_clusters=n_clusters
+    )
+
+
+#: name -> fn(spark, sf_dir, is_big) for ops whose scale contract requires
+#: a corpus-size-dependent parameterization.
+SPECIAL_QUERIES = {
+    "semdedup_prune": lambda spark, sf_dir, is_big, replicas: (
+        _semdedup_scaled(spark, sf_dir, 8 * (replicas if is_big else 1))
+    ),
+}
+
+
+def _sign_flip(replica: int):
+    """Two-arg (element, index) lambda for F.transform: deterministic ±1
+    per (replica, dimension) — the diagonal orthogonal map."""
+
+    def inner(x, pos):
+        sign = F.when(
+            F.pmod(F.xxhash64(F.lit(replica), pos), F.lit(2)) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+        return (x * sign).cast("float")
+
+    return inner
 
 
 def build_big(spark, small_dir: str, big_dir: str, replicas: int) -> None:
@@ -104,6 +172,15 @@ def build_big(spark, small_dir: str, big_dir: str, replicas: int) -> None:
                         " ",
                     ),
                 )
+            if t == "embeddings" and i > 0:
+                # per-replica diagonal orthogonal map (deterministic ±1
+                # per dimension): within-replica cosines exactly
+                # preserved, cross-replica cosines collapse toward 0 —
+                # the embedding analogue of the word-suffix trick, so
+                # semantic near-dup pair counts stay linear in replicas
+                rep = rep.withColumn(
+                    "embedding", F.transform(F.col("embedding"), _sign_flip(i))
+                )
             parts.append(rep)
         out = parts[0]
         for rep in parts[1:]:
@@ -111,7 +188,7 @@ def build_big(spark, small_dir: str, big_dir: str, replicas: int) -> None:
         out.write.mode("overwrite").parquet(f"{big_dir}/{t}.parquet")
 
 
-def time_query(name: str, spark, sf_dir: str) -> float:
+def time_build(build, spark) -> float:
     # Drop cross-query memos (pair tables, models) so every timed run pays
     # its full build — a memo hit on one side would fake a superlinear (or
     # sublinear) ratio.
@@ -119,9 +196,7 @@ def time_query(name: str, spark, sf_dir: str) -> float:
 
     clear_model_caches()
     t0 = time.perf_counter()
-    QUERIES[name](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    build().write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -140,11 +215,28 @@ def main() -> int:
 
     report: dict[str, dict] = {}
     failed = []
-    for name in SMOKE_QUERIES:
+    for name in SMOKE_QUERIES + sorted(SPECIAL_QUERIES):
+        if name in SPECIAL_QUERIES:
+            special = SPECIAL_QUERIES[name]
+
+            def small_build(_s=special):
+                return _s(spark, SMALL_SF_DIR, False, args.replicas)
+
+            def big_build(_s=special):
+                return _s(spark, args.big_dir, True, args.replicas)
+
+        else:
+
+            def small_build(_n=name):
+                return QUERIES[_n](spark, SMALL_SF_DIR)
+
+            def big_build(_n=name):
+                return QUERIES[_n](spark, args.big_dir)
+
         # warm codegen/page cache on the small corpus, then time both
-        time_query(name, spark, SMALL_SF_DIR)
-        small_s = time_query(name, spark, SMALL_SF_DIR)
-        big_s = time_query(name, spark, args.big_dir)
+        time_build(small_build, spark)
+        small_s = time_build(small_build, spark)
+        big_s = time_build(big_build, spark)
         ratio = big_s / max(small_s, 1e-6)
         per_rep = ratio / args.replicas
         report[name] = {
@@ -166,6 +258,12 @@ def main() -> int:
         "replicas": args.replicas,
         "small_sf_dir": SMALL_SF_DIR,
         "ceiling_per_replica": LINEAR_RATIO_CEILING,
+        "sublinear_note": SUBLINEAR_NOTE,
+        "semdedup_note": (
+            "semdedup_prune timed per its scale contract: n_clusters "
+            "scales with the corpus (8 small, 8*replicas big) so cluster "
+            "populations stay constant"
+        ),
         "queries": report,
         "superlinear": failed,
     }
