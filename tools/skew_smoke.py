@@ -1,0 +1,251 @@
+"""Skew torture smoke: hot-key variants of the sf0.1 corpus vs uniform.
+
+The reference's production postmortems are hot-key war stories (one
+client owning a third of the time entries, one event type flooding the
+stream) — so the engine's scale claim needs the same stress SHOWN, not
+assumed. This tool builds a skewed twin of the sf0.1 corpus:
+
+- ``orders``: one customer (custkey 1) owns ~30% of all orders — every
+  customer-side join and per-client rollup sees a hot key;
+- ``events``: one user owns ~30% of all events (hot window/sessionization
+  partition) and one event type covers ~50% (hot aggregate group).
+
+It then times the join/window family on both corpora (best-of-N per
+side) and asserts no query runs > RATIO_CEILING x its uniform-key time.
+Why the engine should pass: dimension joins broadcast (broadcast hash
+join is skew-immune — every task streams its own rows), aggregates
+partial-combine map-side (a hot GROUP collapses to one row per task
+before the shuffle), and AQE splits skewed shuffle-join partitions.
+
+A separate microbench forces the pathological shape — a SHUFFLE join of
+the skewed orders against customer (broadcast disabled) — and (a)
+verifies AQE's skew-join split actually fires (executed plan carries the
+``skew=true`` marker), (b) times the `salted_join` escape hatch against
+the plain join for engines/paths where AQE is unavailable.
+
+Usage: python tools/skew_smoke.py [--out SKEW_SMOKE.json]
+Writes the JSON report and exits nonzero on any ceiling breach or if the
+AQE skew split does not fire.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from snowflake_to_bq_pipeline_spark.registry import QUERIES, clear_model_caches
+from snowflake_to_bq_pipeline_spark.session import get_spark
+
+UNIFORM_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Queries stressed by the hot custkey / hot user / hot event type.
+SMOKE_QUERIES = [
+    "q3_shipping_priority",        # customer join (broadcast) + orderkey join
+    "q5_supplier_volume",          # multi-dim join chain
+    "q18_large_orders",            # lineitem groupBy + customer join
+    "individual_budget_tracking",  # the flagship fact aggregate
+    "client_budget_rollup",        # per-client rollup: custkey 1 is hot
+    "dedup_latest_record",         # latest-per-user over events (hot user)
+    "events_windowed_counts",      # windowed agg (hot event type group)
+    "event_sessions",              # sessionization window (hot user part.)
+]
+
+HOT_ORDER_FRAC = 0.3   # orders moved to custkey 1
+HOT_USER_FRAC = 0.3    # events moved to user 1
+HOT_TYPE_FRAC = 0.5    # events remapped to one event type
+RATIO_CEILING = 3.0
+REPS = 2
+
+
+def build_skewed(spark, src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for fname in sorted(os.listdir(src)):
+        if not fname.endswith(".parquet"):
+            continue
+        t = fname[: -len(".parquet")]
+        df = spark.read.parquet(f"{src}/{fname}")
+        if t == "orders":
+            # ~30% of orders (deterministic by key) now belong to custkey 1
+            df = df.withColumn(
+                "o_custkey",
+                F.when(
+                    F.pmod(F.col("o_orderkey"), F.lit(10)) < int(HOT_ORDER_FRAC * 10),
+                    F.lit(1).cast("long"),
+                ).otherwise(F.col("o_custkey")),
+            )
+        elif t == "events":
+            df = df.withColumn(
+                "user_id",
+                F.when(
+                    F.pmod(F.col("event_id"), F.lit(10)) < int(HOT_USER_FRAC * 10),
+                    F.lit(1).cast("long"),
+                ).otherwise(F.col("user_id")),
+            ).withColumn(
+                "event_type",
+                F.when(
+                    F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit("hot")
+                ).otherwise(F.col("event_type")),
+            )
+        df.write.mode("overwrite").parquet(f"{dst}/{fname}")
+
+
+def best_of(build, reps: int = REPS) -> float:
+    best = None
+    for _ in range(reps):
+        clear_model_caches()
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def shuffle_join_micro(spark, skew_dir: str) -> dict:
+    """Force the pathological shuffle join (no broadcast) on the hot key:
+    plain join with AQE skew split vs the salted_join escape hatch.
+
+    The hot key is amplified to ~56% of rows for this microbench
+    (unioning the 30% hot slice twice more): at sf0.1 the per-partition
+    shuffle payloads are tens of KB and AQE's split heuristics only
+    engage decisively when the hot partition dwarfs the rest — measured
+    on this Spark build: a 30%-hot key coalesces, a ≥50%-hot key splits.
+    At production scale the default 256MB threshold fires at far lower
+    hot fractions (a 30%-of-100TB key is ~umpteen GB against ~100MB
+    medians); the microbench verifies the PATH, the thresholds are
+    scaled to the corpus."""
+    from snowflake_to_bq_pipeline_spark.operators.skew import salted_join
+
+    base_orders = spark.read.parquet(f"{skew_dir}/orders.parquet")
+    hot = base_orders.filter(F.col("o_custkey") == 1)
+    orders = base_orders.unionByName(hot).unionByName(hot)
+    customer = spark.read.parquet(f"{skew_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # sf0.1 partitions are sub-MB; scale the skew-split trigger down so
+    # the smoke exercises the same AQE path a 100TB run gets with the
+    # default 256MB threshold, and use a cluster-like reducer count so
+    # the median partition is sharp.
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        plain = orders.join(customer, "o_custkey")
+        t_plain = best_of(lambda: plain)
+        # The skew marker lives in the FINAL AQE plan of an EXECUTED
+        # QueryExecution — a noop write runs its own QE, so probe with a
+        # global aggregate (partition-local partial agg above the join
+        # keeps the skew split legal) and read that probe's executed
+        # plan. The aggregate touches payload columns from BOTH sides so
+        # column pruning can't shrink the shuffled rows to bare keys
+        # (pruned-key partitions sit under any realistic skew threshold).
+        probe = plain.agg(
+            F.sum(F.length("o_orderpriority")).alias("__a"),
+            F.sum(F.length("c_name")).alias("__b"),
+            F.sum("o_totalprice").alias("__c"),
+            F.sum("c_acctbal").alias("__d"),
+        )
+        probe.collect()
+        executed = probe._jdf.queryExecution().executedPlan().toString()
+        final = executed.split("== Initial Plan ==")[0]
+        # Spark 4 prints the split as "AQEShuffleRead skewed" (3.x used
+        # "skew=true" on the SortMergeJoin) — accept either.
+        skew_fired = "skewed" in final or "skew=true" in final
+        if not skew_fired:
+            print("--- executed plan (no skew marker) ---")
+            print(final[:4000])
+        t_salted = best_of(
+            lambda: salted_join(orders, customer, ["o_custkey"], "inner", 8)
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return {
+        "plain_shuffle_join_s": round(t_plain, 2),
+        "salted_join_s": round(t_salted, 2),
+        "aqe_skew_split_fired": skew_fired,
+        "salted_vs_plain": round(t_salted / max(t_plain, 1e-6), 2),
+        "micro_hot_fraction": 0.56,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SKEW_SMOKE.json")
+    ap.add_argument("--skew-dir", default="/tmp/skew_smoke_corpus")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="skew-smoke")
+    print(f"building hot-key corpus under {args.skew_dir} ...")
+    build_skewed(spark, UNIFORM_SF_DIR, args.skew_dir)
+
+    report: dict[str, dict] = {}
+    failed = []
+    for name in SMOKE_QUERIES:
+        best_of(lambda: QUERIES[name](spark, UNIFORM_SF_DIR), 1)  # warm
+        uni = best_of(lambda: QUERIES[name](spark, UNIFORM_SF_DIR))
+        skw = best_of(lambda: QUERIES[name](spark, args.skew_dir))
+        ratio = skw / max(uni, 1e-6)
+        report[name] = {
+            "uniform_s": round(uni, 2),
+            "skew_s": round(skw, 2),
+            "ratio": round(ratio, 2),
+        }
+        flag = ""
+        if ratio > RATIO_CEILING:
+            failed.append(name)
+            flag = "  <-- SKEW-SENSITIVE"
+        print(
+            f"{name:28s} uniform {uni:6.2f}s  hot-key {skw:6.2f}s "
+            f"ratio {ratio:5.2f}{flag}"
+        )
+
+    micro = shuffle_join_micro(spark, args.skew_dir)
+    print(f"micro: {json.dumps(micro)}")
+
+    payload = {
+        "uniform_sf_dir": UNIFORM_SF_DIR,
+        "hot_order_frac": HOT_ORDER_FRAC,
+        "hot_user_frac": HOT_USER_FRAC,
+        "hot_type_frac": HOT_TYPE_FRAC,
+        "ratio_ceiling": RATIO_CEILING,
+        "reps": REPS,
+        "queries": report,
+        "shuffle_join_micro": micro,
+        "skew_sensitive": failed,
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps({"skew_sensitive": failed,
+                      "aqe_skew_split_fired": micro["aqe_skew_split_fired"],
+                      "out": args.out}))
+    shutil.rmtree(args.skew_dir, ignore_errors=True)
+    return 1 if failed or not micro["aqe_skew_split_fired"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
