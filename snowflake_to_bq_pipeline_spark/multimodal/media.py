@@ -66,15 +66,24 @@ def _fake_decode(content: bytes) -> list[int]:
     return list(content[:64])
 
 
-def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
-    """Decode + featurize media blobs via Arrow-batched mapInPandas."""
+def extract_features(
+    media: DataFrame, batch_hint: int = 1024, decode=None
+) -> DataFrame:
+    """Decode + featurize media blobs via Arrow-batched mapInPandas.
+
+    ``decode`` is the codec seam: a ``bytes -> list[int]`` callable
+    (default `_fake_decode`); production injects Pillow/torchaudio/ffmpeg
+    here without touching the plan. It must be picklable (module-level
+    function) — it ships to executors inside the mapInPandas closure.
+    """
+    decode = decode or _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
             feats = [
-                _fake_decode(bytes(c)) if c is not None else []
+                decode(bytes(c)) if c is not None else []
                 for c in pdf["content"]
             ]
             yield pd.DataFrame(
@@ -102,17 +111,75 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 def repartition_for_media(
     media: DataFrame, target_bytes_per_partition: int = 256 * 1024 * 1024
 ) -> DataFrame:
-    """Repartition by decode cost (total blob bytes), not row count.
+    """Repartition by decode cost (blob bytes), not row count.
 
-    A media table's rows vary by orders of magnitude in size; partitioning
-    by byte budget keeps executor memory bounded during decode.
+    A media table's rows vary by orders of magnitude in size, and hash
+    partitioning is blind to that skew: one 4 GB video co-hashed with an
+    average shard of images puts target+4 GB in a single decode task.
+    This packs rows into byte-budget BINS via the same two-phase
+    global-order machinery as sync.global_row_number:
+
+    1. range-partition on ``media_id`` (deterministic total order),
+    2. per-partition byte totals → prefix offsets (O(partitions) driver
+       state),
+    3. each row's global byte START offset = partition offset +
+       within-partition cumulative sum; its bin = start // target,
+    4. range-repartition on bin (~1 bin per task).
+
+    Bound: a bin's rows all START inside one ``target``-sized byte
+    window, so a task holds < target + its largest single blob — the
+    optimum for row-atomic data. An oversized blob overshoots into the
+    following bins' ADDRESS SPACE, which therefore stay empty: the giant
+    shares its task only with the < target bytes that started before it.
+    Costs one extra (tiny) per-partition count job versus the old
+    hash-by-id layout; decode cost dwarfs it at any scale.
     """
-    stats = media.agg(
-        F.sum(F.length("content")).alias("total"), F.count(F.lit(1)).alias("n")
-    ).collect()[0]
-    total = stats["total"] or 0
-    n_parts = max(1, int(total / target_bytes_per_partition) + 1)
-    return media.repartition(n_parts, "media_id")
+    from pyspark.sql import Window
+
+    from ..operators._cache import swap_cache
+
+    spark = media.sparkSession
+    n = max(1, spark.sparkContext.defaultParallelism)
+    nbytes = F.coalesce(F.length("content").cast("long"), F.lit(0).cast("long"))
+    # Persisted: the offsets job and the bin job must see identical range
+    # boundaries (re-sampling would desynchronize prefix offsets).
+    ranged = swap_cache(
+        "media.byte_bins",
+        media.repartitionByRange(n, "media_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__bytes", nbytes),
+    )
+    per = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid").agg(F.sum("__bytes").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(per):
+        offsets.append((pid, acc))
+        acc += per[pid] or 0
+    n_bins = max(1, int(acc / target_bytes_per_partition) + 1)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("media_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("__bytes").over(w) - F.col("__bytes") + F.col("__off")
+    binned = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            # exact integer floor-div (decimal, not double: byte offsets
+            # past 2^53 would misbin under double division)
+            "__bin",
+            F.floor(
+                start.cast("decimal(38,0)")
+                / F.lit(target_bytes_per_partition)
+            ).cast("int"),
+        )
+    )
+    return binned.repartitionByRange(n_bins, "__bin").drop(
+        "__pid", "__bytes", "__off", "__bin"
+    )
 
 
 def synthetic_media(spark, n: int = 100) -> DataFrame:

@@ -174,6 +174,25 @@ def delta_available() -> bool:
     return True
 
 
+def delta_merge_condition(key_cols: Sequence[str]) -> str:
+    """The MERGE ON condition ``merge_into_delta`` uses — exposed so the
+    contract test (tests/test_pipelines.py) can exercise the exact
+    condition string against a DataFrame simulation of Delta's
+    whenMatchedUpdateAll/whenNotMatchedInsertAll actions and assert
+    equivalence with ``merge_into_path`` without delta-spark installed."""
+    return " AND ".join(f"t.{k} = u.{k}" for k in key_cols)
+
+
+def delta_matched_condition(order_col: str | None) -> str | None:
+    """The WHEN MATCHED update gate: strictly-newer-wins with an
+    ``order_col`` (an exact order tie keeps the target; merge_into_path
+    resolves ties by the caller's tiebreak_cols instead, so callers that
+    need tie determinism across both backends must order on a column
+    that never ties — the contract test uses distinct orders),
+    unconditional otherwise."""
+    return None if order_col is None else f"u.{order_col} > t.{order_col}"
+
+
 def merge_into_delta(
     spark: SparkSession,
     updates: DataFrame,
@@ -203,12 +222,12 @@ def merge_into_delta(
         updates.write.format("delta").mode("overwrite").save(path)
         return
     target = DeltaTable.forPath(spark, path)
-    cond = " AND ".join(f"t.{k} = u.{k}" for k in key_cols)
-    merge = target.alias("t").merge(updates.alias("u"), cond)
-    if order_col is not None:
-        merge = merge.whenMatchedUpdateAll(
-            condition=f"u.{order_col} > t.{order_col}"
-        )
+    merge = target.alias("t").merge(
+        updates.alias("u"), delta_merge_condition(key_cols)
+    )
+    matched_cond = delta_matched_condition(order_col)
+    if matched_cond is not None:
+        merge = merge.whenMatchedUpdateAll(condition=matched_cond)
     else:
         merge = merge.whenMatchedUpdateAll()
     merge.whenNotMatchedInsertAll().execute()

@@ -38,6 +38,71 @@ def test_repartition_for_media_bounds_partitions(spark):
     assert out.count() == 100
 
 
+def _upper_decode(content: bytes) -> list[int]:
+    """Injected stand-in codec for the seam test (module-level: the
+    callback ships to executors inside the mapInPandas closure)."""
+    return [b ^ 0xFF for b in content[:16]]
+
+
+def test_codec_seam_injects_custom_decoder(spark):
+    """extract_features' decode seam: a user codec must drive the feature
+    values while all Spark-side plumbing (schema, batching) is unchanged."""
+    m = media.synthetic_media(spark, n=20)
+    rows = {r.media_id: r for r in media.extract_features(m, decode=_upper_decode).collect()}
+    base = {r.media_id: r for r in media.extract_features(m).collect()}
+    assert len(rows) == 20
+    for mid, r in rows.items():
+        # same plumbing outputs (bytes/checksum), different codec outputs
+        assert r.n_bytes == base[mid].n_bytes
+        assert r.checksum == base[mid].checksum
+        assert 0 <= r.feat_max <= 255
+    # the injected codec inverts bytes, so features must differ from the
+    # default codec's on at least one media row
+    assert any(rows[k].feat_mean != base[k].feat_mean for k in rows)
+
+
+def test_media_byte_budget_partitioner_bounds_skewed_tasks(spark):
+    """One blob 1000x the median must NOT drag a target's worth of other
+    rows into its decode task: per-task bytes stay < 2*target + max_blob
+    and the giant shares its task with < target bytes of small rows."""
+    target = 64 * 1024
+    small_sz, giant_sz = 64, 64 * 1000  # 64 KB giant vs 64 B rows
+    small = spark.range(500).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("content"),
+        F.lit(8).cast("int").alias("width"),
+        F.lit(8).cast("int").alias("height"),
+        F.lit(0).cast("int").alias("duration_ms"),
+    )
+    giant = spark.createDataFrame(
+        [(250_000, "video", "application/octet-stream",
+          bytearray(b"x" * giant_sz), 8, 8, 0)],
+        small.schema,
+    )
+    m = small.unionByName(giant)
+    out = media.repartition_for_media(m, target_bytes_per_partition=target)
+
+    def part_stats(it):
+        tot, gi, n = 0, 0, 0
+        for row in it:
+            b = len(row.content) if row.content is not None else 0
+            tot += b
+            n += 1
+            if b >= giant_sz:
+                gi += 1
+        yield (tot, gi, n)
+
+    stats = out.rdd.mapPartitions(part_stats).collect()
+    assert sum(n for _t, _g, n in stats) == 501
+    max_bytes = max(t for t, _g, _n in stats)
+    assert max_bytes < 2 * target + giant_sz, stats
+    (giant_tot,) = [t for t, g, _n in stats if g]
+    # the giant's task carries less than one target of co-located rows
+    assert giant_tot - giant_sz < target, giant_tot
+
+
 def test_merge_into_path_roundtrip(spark, sf_dir, tmp_path):
     orders = load_table(spark, sf_dir, "orders")
     target = str(tmp_path / "orders_sync")
@@ -141,6 +206,82 @@ def test_delta_merge_env_gate(spark, sf_dir, tmp_path):
         writers.merge_into_delta(
             spark, orders, str(tmp_path / "t"), ["o_orderkey"]
         )
+
+
+def _simulate_delta_merge(base, updates, key_cols, order_col):
+    """DataFrame simulation of Delta's MERGE with whenMatchedUpdateAll /
+    whenNotMatchedInsertAll, driven by the EXACT condition strings
+    merge_into_delta passes to delta-spark (writers.delta_merge_condition
+    / delta_matched_condition) — so the contract is tested even though
+    the sandbox ships without the package."""
+    from snowflake_to_bq_pipeline_spark.sinks.writers import (
+        delta_matched_condition,
+        delta_merge_condition,
+    )
+
+    t, u = base.alias("t"), updates.alias("u")
+    joined = t.join(u, F.expr(delta_merge_condition(key_cols)), "full_outer")
+    matched = delta_matched_condition(order_col)
+    take_update = F.col(f"u.{key_cols[0]}").isNotNull() & (
+        F.col(f"t.{key_cols[0]}").isNull()
+        | (F.expr(matched) if matched is not None else F.lit(True))
+    )
+    return joined.select(
+        *[
+            F.when(take_update, F.col(f"u.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+            for c in base.columns
+        ]
+    )
+
+
+def test_delta_merge_contract_matches_path_merge(spark, tmp_path):
+    """merge_into_delta's MERGE condition/actions and merge_into_path must
+    produce identical tables from the same inputs (newer-wins ordering,
+    distinct order values — the documented cross-backend contract)."""
+    schema = "k long, ts long, payload string"
+    base = spark.createDataFrame(
+        [(k, 10 * k, f"base{k}") for k in range(1, 9)], schema
+    )
+    # keys 5-6: STALE updates (must lose); 7-8: newer (must win);
+    # 9-12: unmatched (must insert)
+    updates = spark.createDataFrame(
+        [(5, 1, "stale5"), (6, 2, "stale6"),
+         (7, 1000, "new7"), (8, 1001, "new8"),
+         (9, 90, "ins9"), (10, 100, "ins10"),
+         (11, 110, "ins11"), (12, 120, "ins12")],
+        schema,
+    )
+
+    target = str(tmp_path / "t")
+    writers.write_snapshot(base, target)
+    writers.merge_into_path(spark, updates, target, ["k"], order_col="ts")
+    via_path = sorted(
+        (r.k, r.ts, r.payload) for r in spark.read.parquet(target).collect()
+    )
+
+    via_delta_contract = sorted(
+        (r.k, r.ts, r.payload)
+        for r in _simulate_delta_merge(base, updates, ["k"], "ts").collect()
+    )
+    assert via_path == via_delta_contract
+    # spot-check the interesting rows once, so a symmetric bug in both
+    # backends can't hide behind the equality
+    d = {k: (ts, p) for k, ts, p in via_path}
+    assert d[5] == (50, "base5") and d[6] == (60, "base6")
+    assert d[7] == (1000, "new7") and d[8] == (1001, "new8")
+    assert d[12] == (120, "ins12") and len(d) == 12
+
+    if writers.delta_available():  # pragma: no cover - sandbox lacks delta
+        dt = str(tmp_path / "dt")
+        writers.merge_into_delta(spark, base, dt, ["k"], order_col="ts")
+        writers.merge_into_delta(spark, updates, dt, ["k"], order_col="ts")
+        real = sorted(
+            (r.k, r.ts, r.payload)
+            for r in spark.read.format("delta").load(dt).collect()
+        )
+        assert real == via_path
 
 
 def test_resize_images_fixed_shape_and_passthrough(spark):
