@@ -38,12 +38,16 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     # Warm each query's codegen/JIT at the smallest SF so timings measure
-    # steady-state execution, not one-time compilation.
+    # steady-state execution, not one-time compilation — only needed for
+    # single-shot runs: with reps >= 2 the first timed rep absorbs the
+    # compilation and best-of-N discards it, so the separate warm pass
+    # (~5 min of wall clock per bench run) is pure overhead.
     warm_dir = "/root/testdata/sf0.001"
-    for name in BENCH_QUERIES:
-        fn = QUERIES.get(name)
-        if fn is not None and os.path.isdir(warm_dir):
-            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    if reps < 2:
+        for name in BENCH_QUERIES:
+            fn = QUERIES.get(name)
+            if fn is not None and os.path.isdir(warm_dir):
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
     # Prime the OS page cache for the benched SF's parquet files so the
     # one-time cold read doesn't land on whichever query alphabetically
     # touches each table first (it distorted early b*-queries by ~2-3s).
