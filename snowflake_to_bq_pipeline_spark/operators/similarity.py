@@ -548,6 +548,7 @@ def kmeans_clusters(
     n_clusters: int = 16,
     n_iters: int = 3,
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Topical document clustering: final k-means assignments + sizes.
 
@@ -556,6 +557,9 @@ def kmeans_clusters(
     with each vector's cosine to its centroid. One Lloyd's train
     (:func:`train_centroids`) + one broadcast assignment pass — no
     data-sized shuffle beyond the training iterations themselves.
+    Pass a precomputed ``assigned`` (vec_id, e, cent_id — the _assign
+    output, e.g. the registry's fingerprint memo shared with
+    semdedup_prune) to skip the assignment pass entirely.
     """
     v = _vectors(embeddings)
     cents = (
@@ -563,7 +567,8 @@ def kmeans_clusters(
         if centroids is not None
         else train_centroids(v, n_clusters, n_iters)
     )
-    assigned = _assign(v, cents, "vec_id", "e", 1)
+    if assigned is None:
+        assigned = _assign(v, cents, "vec_id", "e", 1)
     sizes = assigned.groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -763,6 +768,7 @@ def semdedup_prune(
     n_iters: int = 3,
     centroids: DataFrame | None = None,
     max_cell_rows: int = SEMDEDUP_CELL_ROWS,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): semantic deduplication —
     k-means the embedding space, score cosine only WITHIN each cluster,
@@ -791,18 +797,26 @@ def semdedup_prune(
     from ._cache import swap_cache
     from .graph import connected_components
 
-    v = _vectors(embeddings)
-    cents = (
-        centroids
-        if centroids is not None
-        else train_centroids(v, n_clusters, n_iters)
-    )
-    # Persisted: the cluster-size collect, the grid join, and the final
-    # cluster_id projection all consume the assignment pass.
-    assigned = swap_cache(
-        "semdedup_assigned",
-        _assign(v, cents, "vec_id", "e", 1).select("vec_id", "cent_id", "e"),
-    )
+    if assigned is not None:
+        # Caller supplies a (vec_id, e, cent_id) assignment — typically
+        # the registry's fingerprint memo shared with kmeans_clusters —
+        # already persisted, so no swap_cache layer here.
+        assigned = assigned.select("vec_id", "cent_id", "e")
+    else:
+        v = _vectors(embeddings)
+        cents = (
+            centroids
+            if centroids is not None
+            else train_centroids(v, n_clusters, n_iters)
+        )
+        # Persisted: the cluster-size collect, the grid join, and the
+        # final cluster_id projection all consume the assignment pass.
+        assigned = swap_cache(
+            "semdedup_assigned",
+            _assign(v, cents, "vec_id", "e", 1).select(
+                "vec_id", "cent_id", "e"
+            ),
+        )
     pairs = _cluster_blocked_pairs(assigned, tau, max_cell_rows)
     labels = connected_components(pairs, "vec_a", "vec_b")
     sizes = labels.groupBy("label").agg(

@@ -110,6 +110,7 @@ def clear_model_caches() -> None:
         _MINHASH_PAIRS_CACHE,
         _DSIR_W_CACHE,
         _TOK_COUNTS_CACHE,
+        _ASSIGN_CACHE,
     ):
         for df in cache.values():
             df.unpersist(blocking=False)
@@ -4264,16 +4265,45 @@ def _centroids_for(
     return spark.createDataFrame(rows, "cent_id long, ce array<double>")
 
 
+#: Shared k=8 assignment pass (vec_id, e, cent_id): kmeans_doc_clusters
+#: and semdedup_prune assign the same embeddings to the same memoized
+#: centroid model, so the mapInPandas scoring pass is materialized once
+#: per corpus snapshot (same single-live-handle lifecycle as
+#: _DSIR_W_CACHE). Deterministic given the model, so sharing is exact.
+_ASSIGN_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _assigned_for(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "embeddings"), k)
+    df = _ASSIGN_CACHE.get(key)
+    if df is None:
+        for old in _ASSIGN_CACHE.values():
+            old.unpersist(blocking=False)
+        _ASSIGN_CACHE.clear()
+        from pyspark.storagelevel import StorageLevel
+
+        v = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        df = similarity._assign(
+            v, _centroids_for(spark, sf_dir, k), "vec_id", "e", 1
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _ASSIGN_CACHE[key] = df
+    return df
+
+
 @query("kmeans_doc_clusters")  # rows-only: iterative float clustering
 def kmeans_doc_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means topical clustering of document embeddings (assignments,
     cluster sizes, cosine-to-centroid); self-consistency and inertia
     properties asserted in tests/test_similarity.py. Shares the trained
-    k=8 model with semdedup_prune via the centroid memo."""
+    k=8 model AND the assignment pass with semdedup_prune via the
+    centroid/assignment memos."""
     return similarity.kmeans_clusters(
         load_table(spark, sf_dir, "embeddings"),
         n_clusters=8,
         centroids=_centroids_for(spark, sf_dir, 8),
+        assigned=_assigned_for(spark, sf_dir, 8),
     )
 
 
@@ -5112,12 +5142,12 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (Abbas et al. 2023): within-k-means-cluster
     cosine groups resolved transitively; keep = min-id representative.
     Group/keep invariants asserted in tests/test_similarity.py. Shares
-    the trained k=8 model with kmeans_doc_clusters via the centroid
-    memo."""
+    the trained k=8 model AND the assignment pass with
+    kmeans_doc_clusters via the centroid/assignment memos."""
     return similarity.semdedup_prune(
         load_table(spark, sf_dir, "embeddings"),
         n_clusters=8,
-        centroids=_centroids_for(spark, sf_dir, 8),
+        assigned=_assigned_for(spark, sf_dir, 8),
     )
 
 
