@@ -145,6 +145,41 @@ def test_multivariate_anomaly_partitioning_invariant(spark, sf_dir):
     assert a == b
 
 
+def test_utilization_rollup_partitioning_invariant(spark, sf_dir):
+    """The salted two-phase coarse money sum partials key on
+    pmod(o_orderkey, 4096) — a pure function of the data, not of task
+    layout — and both sum levels are exact (long, then decimal(38,0)),
+    so any repartitioning must produce identical rollup rows."""
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.plans.enrichment import (
+        utilization_rollup,
+    )
+
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("orders", "lineitem", "customer", "nation", "region")
+    }
+    a = sorted(
+        map(
+            tuple,
+            utilization_rollup(
+                t["orders"], t["lineitem"], t["customer"],
+                t["nation"], t["region"],
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            utilization_rollup(
+                t["orders"].repartition(13), t["lineitem"].repartition(7),
+                t["customer"].repartition(3), t["nation"], t["region"],
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
 def test_alert_digest_partitioning_invariant(spark, sf_dir):
     """Worst-offender and top-action picks ride deterministic tie-breaks,
     so the digest must not depend on partitioning."""
