@@ -88,6 +88,21 @@ def shingles(
     )
 
 
+def hashed_shingles(
+    documents: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, __h) hashed word-k-gram shingle index — the reusable
+    asset of the whole lexical near-dup family (Jaccard, containment,
+    novelty, SimHash all start from exactly this table). The registry
+    memoizes it per corpus snapshot (``_shingles_for``) so a session
+    running several family members builds the explode+dedup+hash once;
+    between daily runs this is what a production pipeline would persist
+    as the standing index."""
+    return shingles(documents, text_col, k).select(
+        "doc_id", F.xxhash64("shingle").alias("__h")
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float,
@@ -104,12 +119,7 @@ def ngram_jaccard_pairs(
     probability ~distinct²/2⁶⁴ — negligible against the DuckDB oracle's
     string-exact counts.
     """
-    sh = _swap_cache(
-        "jaccard",
-        shingles(documents, text_col, k).select(
-            "doc_id", F.xxhash64("shingle").alias("__h")
-        ),
-    )
+    sh = _swap_cache("jaccard", hashed_shingles(documents, text_col, k))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "__h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "__h")
@@ -174,12 +184,7 @@ def minhash_lsh_pairs(
     probability ~n²/2⁶⁴ per doc pair, which the banded-candidate volume
     keeps negligible.
     """
-    sh = _swap_cache(
-        "minhash",
-        shingles(documents, text_col, k).select(
-            "doc_id", F.xxhash64("shingle").alias("__h")
-        ),
-    )
+    sh = _swap_cache("minhash", hashed_shingles(documents, text_col, k))
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}")
         for i in range(N_PERMS)
@@ -251,6 +256,7 @@ def simhash_pairs(
     documents: DataFrame,
     max_hamming: int = 6,
     text_col: str = "text",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash hamming distance.
 
@@ -258,10 +264,17 @@ def simhash_pairs(
     (unigram features degenerate when the vocabulary is small — most docs
     would share most tokens). Banding on 8 disjoint bytes finds every pair
     with hamming ≤ 7 exactly (pigeonhole); candidates are verified with
-    bit_count(xor).
+    bit_count(xor). Pass ``sh`` (a hashed_shingles table, e.g. the
+    registry's fingerprint memo shared with the Jaccard family — the
+    feature hash is the same xxhash64 over the same k=3 shingles) to
+    skip the shingle build.
     """
-    h = shingles(documents, text_col, k=3).select(
-        "doc_id", F.xxhash64("shingle").alias("th")
+    h = (
+        sh.select("doc_id", F.col("__h").alias("th"))
+        if sh is not None
+        else hashed_shingles(documents, text_col, k=3).select(
+            "doc_id", F.col("__h").alias("th")
+        )
     )
     # Pack the 64 per-bit counters into 16 SUM aggregates, 4 × 16-bit
     # lanes each: lane k of aggregate j counts set bits at position
@@ -546,6 +559,7 @@ def ngram_containment_pairs(
     threshold: float,
     text_col: str = "text",
     k: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs where one doc's shingle set is largely CONTAINED in the
     other's: max(|A∩B|/|A|, |A∩B|/|B|) ≥ threshold.
@@ -559,14 +573,12 @@ def ngram_containment_pairs(
 
     Same physical shape as the Jaccard op (and the same shared shingle
     persist): hashed-shingle equi-join for intersections, two reduced-side
-    size joins, row-local arithmetic — no cross product.
+    size joins, row-local arithmetic — no cross product. Pass ``sh`` (a
+    hashed_shingles table, e.g. the registry's fingerprint memo) to skip
+    the shingle build.
     """
-    sh = _swap_cache(
-        "jaccard",
-        shingles(documents, text_col, k).select(
-            "doc_id", F.xxhash64("shingle").alias("__h")
-        ),
-    )
+    if sh is None:
+        sh = _swap_cache("jaccard", hashed_shingles(documents, text_col, k))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "__h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "__h")
@@ -596,6 +608,7 @@ def doc_novelty(
     documents: DataFrame,
     text_col: str = "text",
     k: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document novelty: the share of a doc's shingles that FIRST
     appear in that doc (first occurrence = smallest doc_id carrying the
@@ -608,14 +621,12 @@ def doc_novelty(
     first-occurrence attribution is one groupBy(shingle) MIN plus a join
     back — shuffles fixed 8-byte keys, never text. The 64-bit collision
     trade matches ngram_jaccard_pairs (collision probability
-    ~distinct²/2⁶⁴ against the string-exact oracle).
+    ~distinct²/2⁶⁴ against the string-exact oracle). Pass ``sh`` (a
+    hashed_shingles table, e.g. the registry's fingerprint memo) to skip
+    the shingle build.
     """
-    sh = _swap_cache(
-        "jaccard",
-        shingles(documents, text_col, k).select(
-            "doc_id", F.xxhash64("shingle").alias("__h")
-        ),
-    )
+    if sh is None:
+        sh = _swap_cache("jaccard", hashed_shingles(documents, text_col, k))
     first = sh.groupBy("__h").agg(F.min("doc_id").alias("__first"))
     return (
         sh.join(first, "__h")

@@ -111,6 +111,7 @@ def clear_model_caches() -> None:
         _DSIR_W_CACHE,
         _TOK_COUNTS_CACHE,
         _ASSIGN_CACHE,
+        _SHINGLE_CACHE,
     ):
         for df in cache.values():
             df.unpersist(blocking=False)
@@ -1333,6 +1334,29 @@ _SHINGLE_SQL = """
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
 """
 
+#: Shared hashed-shingle index (doc_id, __h): containment, novelty and
+#: SimHash all start from exactly this table (same tokenizing, same
+#: xxhash64) — the standing index a production near-dup pipeline keeps
+#: between runs. Fingerprint-keyed, single live handle, MEMORY_AND_DISK.
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingles_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    df = _SHINGLE_CACHE.get(key)
+    if df is None:
+        for old in _SHINGLE_CACHE.values():
+            old.unpersist(blocking=False)
+        _SHINGLE_CACHE.clear()
+        from pyspark.storagelevel import StorageLevel
+
+        df = neardup.hashed_shingles(
+            load_table(spark, sf_dir, "documents")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE[key] = df
+    return df
+
+
 #: Shared exact-Jaccard pair table: the pair view (`ngram_jaccard_dups`)
 #: and the cluster resolution built on it (`dedup_clusters`) consume the
 #: SAME pairs — a real pipeline materializes that intermediate once. One
@@ -1402,9 +1426,12 @@ def ngram_jaccard_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc novelty share (first-occurrence shingle attribution) —
-    dedup-aware corpus growth accounting; shares the hashed-shingle
-    persist with the Jaccard ops."""
-    return neardup.doc_novelty(load_table(spark, sf_dir, "documents"))
+    dedup-aware corpus growth accounting; consumes the memoized
+    hashed-shingle index shared with containment and SimHash."""
+    return neardup.doc_novelty(
+        load_table(spark, sf_dir, "documents"),
+        sh=_shingles_for(spark, sf_dir),
+    )
 
 
 _CONTAINMENT_TAU = 0.8
@@ -1437,9 +1464,11 @@ _CONTAINMENT_TAU = 0.8
 def ngram_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dups (Broder 1997): subset/quotation
     pairs that symmetric Jaccard misses; same hashed-shingle join shape
-    and shared shingle persist as the Jaccard op."""
+    as the Jaccard op, consuming the memoized shingle index."""
     return neardup.ngram_containment_pairs(
-        load_table(spark, sf_dir, "documents"), _CONTAINMENT_TAU
+        load_table(spark, sf_dir, "documents"),
+        _CONTAINMENT_TAU,
+        sh=_shingles_for(spark, sf_dir),
     )
 
 
@@ -1484,8 +1513,13 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")  # rows-only: depends on Spark xxhash64
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-banded near-dup pairs."""
-    return neardup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    """SimHash hamming-banded near-dup pairs over the memoized
+    hashed-shingle index (the feature hash is the Jaccard family's
+    xxhash64 shingle hash)."""
+    return neardup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        sh=_shingles_for(spark, sf_dir),
+    )
 
 
 _ANN_DIMS = 64
@@ -5445,6 +5479,9 @@ _WINDOW_CRITICAL = {
     "tfidf_top_terms",
     "vocab_top_k",
     "vocab_coverage_curve",
+    # r6: shared memoized hashed-shingle index
+    "ngram_containment_dups",
+    "doc_novelty_profile",
 }
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (
     "changed-this-round query outside the driver's 50-slot window: "
