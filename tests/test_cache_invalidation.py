@@ -99,6 +99,29 @@ def test_centroid_memo_bounded_across_corpora(spark, tmp_path):
     assert np.isfinite([x for _cid, ce in a for x in ce]).all()
 
 
+def test_clear_model_caches_covers_every_registry_cache(spark, tmp_path):
+    """Every module-level *_CACHE in the registry must be emptied by
+    clear_model_caches() — guards the easy future bug of adding a memo
+    and forgetting the reset hook."""
+    d = str(tmp_path)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    _write_docs(spark, d, [(1, base), (2, base)])
+    # populate a couple of cheap ones so the test isn't vacuous
+    registry._jaccard_pairs_for(spark, d)
+    registry._shingles_for(spark, d)
+    registry._tok_counts_for(spark, d)
+    caches = {
+        name: obj
+        for name, obj in vars(registry).items()
+        if name.endswith("_CACHE")
+    }
+    assert len(caches) >= 7, sorted(caches)  # the known memo population
+    assert any(len(c) for c in caches.values())
+    registry.clear_model_caches()
+    for name, c in caches.items():
+        assert len(c) == 0, f"{name} not cleared by clear_model_caches()"
+
+
 def test_clear_model_caches_resets(spark, tmp_path):
     d = str(tmp_path)
     _write_docs(spark, d, [(1, "alpha beta gamma delta epsilon zeta eta")])
