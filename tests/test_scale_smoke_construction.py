@@ -61,6 +61,34 @@ def test_sign_flip_is_orthogonal_map(spark):
     assert flipped[1] != f5[1]
 
 
+def test_skew_smoke_corpus_has_the_claimed_hot_keys(spark, tmp_path):
+    """The skew torture corpus must actually contain the hot keys it
+    advertises: ~30% of orders on custkey 1, ~30% of events on user 1,
+    ~50% of events on one type — otherwise the <=3x assertions pass
+    vacuously against a uniform corpus."""
+    from tools.skew_smoke import build_skewed
+
+    src, dst = str(tmp_path / "u"), str(tmp_path / "s")
+    spark.createDataFrame(
+        [(i, i % 97 + 2, float(i)) for i in range(1000)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{src}/orders.parquet")
+    spark.createDataFrame(
+        [(i, i % 89 + 2, f"t{i % 7}") for i in range(1000)],
+        "event_id long, user_id long, event_type string",
+    ).write.mode("overwrite").parquet(f"{src}/events.parquet")
+    build_skewed(spark, src, dst)
+    orders = spark.read.parquet(f"{dst}/orders.parquet")
+    events = spark.read.parquet(f"{dst}/events.parquet")
+    hot_orders = orders.filter(F.col("o_custkey") == 1).count() / 1000
+    hot_users = events.filter(F.col("user_id") == 1).count() / 1000
+    hot_type = events.filter(F.col("event_type") == "hot").count() / 1000
+    assert 0.25 <= hot_orders <= 0.35, hot_orders
+    assert 0.25 <= hot_users <= 0.35, hot_users
+    assert 0.45 <= hot_type <= 0.55, hot_type
+    assert orders.count() == 1000 and events.count() == 1000
+
+
 def test_word_suffix_kills_cross_replica_shingles(spark, tmp_path):
     from snowflake_to_bq_pipeline_spark.operators.neardup import (
         hashed_shingles,
