@@ -108,6 +108,7 @@ def ngram_jaccard_pairs(
     threshold: float,
     text_col: str = "text",
     k: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold (exact, via shingle join).
 
@@ -117,9 +118,11 @@ def ngram_jaccard_pairs(
     longs. Same collision trade the MinHash verification path documents:
     a 64-bit collision off-by-ones one intersection count with
     probability ~distinct²/2⁶⁴ — negligible against the DuckDB oracle's
-    string-exact counts.
+    string-exact counts. Pass ``sh`` (a hashed_shingles table, e.g. the
+    registry's fingerprint memo) to skip the shingle build.
     """
-    sh = _swap_cache("jaccard", hashed_shingles(documents, text_col, k))
+    if sh is None:
+        sh = _swap_cache("jaccard", hashed_shingles(documents, text_col, k))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "__h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "__h")
@@ -372,6 +375,8 @@ def incremental_neardup_check(
     threshold: float,
     text_col: str = "text",
     k: int = 3,
+    sh_corpus: DataFrame | None = None,
+    sh_incoming: DataFrame | None = None,
 ) -> DataFrame:
     """Check INCOMING docs against an EXISTING corpus (daily-increment
     dedup: the batch flow of "is today's crawl already in the training
@@ -389,22 +394,32 @@ def incremental_neardup_check(
     """
     from pyspark.sql import Window
 
-    sh_old = _swap_cache(
-        "incremental_index",
-        shingles(corpus, text_col, k).select(
-            F.col("doc_id").alias("corpus_id"),
-            F.xxhash64("shingle").alias("__h"),
-        ),
-    )
+    if sh_corpus is not None:
+        # precomputed hashed_shingles slices (e.g. filters of the
+        # registry's fingerprint memo) — already persisted upstream
+        sh_old = sh_corpus.select(
+            F.col("doc_id").alias("corpus_id"), "__h"
+        )
+    else:
+        sh_old = _swap_cache(
+            "incremental_index",
+            shingles(corpus, text_col, k).select(
+                F.col("doc_id").alias("corpus_id"),
+                F.xxhash64("shingle").alias("__h"),
+            ),
+        )
     # Persisted like the corpus side: sizes and the probe join both
     # consume it, and Spark does not reuse the explode+dedup exchange
     # across consumers (the module-wide 0-ReusedExchange finding).
-    sh_new = _swap_cache(
-        "incremental_incoming",
-        shingles(incoming, text_col, k).select(
-            F.col("doc_id"), F.xxhash64("shingle").alias("__h")
-        ),
-    )
+    if sh_incoming is not None:
+        sh_new = sh_incoming.select("doc_id", "__h")
+    else:
+        sh_new = _swap_cache(
+            "incremental_incoming",
+            shingles(incoming, text_col, k).select(
+                F.col("doc_id"), F.xxhash64("shingle").alias("__h")
+            ),
+        )
     sz_old = sh_old.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("__szo"))
     sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__szn"))
     inter = (
