@@ -21,7 +21,7 @@ import re
 import sys
 import time
 
-from snowflake_to_bq_pipeline_spark.registry import QUERIES
+from snowflake_to_bq_pipeline_spark.registry import MEMO_CONSUMERS, QUERIES
 from snowflake_to_bq_pipeline_spark.session import get_spark
 
 # Every registry query is benched (sorted for stable ordering) so
@@ -82,6 +82,16 @@ def main() -> None:
 
     total = round(sum(bests.values()), 3)
     spreads = {n: round(max(ts) - min(ts), 3) for n, ts in all_reps.items()}
+    # Memo provenance: queries riding a cross-query fingerprint memo
+    # record warm-memo bests — the shared build cost (shingle index, tok
+    # counts, k-means model, ...) lands only in the first rep of that
+    # memo's first benched consumer (the "cold carrier"). Flagged so a
+    # cross-round delta on a flagged query is read against its memo
+    # cohort, not as a standalone engine win.
+    cold_carriers: dict[str, str] = {}
+    for name in BENCH_QUERIES:
+        for helper in MEMO_CONSUMERS.get(name, ()):
+            cold_carriers.setdefault(helper, name)
     # The full per-query map outgrew the driver's tail capture in round 2
     # (BENCH_r02 "parsed": null) — keep complete timings (best + every rep
     # + spread per query) in a sidecar file and print a compact one-line
@@ -100,6 +110,10 @@ def main() -> None:
                 "queries": bests,
                 "rep_times": all_reps,
                 "spreads": spreads,
+                "memo_consumers": {
+                    n: list(hs) for n, hs in sorted(MEMO_CONSUMERS.items())
+                },
+                "memo_cold_carriers": cold_carriers,
                 "sf": sf,
             },
             f,

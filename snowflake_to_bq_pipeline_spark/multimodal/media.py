@@ -153,28 +153,40 @@ def repartition_for_media(
         r["__pid"]: r["s"]
         for r in ranged.groupBy("__pid").agg(F.sum("__bytes").alias("s")).collect()
     }
+    # Every pid in [0, n) gets an offset row — empty partitions contribute
+    # 0 — and the join below is LEFT with coalesce(__off, 0): if the
+    # persisted `ranged` is ever recomputed (cache eviction on a cluster,
+    # or a prior handle unpersisted by a later swap_cache call) and
+    # repartitionByRange re-samples boundaries, a row landing in a pid the
+    # offsets job never saw degrades bin packing instead of being silently
+    # dropped by an inner join on a missing pid.
     offsets, acc = [], 0
-    for pid in sorted(per):
+    for pid in range(max([n] + [p + 1 for p in per])):
         offsets.append((pid, acc))
-        acc += per[pid] or 0
+        acc += per.get(pid) or 0
     n_bins = max(1, int(acc / target_bytes_per_partition) + 1)
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
     w = (
         Window.partitionBy("__pid")
         .orderBy("media_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    start = F.sum("__bytes").over(w) - F.col("__bytes") + F.col("__off")
+    start = F.sum("__bytes").over(w) - F.col("__bytes") + F.coalesce(
+        F.col("__off"), F.lit(0).cast("long")
+    )
     binned = (
-        ranged.join(F.broadcast(off_df), "__pid")
+        ranged.join(F.broadcast(off_df), "__pid", "left")
         .withColumn(
             # exact integer floor-div (decimal, not double: byte offsets
-            # past 2^53 would misbin under double division)
+            # past 2^53 would misbin under double division); the bin id
+            # itself is long — with a small target (tests use 64 KB) or a
+            # 100 TB corpus, byte_total/target overflows int and a wrapped
+            # negative bin would scramble the range partitioning
             "__bin",
             F.floor(
                 start.cast("decimal(38,0)")
                 / F.lit(target_bytes_per_partition)
-            ).cast("int"),
+            ).cast("long"),
         )
     )
     return binned.repartitionByRange(n_bins, "__bin").drop(

@@ -36,6 +36,19 @@ N_PERMS = 32
 N_BANDS = 8  # 4 rows per band
 SIMHASH_CHUNKS = 8
 
+#: Hot-shingle (stop-phrase) guard: a shingle carried by d docs explodes
+#: the candidate self-join to d² rows in ONE bucket — the lexical twin of
+#: the TF-IDF hot-token hazard, and THE 100 TB killer when a boilerplate
+#: phrase (license header, crawler banner) lands in a large corpus
+#: fraction. Shingles with document frequency above
+#: ``max(DF_CAP_MIN, n_docs // DF_CAP_FRAC)`` are pruned from CANDIDATE
+#: GENERATION only; candidates are exactly re-scored over the FULL
+#: shingle sets, and small docs that a pruned shingle could still carry
+#: over the threshold are exempted from pruning (see
+#: ``_guard_plan_or_none``) — output provably identical for ANY cap.
+DF_CAP_MIN = 64
+DF_CAP_FRAC = 50
+
 
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per doc with its canonical (min doc_id) exact-dup group."""
@@ -97,9 +110,133 @@ def hashed_shingles(
     memoizes it per corpus snapshot (``_shingles_for``) so a session
     running several family members builds the explode+dedup+hash once;
     between daily runs this is what a production pipeline would persist
-    as the standing index."""
+    as the standing index.
+
+    The ``__h`` column carries (k, text_col) as column metadata so every
+    consumer that accepts a precomputed table can verify it was built
+    with matching parameters (see :func:`_require_shingle_table`) — a
+    caller handing containment a k=5 index built off another column
+    fails loudly instead of returning silently-wrong pair counts."""
     return shingles(documents, text_col, k).select(
-        "doc_id", F.xxhash64("shingle").alias("__h")
+        "doc_id",
+        F.xxhash64("shingle").alias(
+            "__h", metadata={"shingle_k": k, "shingle_text_col": text_col}
+        ),
+    )
+
+
+def _require_shingle_table(
+    sh: DataFrame, text_col: str, k: int, caller: str
+) -> None:
+    """Fail loudly when a precomputed shingle table doesn't match the
+    caller's (text_col, k) contract.
+
+    Shape is always enforced ((doc_id, __h) present); provenance is
+    enforced when the table carries :func:`hashed_shingles`' metadata
+    tag. A foreign table without the tag passes the shape check only —
+    the documented caller contract still applies to it.
+    """
+    missing = {"doc_id", "__h"} - set(sh.columns)
+    if missing:
+        raise ValueError(
+            f"{caller}: precomputed shingle table lacks column(s) "
+            f"{sorted(missing)}; expected a hashed_shingles(doc_id, __h) "
+            f"table"
+        )
+    meta = sh.schema["__h"].metadata or {}
+    got_k = meta.get("shingle_k")
+    got_col = meta.get("shingle_text_col")
+    if got_k is not None and int(got_k) != k:
+        raise ValueError(
+            f"{caller}: precomputed shingle table was built with "
+            f"k={got_k}, but the call requests k={k}"
+        )
+    if got_col is not None and got_col != text_col:
+        raise ValueError(
+            f"{caller}: precomputed shingle table was built over "
+            f"text_col={got_col!r}, but the call requests "
+            f"text_col={text_col!r}"
+        )
+
+
+def _df_guard_candidates(
+    sh: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    df_cap: int | None,
+) -> DataFrame | None:
+    """Hot-shingle-guarded candidate pairs, or None when no shingle's
+    document frequency exceeds the cap — the clean-corpus common case,
+    where the simple exact self-join is the better plan (the guard then
+    costs exactly one bounded two-aggregate job; the fixed-overhead
+    lesson from the semdedup grid).
+
+    Exactness (why the output is identical for ANY cap): let HOT be the
+    shingles with df > cap and H = |HOT|. Candidates come from joining
+    CAND × FULL, where CAND drops a doc's HOT shingles unless the doc is
+    small (size ≤ H/threshold). A pair at or above the threshold either
+    (a) shares a non-HOT shingle — found through CAND's cold rows — or
+    (b) shares only HOT shingles, so its intersection ≤ H; then Jaccard
+    j ≤ H/max(size_a, size_b) and containment c ≤ H/min(size_a, size_b),
+    so clearing the threshold forces the deciding doc's size ≤
+    H/threshold — that doc is exempt, its HOT shingles stay in CAND, and
+    the pair is found via CAND(small) × FULL(other). Candidates are
+    re-scored over FULL shingle sets downstream, so pruning shrinks only
+    the candidate set, never the output. (Same exactness-preserving
+    shape as the TF-IDF max-df guard, operators/text.py.)
+
+    A corpus of near-identical boilerplate docs still pairs
+    quadratically through the exemption — but there the OUTPUT is
+    genuinely quadratic; no candidate scheme can beat its own result
+    size.
+    """
+    df_tab = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    stats = (
+        df_tab.agg(F.max("__df").alias("max_df"))
+        .crossJoin(sizes.agg(F.count(F.lit(1)).alias("n_docs")))
+        .collect()[0]
+    )
+    cap = (
+        df_cap
+        if df_cap is not None
+        else max(DF_CAP_MIN, (stats["n_docs"] or 0) // DF_CAP_FRAC)
+    )
+    if stats["max_df"] is None or stats["max_df"] <= cap:
+        return None
+    hot = df_tab.filter(F.col("__df") > cap).select(
+        "__h", F.lit(True).alias("__hot")
+    )
+    n_hot = hot.count()
+    exempt_sz = n_hot / threshold
+    cand_rows = (
+        sh.join(hot, "__h", "left")
+        .join(sizes, "doc_id")
+        .filter(F.col("__hot").isNull() | (F.col("sz") <= F.lit(exempt_sz)))
+        .select("doc_id", "__h")
+    )
+    return (
+        cand_rows.select(F.col("doc_id").alias("doc_x"), "__h")
+        .join(sh.select(F.col("doc_id").alias("doc_y"), "__h"), "__h")
+        .filter(F.col("doc_x") != F.col("doc_y"))
+        .select(
+            F.least("doc_x", "doc_y").alias("doc_a"),
+            F.greatest("doc_x", "doc_y").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _pair_intersections(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact intersection counts over FULL shingle sets, restricted to
+    the given candidate pairs (the same verification shape as the
+    MinHash path)."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), "__h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "__h")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "__h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection_size"))
     )
 
 
@@ -109,6 +246,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     sh: DataFrame | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold (exact, via shingle join).
 
@@ -123,15 +261,21 @@ def ngram_jaccard_pairs(
     """
     if sh is None:
         sh = _swap_cache("jaccard", hashed_shingles(documents, text_col, k))
+    else:
+        _require_shingle_table(sh, text_col, k, "ngram_jaccard_pairs")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "__h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "__h")
-    inter = (
-        a.join(b, "__h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("intersection_size"))
-    )
+    cand = _df_guard_candidates(sh, sizes, threshold, df_cap)
+    if cand is None:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "__h")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "__h")
+        inter = (
+            a.join(b, "__h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("intersection_size"))
+        )
+    else:
+        inter = _pair_intersections(sh, cand)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
     j = F.col("intersection_size").cast("double") / (
@@ -272,13 +416,13 @@ def simhash_pairs(
     feature hash is the same xxhash64 over the same k=3 shingles) to
     skip the shingle build.
     """
-    h = (
-        sh.select("doc_id", F.col("__h").alias("th"))
-        if sh is not None
-        else hashed_shingles(documents, text_col, k=3).select(
+    if sh is not None:
+        _require_shingle_table(sh, text_col, 3, "simhash_pairs")
+        h = sh.select("doc_id", F.col("__h").alias("th"))
+    else:
+        h = hashed_shingles(documents, text_col, k=3).select(
             "doc_id", F.col("__h").alias("th")
         )
-    )
     # Pack the 64 per-bit counters into 16 SUM aggregates, 4 × 16-bit
     # lanes each: lane k of aggregate j counts set bits at position
     # 4j + k, shifted to bit 16k. Lanes never carry into each other while
@@ -377,6 +521,7 @@ def incremental_neardup_check(
     k: int = 3,
     sh_corpus: DataFrame | None = None,
     sh_incoming: DataFrame | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Check INCOMING docs against an EXISTING corpus (daily-increment
     dedup: the batch flow of "is today's crawl already in the training
@@ -397,6 +542,9 @@ def incremental_neardup_check(
     if sh_corpus is not None:
         # precomputed hashed_shingles slices (e.g. filters of the
         # registry's fingerprint memo) — already persisted upstream
+        _require_shingle_table(
+            sh_corpus, text_col, k, "incremental_neardup_check(sh_corpus)"
+        )
         sh_old = sh_corpus.select(
             F.col("doc_id").alias("corpus_id"), "__h"
         )
@@ -412,6 +560,9 @@ def incremental_neardup_check(
     # consume it, and Spark does not reuse the explode+dedup exchange
     # across consumers (the module-wide 0-ReusedExchange finding).
     if sh_incoming is not None:
+        _require_shingle_table(
+            sh_incoming, text_col, k, "incremental_neardup_check(sh_incoming)"
+        )
         sh_new = sh_incoming.select("doc_id", "__h")
     else:
         sh_new = _swap_cache(
@@ -422,11 +573,56 @@ def incremental_neardup_check(
         )
     sz_old = sh_old.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("__szo"))
     sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__szn"))
-    inter = (
-        sh_new.join(sh_old, "__h")
-        .groupBy("doc_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("__i"))
+    # Hot-shingle guard, asymmetric form: cap on the CORPUS index's
+    # document frequencies (the big side). Probe shingles that hit a
+    # hot corpus shingle are dropped from candidate generation unless
+    # the incoming doc is small (szn <= n_hot/threshold): a pair whose
+    # overlap is hot-only has intersection <= n_hot, so j >= threshold
+    # forces szn <= n_hot/threshold — the exempt doc keeps its hot
+    # probes and the pair survives. Candidates are re-scored over the
+    # full indexes, so output is identical for any cap (the
+    # _df_guard_candidates exactness argument, one-sided).
+    df_old = sh_old.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    stats = (
+        df_old.agg(F.max("__df").alias("max_df"))
+        .crossJoin(sz_old.agg(F.count(F.lit(1)).alias("n_docs")))
+        .collect()[0]
     )
+    cap = (
+        df_cap
+        if df_cap is not None
+        else max(DF_CAP_MIN, (stats["n_docs"] or 0) // DF_CAP_FRAC)
+    )
+    if stats["max_df"] is not None and stats["max_df"] > cap:
+        hot = df_old.filter(F.col("__df") > cap).select(
+            "__h", F.lit(True).alias("__hot")
+        )
+        exempt_sz = hot.count() / threshold
+        cand_new = (
+            sh_new.join(hot, "__h", "left")
+            .join(sz_new, "doc_id")
+            .filter(
+                F.col("__hot").isNull() | (F.col("__szn") <= F.lit(exempt_sz))
+            )
+            .select("doc_id", "__h")
+        )
+        cand_pairs = (
+            cand_new.join(sh_old, "__h")
+            .select("doc_id", "corpus_id")
+            .dropDuplicates(["doc_id", "corpus_id"])
+        )
+        inter = (
+            cand_pairs.join(sh_new, "doc_id")
+            .join(sh_old, ["corpus_id", "__h"])
+            .groupBy("doc_id", "corpus_id")
+            .agg(F.count(F.lit(1)).alias("__i"))
+        )
+    else:
+        inter = (
+            sh_new.join(sh_old, "__h")
+            .groupBy("doc_id", "corpus_id")
+            .agg(F.count(F.lit(1)).alias("__i"))
+        )
     j = F.col("__i").cast("double") / (
         F.col("__szn") + F.col("__szo") - F.col("__i")
     )
@@ -575,6 +771,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     k: int = 3,
     sh: DataFrame | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Pairs where one doc's shingle set is largely CONTAINED in the
     other's: max(|A∩B|/|A|, |A∩B|/|B|) ≥ threshold.
@@ -594,15 +791,21 @@ def ngram_containment_pairs(
     """
     if sh is None:
         sh = _swap_cache("jaccard", hashed_shingles(documents, text_col, k))
+    else:
+        _require_shingle_table(sh, text_col, k, "ngram_containment_pairs")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "__h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "__h")
-    inter = (
-        a.join(b, "__h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("intersection_size"))
-    )
+    cand = _df_guard_candidates(sh, sizes, threshold, df_cap)
+    if cand is None:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "__h")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "__h")
+        inter = (
+            a.join(b, "__h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("intersection_size"))
+        )
+    else:
+        inter = _pair_intersections(sh, cand)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
     c_a = F.col("intersection_size").cast("double") / F.col("size_a").cast("double")
@@ -642,6 +845,8 @@ def doc_novelty(
     """
     if sh is None:
         sh = _swap_cache("jaccard", hashed_shingles(documents, text_col, k))
+    else:
+        _require_shingle_table(sh, text_col, k, "doc_novelty")
     first = sh.groupBy("__h").agg(F.min("doc_id").alias("__first"))
     return (
         sh.join(first, "__h")

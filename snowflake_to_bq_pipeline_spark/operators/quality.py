@@ -33,6 +33,16 @@ def profile_columns(
     Single scan: one aggregate computing every metric, then an unpivot
     (``stack``) to rows. ``exact=False`` switches to approx_count_distinct
     (HLL) — the right call at 100 TB where exact multi-distinct explodes.
+
+    Multi-distinct audit (SURVEY §4 "avoid Expand"): with exact=True and
+    N profiled columns this is a deliberate N-way Expand — the only
+    Expand-free exact alternative (unpivot-first, then one distinct per
+    column_name group) shuffles the same N× value rows, so there is no
+    plan that beats Expand here; the scale lever is exact=False, which
+    replaces all N distinct groups with HLL sketches in one plain
+    aggregate. Unlike reporting_lag_analysis (2 distincts over a
+    reusable pair grain, rewritten as joined single-distinct partials),
+    a global per-column profile has no smaller grain to pre-aggregate.
     """
     distinct_fn = F.countDistinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("row_count")]

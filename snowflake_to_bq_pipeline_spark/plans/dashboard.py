@@ -410,10 +410,18 @@ def reporting_lag_analysis(
 
     Scale: one partial aggregation at the (order, contributor) grain,
     one broadcast-or-shuffle join to orders on the order key, then a
-    date-grain rollup whose two exact distinct counts ride Spark's
-    standard two-phase distinct expansion. Averages derive from exact
-    integer sums, divided once and rounded 6.
+    date-grain rollup. The two exact distinct counts are on DIFFERENT
+    keys, which in a single aggregate would ride Spark's Expand rewrite
+    (3× row amplification of the pair grain through the shuffle — the
+    SURVEY §4 "multi-distinct avoids Expand" rule). Instead the pair
+    table is persisted once (swap_cache) and the rollup is two
+    single-distinct aggregates joined on the date key: a single distinct
+    plans as plain two-phase hash aggregation — no Expand node, which
+    tests/test_plans.py asserts. Averages derive from exact integer
+    sums, divided once and rounded 6.
     """
+    from ..operators._cache import swap_cache
+
     per = (
         lineitem.filter(F.col("l_returnflag") == "N")
         .groupBy("l_orderkey", "l_suppkey")
@@ -424,24 +432,43 @@ def reporting_lag_analysis(
         )
     )
     due = F.timestamp_add("DAY", F.lit(due_days), F.col("o_orderdate"))
-    joined = per.join(
-        orders.select("o_orderkey", due.alias("__due")),
-        per.l_orderkey == F.col("o_orderkey"),
-    )
     lag = F.datediff(F.col("__due"), F.col("__last_entry"))
-    return (
-        joined.groupBy(F.col("__due").alias("reporting_date"))
-        .agg(
-            F.count(F.lit(1)).alias("pair_count"),
-            F.sum("__records").alias("total_records"),
-            money(F.sum("__hours_dec")).alias("total_hours"),
-            F.round(
-                F.sum(lag).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
-            ).alias("avg_reporting_lag_days"),
-            F.max(lag).cast("long").alias("max_reporting_lag_days"),
-            F.countDistinct("l_orderkey").alias("unique_orders"),
-            F.countDistinct("l_suppkey").alias("unique_contributors"),
-        )
+    # Persisted: the date-grain rollup and the contributor-distinct
+    # aggregate both consume this pair-grain table, and Spark does not
+    # reuse the aggregation exchange across consumers (module-wide
+    # 0-ReusedExchange finding). Pair grain ≪ lineitem grain, so the
+    # cache is small at any scale.
+    joined = swap_cache(
+        "dashboard.reporting_pairs",
+        per.join(
+            orders.select("o_orderkey", due.alias("__due")),
+            per.l_orderkey == F.col("o_orderkey"),
+        ).select(
+            "l_orderkey", "l_suppkey", "__due", "__records", "__hours_dec",
+            lag.alias("__lag"),
+        ),
+    )
+    main = joined.groupBy(F.col("__due").alias("reporting_date")).agg(
+        F.count(F.lit(1)).alias("pair_count"),
+        F.sum("__records").alias("total_records"),
+        money(F.sum("__hours_dec")).alias("total_hours"),
+        F.round(
+            F.sum("__lag").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_reporting_lag_days"),
+        F.max("__lag").cast("long").alias("max_reporting_lag_days"),
+        F.countDistinct("l_orderkey").alias("unique_orders"),
+    )
+    contributors = joined.groupBy(F.col("__due").alias("reporting_date")).agg(
+        F.countDistinct("l_suppkey").alias("unique_contributors")
+    )
+    return main.join(contributors, "reporting_date").select(
+        "reporting_date",
+        "pair_count",
+        "total_records",
+        "total_hours",
+        "avg_reporting_lag_days",
+        "max_reporting_lag_days",
+        "unique_orders",
+        "unique_contributors",
     )

@@ -1374,8 +1374,14 @@ def _jaccard_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
         _JACCARD_PAIRS_CACHE.clear()
         from pyspark.storagelevel import StorageLevel
 
+        # sh= : consume the shared hashed-shingle memo instead of letting
+        # ngram_jaccard_pairs build (and _swap_cache-persist) a second
+        # copy of the identical (doc_id, __h) index the containment/
+        # novelty/simhash family already holds.
         df = neardup.ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), _JACCARD_TAU
+            load_table(spark, sf_dir, "documents"),
+            _JACCARD_TAU,
+            sh=_shingles_for(spark, sf_dir),
         ).persist(StorageLevel.MEMORY_AND_DISK)
         _JACCARD_PAIRS_CACHE[key] = df
     return df
@@ -4781,7 +4787,17 @@ def incremental_dedup_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     incoming = docs.filter(F.col("doc_id") % 5 == 0)
-    return neardup.incremental_neardup_check(corpus, incoming, _JACCARD_TAU)
+    # Slices of the shared hashed-shingle memo: shingling is per-doc, so
+    # filtering the corpus-wide index by doc_id is exactly the index of
+    # the filtered docs — no second explode+dedup+hash build.
+    sh = _shingles_for(spark, sf_dir)
+    return neardup.incremental_neardup_check(
+        corpus,
+        incoming,
+        _JACCARD_TAU,
+        sh_corpus=sh.filter(F.col("doc_id") % 5 != 0),
+        sh_incoming=sh.filter(F.col("doc_id") % 5 == 0),
+    )
 
 
 _SUBSTR_W = 40
@@ -5299,13 +5315,94 @@ def embedding_outlier_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINDOW_ORDER = [
     # -- DRIVER WINDOW (first 50): the driver hash-checks only these --
-    # engine code changed this round (r6): money_from_micros_sum widened
-    # its decimal intermediate (all micros-sum consumers), utilization_
-    # rollup gained the salted two-phase coarse sum, and tfidf_top_terms /
-    # vocab_top_k / vocab_coverage_curve share the memoized unigram
-    # tok_counts intermediate (tfidf_doc_similarity's 3-gram chain is
-    # disjoint by design and unchanged; it keeps a slot as the most
-    # recently touched heavy query)
+    # engine code changed this round (r7): the shared hashed-shingle
+    # memo now feeds the exact-Jaccard pair table (and through it the
+    # cluster/savings consumers) and the incremental check's corpus/
+    # incoming slices; reporting_lag_analysis dropped its two-distinct
+    # Expand for joined single-distinct partials over a persisted pair
+    # grain
+    "ngram_jaccard_dups",
+    "incremental_dedup_check",
+    "dedup_clusters",
+    "dedup_savings_report",
+    "reporting_lag_analysis",
+    # r4-vintage stable passers — the oldest driver verdicts in the
+    # registry (rotation cohort per VERDICT r6 item 1)
+    "dsir_select_topk",
+    "source_mix_temperature",
+    "substring_dup_profile",
+    "dsir_importance_weights",
+    "charlm_perplexity",
+    "scd2_status_history",
+    "click_attribution",
+    "json_props_profile",
+    "robust_value_stats",
+    "stale_snapshot_audit",
+    "open_orders_by_day",
+    "mad_outlier_profile",
+    "customer_revenue_deciles",
+    "snapshot_changelog",
+    "event_lateness_profile",
+    "retention_cohorts",
+    "funnel_conversion",
+    "key_skew_profile",
+    "rolling_revenue_7d",
+    "priority_sample_docs",
+    "group_percentiles_exact",
+    "backfill_progress",
+    "column_value_drift",
+    "token_count_bpe",
+    "dataset_split_assign",
+    "event_session_stats",
+    "paragraph_dedup",
+    "distribution_drift_psi",
+    "sequence_packing",
+    "pack_fill_summary",
+    "source_language_mix",
+    "repetition_filter",
+    # oldest r5-vintage fill (longest-unchecked after the r4 block)
+    "multivariate_anomaly",
+    "cross_split_contamination",
+    "alert_digest",
+    "full_sync_snapshot",
+    "incremental_sync_window",
+    "merge_upsert",
+    "orphaned_records",
+    "missing_records",
+    "dedup_latest_record",
+    "sync_date_dedup",
+    "paginated_extract",
+    "chunked_backfill_plan",
+    "cdc_fold_snapshot",
+    # -- past the window: remaining r5-checked, then r6-checked -------
+    "incremental_agg_maintenance",
+    "row_count_by_day",
+    "data_quality_metrics",
+    "freshness_check",
+    "row_count_compare",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "dedup_exact",
+    "doc_fingerprint",
+    "text_stats",
+    "text_quality_score",
+    "lang_id",
+    "ann_cosine_topk",
+    "embedding_dup_pairs",
+    "doc_length_histogram",
+    "error_window_events",
+    "event_sessions",
+    "user_running_totals",
+    "user_activity_trend",
+    "events_windowed_counts",
+    "pipeline_alerts",
+    "volume_anomaly",
+    "volume_anomaly_dow",
+    "dup_key_audit",
+    # r6-checked (freshest verdicts, rotated out of the window)
     "utilization_rollup",
     "client_budget_rollup",
     "contributor_utilization_rollup",
@@ -5316,8 +5413,6 @@ _WINDOW_ORDER = [
     "tfidf_top_terms",
     "vocab_top_k",
     "tfidf_doc_similarity",
-    # r3-vintage stable passers, last driver-checked in round 3 (the 28
-    # oldest verdicts in the registry)
     "asof_join_last_purchase",
     "bloom_filtered_entries",
     "decontamination_overlap",
@@ -5346,97 +5441,17 @@ _WINDOW_ORDER = [
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_accounts",
-    # r4-vintage stable passers (oldest 13 of the r4 block)
     "gopher_quality_rules",
     "embedding_outlier_topk",
     "bom_per_case_consumption",
     "ngram_containment_dups",
     "vocab_coverage_curve",
-    "reporting_lag_analysis",
     "char_entropy_score",
     "doc_novelty_profile",
     "status_flap_audit",
     "source_quality_report",
     "shard_assignment_balanced",
     "shard_balance_summary",
-    # -- past the window: remaining r4-checked, then r5-checked -------
-    "dsir_select_topk",
-    "source_mix_temperature",
-    "substring_dup_profile",
-    "dsir_importance_weights",
-    "charlm_perplexity",
-    "incremental_dedup_check",
-    "scd2_status_history",
-    "click_attribution",
-    "json_props_profile",
-    "robust_value_stats",
-    "stale_snapshot_audit",
-    "open_orders_by_day",
-    "mad_outlier_profile",
-    "customer_revenue_deciles",
-    "snapshot_changelog",
-    "event_lateness_profile",
-    "retention_cohorts",
-    "funnel_conversion",
-    "key_skew_profile",
-    "rolling_revenue_7d",
-    "priority_sample_docs",
-    "group_percentiles_exact",
-    "backfill_progress",
-    "column_value_drift",
-    "token_count_bpe",
-    "dataset_split_assign",
-    "event_session_stats",
-    "paragraph_dedup",
-    "distribution_drift_psi",
-    "sequence_packing",
-    "pack_fill_summary",
-    "source_language_mix",
-    "repetition_filter",
-    "ngram_jaccard_dups",
-    # r5-checked (freshest verdicts, rotated out of the window)
-    "multivariate_anomaly",
-    "cross_split_contamination",
-    "dedup_savings_report",
-    "alert_digest",
-    "full_sync_snapshot",
-    "incremental_sync_window",
-    "merge_upsert",
-    "orphaned_records",
-    "missing_records",
-    "dedup_latest_record",
-    "sync_date_dedup",
-    "paginated_extract",
-    "chunked_backfill_plan",
-    "cdc_fold_snapshot",
-    "incremental_agg_maintenance",
-    "row_count_by_day",
-    "data_quality_metrics",
-    "freshness_check",
-    "row_count_compare",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_supplier_volume",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "dedup_exact",
-    "doc_fingerprint",
-    "text_stats",
-    "text_quality_score",
-    "lang_id",
-    "ann_cosine_topk",
-    "embedding_dup_pairs",
-    "doc_length_histogram",
-    "error_window_events",
-    "event_sessions",
-    "user_running_totals",
-    "user_activity_trend",
-    "events_windowed_counts",
-    "pipeline_alerts",
-    "volume_anomaly",
-    "volume_anomaly_dow",
-    "dup_key_audit",
-    "dedup_clusters",
     # -- rows-only ops (no oracle possible, must never hold a slot) ---
     "bpe_merge_table",
     "bpe_encode_tokens",
@@ -5465,23 +5480,15 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 #: driver hash verdict, so each must sit inside the 50-slot window.  Update
 #: this set whenever a round touches a query's plan or oracle.
 _WINDOW_CRITICAL = {
-    # r6: salted two-phase coarse money sum
-    "utilization_rollup",
-    # r6: money_from_micros_sum widened to a decimal(38,0) intermediate —
-    # every micros-sum consumer gets a fresh hash verdict
-    "client_budget_rollup",
-    "contributor_utilization_rollup",
-    "view_variance_detection",
-    "budget_fallback_allocation",
-    "budget_vs_actual",
-    "individual_budget_tracking",
-    # r6: shared memoized unigram tok_counts intermediate
-    "tfidf_top_terms",
-    "vocab_top_k",
-    "vocab_coverage_curve",
-    # r6: shared memoized hashed-shingle index
-    "ngram_containment_dups",
-    "doc_novelty_profile",
+    # r7: hashed-shingle memo wired into the exact-Jaccard pair table —
+    # every consumer of _jaccard_pairs_for gets a fresh hash verdict
+    "ngram_jaccard_dups",
+    "dedup_clusters",
+    "dedup_savings_report",
+    # r7: corpus/incoming slices of the shingle memo
+    "incremental_dedup_check",
+    # r7: Expand-free two-partial distinct rollup
+    "reporting_lag_analysis",
 }
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (
     "changed-this-round query outside the driver's 50-slot window: "
@@ -5494,3 +5501,62 @@ assert all(
 
 QUERIES = {name: QUERIES[name] for name in _WINDOW_ORDER}
 ORACLES = {name: ORACLES[name] for name in _WINDOW_ORDER if name in ORACLES}
+
+
+# ---------------------------------------------------------------------------
+# Cross-query memo provenance (introspected, not hand-maintained).
+#
+# bench.py's best-of-N protocol structurally under-counts queries that
+# consume the fingerprint memos above: the shared build cost (shingle
+# index, tok counts, k-means model, ...) lands in the FIRST rep of the
+# FIRST consumer and every recorded best is a warm-memo time. So the
+# bench sidecar flags exactly which queries ride which memo — derived
+# from each registered function's source at import (transitively: e.g.
+# _jaccard_pairs_for itself builds on _shingles_for), so a new consumer
+# can never silently escape the flag.
+# ---------------------------------------------------------------------------
+
+_MEMO_HELPERS = (
+    "_shingles_for",
+    "_jaccard_pairs_for",
+    "_minhash_pairs_for",
+    "_tok_counts_for",
+    "_centroids_for",
+    "_assigned_for",
+    "_bpe_merges_for",
+    "_dsir_weights_for",
+)
+
+
+def _memo_helpers_called(fn) -> frozenset:
+    import inspect
+    import re as _re
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # pragma: no cover - C callables only
+        return frozenset()
+    return frozenset(h for h in _MEMO_HELPERS if _re.search(rf"\b{h}\(", src))
+
+
+_HELPER_DEPS = {
+    h: _memo_helpers_called(globals()[h]) - {h} for h in _MEMO_HELPERS
+}
+
+
+def _memo_closure(helpers) -> frozenset:
+    out, frontier = set(helpers), list(helpers)
+    while frontier:
+        for dep in _HELPER_DEPS[frontier.pop()]:
+            if dep not in out:
+                out.add(dep)
+                frontier.append(dep)
+    return frozenset(out)
+
+
+#: query name -> sorted tuple of memo helpers its plan consumes
+MEMO_CONSUMERS: dict[str, tuple[str, ...]] = {
+    name: tuple(sorted(_memo_closure(_memo_helpers_called(fn))))
+    for name, fn in QUERIES.items()
+    if _memo_helpers_called(fn)
+}

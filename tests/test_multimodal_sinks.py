@@ -448,3 +448,18 @@ def test_write_training_shards_one_file_per_shard(spark, sf_dir, tmp_path):
         (r["doc_id"], int(r["shard_id"])) for r in assigned.collect()
     }
     assert got == want
+
+
+def test_repartition_for_media_empty_partitions_and_cache_loss(spark):
+    """Offsets cover EVERY range partition id (empty ones contribute 0)
+    and the offset join is a left join: a boundary desync after cache
+    loss degrades bin packing instead of silently dropping rows. Rows
+    << defaultParallelism forces empty pids; clearCache() between plan
+    build and materialization simulates executor cache eviction (the
+    persisted `ranged` recomputes and repartitionByRange re-samples)."""
+    m = media.synthetic_media(spark, n=7)  # 32-way range partitioning
+    out = media.repartition_for_media(m, target_bytes_per_partition=128)
+    spark.catalog.clearCache()
+    assert out.count() == 7
+    ids = sorted(r.media_id for r in out.select("media_id").collect())
+    assert ids == list(range(7))

@@ -122,3 +122,138 @@ def test_minhash_recall_report_floor(spark, sf_dir):
     assert row["precision"] == 1.0
     # Banding recall floor (same bar as test_minhash_recall).
     assert row["recall"] >= 0.9, row
+
+
+def test_precomputed_shingle_table_guard(spark, sf_dir):
+    """A precomputed shingle table built with a mismatched k or text
+    column must fail LOUDLY in every consumer that accepts one — a
+    silent mismatch would return wrong pair/novelty results."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    sh_k5 = neardup.hashed_shingles(docs, k=5)
+
+    for call in (
+        lambda: neardup.ngram_jaccard_pairs(docs, 0.6, k=3, sh=sh_k5),
+        lambda: neardup.ngram_containment_pairs(docs, 0.8, k=3, sh=sh_k5),
+        lambda: neardup.doc_novelty(docs, k=3, sh=sh_k5),
+        lambda: neardup.simhash_pairs(docs, sh=sh_k5),
+        lambda: neardup.incremental_neardup_check(
+            docs, docs, 0.6, k=3, sh_corpus=sh_k5
+        ),
+        lambda: neardup.incremental_neardup_check(
+            docs, docs, 0.6, k=3, sh_incoming=sh_k5
+        ),
+    ):
+        with pytest.raises(ValueError, match="k=5"):
+            call()
+
+    # wrong source column is caught too
+    sh_other_col = neardup.hashed_shingles(
+        docs.withColumn("other", docs.text), text_col="other"
+    )
+    with pytest.raises(ValueError, match="text_col"):
+        neardup.ngram_jaccard_pairs(docs, 0.6, sh=sh_other_col)
+
+    # shape check: a frame without (doc_id, __h) is rejected outright
+    with pytest.raises(ValueError, match="doc_id"):
+        neardup.doc_novelty(docs, sh=docs.select("text"))
+
+    # a MATCHING table passes and reproduces the self-built result;
+    # metadata survives the filter/select lineage the registry applies
+    sh_ok = neardup.hashed_shingles(docs).filter("doc_id >= 0")
+    got = _pairs(neardup.ngram_jaccard_pairs(docs, 0.6, sh=sh_ok))
+    want = _pairs(neardup.ngram_jaccard_pairs(docs, 0.6))
+    assert got == want
+
+
+def _hot_phrase_docs(spark, sf_dir):
+    """sf0.001 documents with a boilerplate stop-phrase appended to half
+    the corpus — one shingle's df jumps to ~50% of docs (the hot-shingle
+    hazard the df-cap guard exists for)."""
+    from pyspark.sql import functions as F
+
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" zzz stop phrase")),
+        ).otherwise(F.col("text")),
+    )
+
+
+def test_df_guard_jaccard_output_identical(spark, sf_dir):
+    """The hot-shingle guard must be invisible in the OUTPUT: forcing it
+    with a tiny cap (df_cap=2 prunes nearly every shingle from candidate
+    generation) reproduces the naive self-join's pairs exactly — the
+    exactness-preserving-prune contract."""
+    docs = _hot_phrase_docs(spark, sf_dir)
+    for tau in (0.4, 0.6):
+        naive = {
+            (r.doc_a, r.doc_b, r.intersection_size, r.size_a, r.size_b, r.jaccard)
+            for r in neardup.ngram_jaccard_pairs(
+                docs, tau, df_cap=10**9
+            ).collect()
+        }
+        guarded = {
+            (r.doc_a, r.doc_b, r.intersection_size, r.size_a, r.size_b, r.jaccard)
+            for r in neardup.ngram_jaccard_pairs(docs, tau, df_cap=2).collect()
+        }
+        assert guarded == naive
+        assert naive, "hot-phrase corpus should still contain true pairs"
+
+
+def test_df_guard_containment_output_identical(spark, sf_dir):
+    docs = _hot_phrase_docs(spark, sf_dir)
+    key = lambda r: (
+        r.doc_a, r.doc_b, r.intersection_size, r.size_a, r.size_b,
+        r.containment_a, r.containment_b,
+    )
+    naive = {
+        key(r)
+        for r in neardup.ngram_containment_pairs(
+            docs, 0.6, df_cap=10**9
+        ).collect()
+    }
+    guarded = {
+        key(r)
+        for r in neardup.ngram_containment_pairs(docs, 0.6, df_cap=2).collect()
+    }
+    assert guarded == naive and naive
+
+
+def test_df_guard_incremental_output_identical(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _hot_phrase_docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    key = lambda r: (r.doc_id, r.best_match_id, r.best_jaccard, r.is_duplicate)
+    naive = {
+        key(r)
+        for r in neardup.incremental_neardup_check(
+            corpus, incoming, 0.6, df_cap=10**9
+        ).collect()
+    }
+    guarded = {
+        key(r)
+        for r in neardup.incremental_neardup_check(
+            corpus, incoming, 0.6, df_cap=2
+        ).collect()
+    }
+    assert guarded == naive and naive
+
+
+def test_df_guard_tiny_doc_exemption_catches_hot_only_pair(spark):
+    """Adversarial case for the exemption rule: two tiny docs whose ONLY
+    overlap is the hot shingle itself. Pruning without the size
+    exemption would lose the pair; the guard must keep it."""
+    rows = [(i, "zzz stop phrase") for i in range(10)]  # identical tiny docs
+    rows += [(100 + i, f"unique text number {i} for doc {i} filler") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in neardup.ngram_jaccard_pairs(docs, 0.9, df_cap=2).collect()
+    }
+    want = {(a, b) for a in range(10) for b in range(10) if a < b}
+    assert got == want

@@ -215,3 +215,42 @@ def test_alert_digest_no_cartesian_and_broadcast_rollups(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the per-source rollup joins are tiny-side broadcasts
     assert "BroadcastHashJoin" in plan
+
+
+def test_reporting_lag_has_no_expand(spark, sf_dir):
+    """Two exact distincts on DIFFERENT keys (orders, contributors) must
+    NOT plan as Spark's Expand rewrite (3x row amplification of the pair
+    grain through the shuffle): the operator computes them as two
+    single-distinct aggregates over the persisted pair table, joined on
+    the date key (SURVEY §4 'multi-distinct avoids Expand')."""
+    plan = _plan(QUERIES["reporting_lag_analysis"](spark, sf_dir))
+    assert "Expand" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_registry_no_expand_sweep(spark, sf_dir):
+    """No oracle-gated query plans an Expand for multi-distinct
+    aggregation (ROLLUP/GROUPING SETS legitimately use Expand — those
+    queries are exempted explicitly and their Expand is the grouping-set
+    replication Spark is DESIGNED to do, ~|grouping sets| small, not a
+    per-distinct-column blowup)."""
+    exempt = {
+        # ROLLUP: Expand IS the operator (grouping-set replication)
+        "sales_rollup_sets",
+        # global per-column profile with exact distincts: the audited
+        # deliberate Expand (operators/quality.py:profile_columns — the
+        # Expand-free exact rewrite shuffles the same N x value rows, so
+        # there is no better exact plan; the scale lever is exact=False)
+        "data_quality_metrics",
+    }
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name in exempt:
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            continue  # rows-only ops needing extra setup are pytest-gated elsewhere
+        if "Expand" in plan:
+            offenders.append(name)
+    assert not offenders, f"Expand in plans of: {offenders}"

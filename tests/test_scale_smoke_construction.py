@@ -77,16 +77,36 @@ def test_skew_smoke_corpus_has_the_claimed_hot_keys(spark, tmp_path):
         [(i, i % 89 + 2, f"t{i % 7}") for i in range(1000)],
         "event_id long, user_id long, event_type string",
     ).write.mode("overwrite").parquet(f"{src}/events.parquet")
+    spark.createDataFrame(
+        [(i, f"unique words for document number {i} go here") for i in range(1000)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(f"{src}/documents.parquet")
     build_skewed(spark, src, dst)
     orders = spark.read.parquet(f"{dst}/orders.parquet")
     events = spark.read.parquet(f"{dst}/events.parquet")
+    docs = spark.read.parquet(f"{dst}/documents.parquet")
     hot_orders = orders.filter(F.col("o_custkey") == 1).count() / 1000
     hot_users = events.filter(F.col("user_id") == 1).count() / 1000
     hot_type = events.filter(F.col("event_type") == "hot").count() / 1000
+    hot_docs = docs.filter(F.col("text").endswith("zzz stop phrase")).count() / 1000
     assert 0.25 <= hot_orders <= 0.35, hot_orders
     assert 0.25 <= hot_users <= 0.35, hot_users
     assert 0.45 <= hot_type <= 0.55, hot_type
+    assert 0.45 <= hot_docs <= 0.55, hot_docs
+    # the injected stop-phrase really is ONE shingle in half the corpus
+    # (the df-cap guard's trigger condition — not just a suffix string)
+    from snowflake_to_bq_pipeline_spark.operators.neardup import hashed_shingles
+
+    max_df = (
+        hashed_shingles(docs)
+        .groupBy("__h")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_df >= 450, max_df
     assert orders.count() == 1000 and events.count() == 1000
+    assert docs.count() == 1000
 
 
 def test_word_suffix_kills_cross_replica_shingles(spark, tmp_path):

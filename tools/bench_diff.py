@@ -1,0 +1,135 @@
+"""Round-over-round bench comparison: the regression/improvement table
+the judge builds by hand, as one command.
+
+Usage:
+    python tools/bench_diff.py r5 r6          # BENCH_r05.json vs BENCH_r06.json
+    python tools/bench_diff.py r6 details     # ...vs the current bench_details.json
+    python tools/bench_diff.py A.json B.json  # explicit paths
+
+Per-query bests come from either artifact form:
+- ``BENCH_r{N}.json``: the driver's capture — per-query lines live in the
+  ``tail`` field as ``# name: best Xs of [a, b, c]`` (single-shot rounds
+  had ``# name: Xs``); only the queries inside the tail window are
+  visible, so cross-round comparison is restricted to the COMMON visible
+  set and says so.
+- ``bench_details.json``: the bench sidecar with every query's best +
+  reps.
+
+Interpretation guards baked into the output:
+- this VM shows a measured ~17% same-code whole-run swing, so each delta
+  is annotated NOISE when the new best lies inside the old rep spread
+  (and vice versa) — only deltas outside both spreads are flagged;
+- memo-consumer queries (registry.MEMO_CONSUMERS) are marked ``[memo]``:
+  their bests are warm-memo times, so a delta there must be read against
+  the whole memo cohort, not as a standalone engine win.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # script runs with tools/ as sys.path[0]
+
+_TAIL_BEST = re.compile(
+    r"# ([\w]+): best ([0-9.]+)s of \[([0-9., ]+)\]"
+)
+_TAIL_SINGLE = re.compile(r"# ([\w]+): ([0-9.]+)s\s*$", re.M)
+
+
+def _resolve(arg: str) -> str:
+    if os.path.exists(arg):
+        return arg
+    m = re.fullmatch(r"r(\d+)", arg)
+    if m:
+        return os.path.join(REPO, f"BENCH_r{int(m.group(1)):02d}.json")
+    if arg == "details":
+        return os.path.join(REPO, "bench_details.json")
+    raise SystemExit(f"cannot resolve bench artifact {arg!r}")
+
+
+def load_bests(path: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Return (best_sec, rep_times) per query from either artifact form."""
+    with open(path) as f:
+        doc = json.load(f)
+    if "rep_times" in doc:  # bench_details.json
+        return doc["queries"], doc["rep_times"]
+    tail = doc.get("tail", "")
+    bests: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
+    for m in _TAIL_BEST.finditer(tail):
+        name, best, rep_s = m.group(1), float(m.group(2)), m.group(3)
+        bests[name] = best
+        reps[name] = [float(x) for x in rep_s.split(",")]
+    if not bests:  # single-shot rounds (r1-r5)
+        for m in _TAIL_SINGLE.finditer(tail):
+            bests[m.group(1)] = float(m.group(2))
+            reps[m.group(1)] = [float(m.group(2))]
+    return bests, reps
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__)
+    a_path, b_path = _resolve(sys.argv[1]), _resolve(sys.argv[2])
+    a_best, a_reps = load_bests(a_path)
+    b_best, b_reps = load_bests(b_path)
+
+    try:
+        from snowflake_to_bq_pipeline_spark.registry import MEMO_CONSUMERS
+    except Exception:  # tool must not die if the engine can't import
+        MEMO_CONSUMERS = {}
+
+    common = sorted(set(a_best) & set(b_best))
+    if not common:
+        raise SystemExit("no common queries between the two artifacts")
+
+    rows = []
+    for name in common:
+        old, new = a_best[name], b_best[name]
+        ratio = new / old if old > 0 else float("inf")
+        old_hi = max(a_reps.get(name, [old]))
+        new_hi = max(b_reps.get(name, [new]))
+        # inside either run's own rep spread → indistinguishable from VM noise
+        noise = (new <= old_hi) and (old <= new_hi)
+        rows.append((ratio, name, old, new, noise))
+    rows.sort()
+
+    flags = lambda n, noise: (
+        ("[memo]" if n in MEMO_CONSUMERS else "")
+        + ("[noise]" if noise else "")
+    )
+    print(f"# {os.path.basename(a_path)} -> {os.path.basename(b_path)}")
+    print(f"# common visible queries: {len(common)}")
+    print(f"{'query':38} {'old_s':>8} {'new_s':>8} {'ratio':>7}  flags")
+    for ratio, name, old, new, noise in rows:
+        print(f"{name:38} {old:8.3f} {new:8.3f} {ratio:7.2f}  {flags(name, noise)}")
+
+    tot_a = sum(a_best[n] for n in common)
+    tot_b = sum(b_best[n] for n in common)
+    mids = [r for r, *_ in rows]
+    median = mids[len(mids) // 2]
+    improved = [n for r, n, _o, _v, noise in rows if r < 1 and not noise]
+    regressed = [n for r, n, _o, _v, noise in rows if r > 1 and not noise]
+    print()
+    print(
+        json.dumps(
+            {
+                "common_n": len(common),
+                "old_total_sec": round(tot_a, 3),
+                "new_total_sec": round(tot_b, 3),
+                "total_ratio": round(tot_b / tot_a, 3) if tot_a else None,
+                "median_ratio": round(median, 3),
+                "improved_beyond_spread": improved,
+                "regressed_beyond_spread": regressed,
+                "memo_flagged": sorted(set(common) & set(MEMO_CONSUMERS)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,14 @@ assumed. This tool builds a skewed twin of the sf0.1 corpus:
 - ``orders``: one customer (custkey 1) owns ~30% of all orders — every
   customer-side join and per-client rollup sees a hot key;
 - ``events``: one user owns ~30% of all events (hot window/sessionization
-  partition) and one event type covers ~50% (hot aggregate group).
+  partition) and one event type covers ~50% (hot aggregate group);
+- ``documents``: one boilerplate stop-PHRASE appended to ~50% of docs —
+  one shingle's document frequency jumps to half the corpus, which is
+  the realistic 100 TB hazard for the lexical near-dup family (a naive
+  shingle self-join puts (n/2)² pair rows in ONE hash bucket; the
+  reference's postmortems are exactly this shape). The engine's df-cap
+  guard (operators/neardup.py:_df_guard_candidates) must keep the
+  hot-corpus runtime within the ceiling while remaining exact.
 
 It then times the join/window family on both corpora (best-of-N per
 side) and asserts no query runs > RATIO_CEILING x its uniform-key time.
@@ -56,11 +63,15 @@ SMOKE_QUERIES = [
     "dedup_latest_record",         # latest-per-user over events (hot user)
     "events_windowed_counts",      # windowed agg (hot event type group)
     "event_sessions",              # sessionization window (hot user part.)
+    "ngram_jaccard_dups",          # shingle self-join (hot stop-phrase)
+    "ngram_containment_dups",      # same index, asymmetric measure
+    "incremental_dedup_check",     # probe-vs-index join (hot stop-phrase)
 ]
 
 HOT_ORDER_FRAC = 0.3   # orders moved to custkey 1
 HOT_USER_FRAC = 0.3    # events moved to user 1
 HOT_TYPE_FRAC = 0.5    # events remapped to one event type
+HOT_PHRASE_FRAC = 0.5  # docs carrying the boilerplate stop-phrase
 RATIO_CEILING = 3.0
 REPS = 2
 
@@ -93,6 +104,16 @@ def build_skewed(spark, src: str, dst: str) -> None:
                 F.when(
                     F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit("hot")
                 ).otherwise(F.col("event_type")),
+            )
+        elif t == "documents":
+            # ~50% of docs gain one shared boilerplate 3-gram (plus two
+            # doc-unique bridging shingles at the splice point)
+            df = df.withColumn(
+                "text",
+                F.when(
+                    F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+                    F.concat(F.col("text"), F.lit(" zzz stop phrase")),
+                ).otherwise(F.col("text")),
             )
         df.write.mode("overwrite").parquet(f"{dst}/{fname}")
 
@@ -232,6 +253,7 @@ def main() -> int:
         "hot_order_frac": HOT_ORDER_FRAC,
         "hot_user_frac": HOT_USER_FRAC,
         "hot_type_frac": HOT_TYPE_FRAC,
+        "hot_phrase_frac": HOT_PHRASE_FRAC,
         "ratio_ceiling": RATIO_CEILING,
         "reps": REPS,
         "queries": report,
