@@ -5326,6 +5326,7 @@ _WINDOW_ORDER = [
     "dedup_clusters",
     "dedup_savings_report",
     "reporting_lag_analysis",
+    "sales_rollup_sets",
     # r4-vintage stable passers — the oldest driver verdicts in the
     # registry (rotation cohort per VERDICT r6 item 1)
     "dsir_select_topk",
@@ -5373,8 +5374,8 @@ _WINDOW_ORDER = [
     "sync_date_dedup",
     "paginated_extract",
     "chunked_backfill_plan",
-    "cdc_fold_snapshot",
     # -- past the window: remaining r5-checked, then r6-checked -------
+    "cdc_fold_snapshot",
     "incremental_agg_maintenance",
     "row_count_by_day",
     "data_quality_metrics",
@@ -5420,7 +5421,6 @@ _WINDOW_ORDER = [
     "monthly_hours_pivot",
     "pii_redaction",
     "quality_filter_funnel",
-    "sales_rollup_sets",
     "source_mix_weights",
     "stratified_sample_mix",
     "work_item_enriched",
@@ -5489,6 +5489,8 @@ _WINDOW_CRITICAL = {
     "incremental_dedup_check",
     # r7: Expand-free two-partial distinct rollup
     "reporting_lag_analysis",
+    # r7: ROLLUP moved onto the pre-aggregated leaf grain
+    "sales_rollup_sets",
 }
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (
     "changed-this-round query outside the driver's 50-slot window: "

@@ -20,3 +20,66 @@ def test_query_matches_oracle(name, spark, sf_dir, ddb):
 def test_rows_only_query_runs(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_memo_consumers_introspection_is_complete():
+    """MEMO_CONSUMERS is derived from query sources at import — pin the
+    known relationships (including the transitive one through
+    _jaccard_pairs_for) so a helper rename or a refactor that silently
+    breaks the introspection fails here instead of silently un-flagging
+    bench results."""
+    from snowflake_to_bq_pipeline_spark.registry import MEMO_CONSUMERS
+
+    expect = {
+        "tfidf_top_terms": {"_tok_counts_for"},
+        "vocab_top_k": {"_tok_counts_for"},
+        "vocab_coverage_curve": {"_tok_counts_for"},
+        "doc_novelty_profile": {"_shingles_for"},
+        "ngram_containment_dups": {"_shingles_for"},
+        "dedup_simhash": {"_shingles_for"},
+        "incremental_dedup_check": {"_shingles_for"},
+        # transitive: these call _jaccard_pairs_for, which itself
+        # consumes the shingle memo
+        "ngram_jaccard_dups": {"_jaccard_pairs_for", "_shingles_for"},
+        "dedup_clusters": {"_jaccard_pairs_for", "_shingles_for"},
+        "dedup_savings_report": {"_jaccard_pairs_for", "_shingles_for"},
+        "kmeans_doc_clusters": {"_assigned_for", "_centroids_for"},
+        "semdedup_prune": {"_assigned_for", "_centroids_for"},
+        "dsir_importance_weights": {"_dsir_weights_for"},
+        "dsir_select_topk": {"_dsir_weights_for"},
+        "bpe_merge_table": {"_bpe_merges_for"},
+        "bpe_encode_tokens": {"_bpe_merges_for"},
+        "dedup_minhash_lsh": {"_minhash_pairs_for"},
+    }
+    for name, helpers in expect.items():
+        assert helpers <= set(MEMO_CONSUMERS.get(name, ())), name
+    # non-consumers must NOT be flagged (a false flag would discount a
+    # genuine engine win in the bench read)
+    for name in ("q1_pricing_summary", "text_stats", "budget_vs_actual"):
+        assert name not in MEMO_CONSUMERS
+
+
+def test_bench_diff_tool_parses_both_artifact_forms(tmp_path):
+    import json
+    import subprocess
+    import sys as _sys
+
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps({
+        "tail": "# q_one: best 1.0s of [1.2, 1.0, 1.1]\n"
+                "# q_two: best 2.0s of [2.0, 2.4, 2.2]\n"
+    }))
+    b.write_text(json.dumps({
+        "queries": {"q_one": 0.5, "q_two": 3.0, "q_extra": 1.0},
+        "rep_times": {"q_one": [0.5, 0.6], "q_two": [3.0, 3.1],
+                      "q_extra": [1.0]},
+    }))
+    out = subprocess.run(
+        [_sys.executable, "tools/bench_diff.py", str(a), str(b)],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    ).stdout
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["common_n"] == 2
+    assert summary["improved_beyond_spread"] == ["q_one"]
+    assert summary["regressed_beyond_spread"] == ["q_two"]
