@@ -48,6 +48,13 @@ SIMHASH_CHUNKS = 8
 #: ``_guard_plan_or_none``) — output provably identical for ANY cap.
 DF_CAP_MIN = 64
 DF_CAP_FRAC = 50
+#: hot shingle hashes ship as a driver-side InSet predicate up to this
+#: many (Catalyst hash-set conversion keeps execution O(1) per row and
+#: the plan under ~100 KB); a corpus with more distinct hot shingles
+#: than this is wall-to-wall boilerplate — the guard declines and the
+#: plain plan runs (its per-bucket cost bounded by that same flat df
+#: distribution)
+_HOT_LIST_MAX = 10_000
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -159,40 +166,19 @@ def _require_shingle_table(
         )
 
 
-def _df_guard_candidates(
-    sh: DataFrame,
-    sizes: DataFrame,
-    threshold: float,
-    df_cap: int | None,
-) -> DataFrame | None:
-    """Hot-shingle-guarded candidate pairs, or None when no shingle's
-    document frequency exceeds the cap — the clean-corpus common case,
-    where the simple exact self-join is the better plan (the guard then
-    costs exactly one bounded two-aggregate job; the fixed-overhead
-    lesson from the semdedup grid).
-
-    Exactness (why the output is identical for ANY cap): let HOT be the
-    shingles with df > cap and H = |HOT|. Candidates come from joining
-    CAND × FULL, where CAND drops a doc's HOT shingles unless the doc is
-    small (size ≤ H/threshold). A pair at or above the threshold either
-    (a) shares a non-HOT shingle — found through CAND's cold rows — or
-    (b) shares only HOT shingles, so its intersection ≤ H; then Jaccard
-    j ≤ H/max(size_a, size_b) and containment c ≤ H/min(size_a, size_b),
-    so clearing the threshold forces the deciding doc's size ≤
-    H/threshold — that doc is exempt, its HOT shingles stay in CAND, and
-    the pair is found via CAND(small) × FULL(other). Candidates are
-    re-scored over FULL shingle sets downstream, so pruning shrinks only
-    the candidate set, never the output. (Same exactness-preserving
-    shape as the TF-IDF max-df guard, operators/text.py.)
-
-    A corpus of near-identical boilerplate docs still pairs
-    quadratically through the exemption — but there the OUTPUT is
-    genuinely quadratic; no candidate scheme can beat its own result
-    size.
-    """
+def _df_guard_stats(sh: DataFrame, sizes: DataFrame, df_cap: int | None):
+    """ONE bounded job deciding whether the hot-shingle guard is needed:
+    returns (cap, n_over_thr, max_df exceeded?). n_over_thr counts
+    df > min-possible-cap, so it upper-bounds the true hot count for
+    any auto cap — a larger bound only widens the exemption (more pairs
+    checked exactly), never loses one."""
+    thr = df_cap if df_cap is not None else DF_CAP_MIN
     df_tab = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
     stats = (
-        df_tab.agg(F.max("__df").alias("max_df"))
+        df_tab.agg(
+            F.max("__df").alias("max_df"),
+            F.sum((F.col("__df") > thr).cast("long")).alias("n_over_thr"),
+        )
         .crossJoin(sizes.agg(F.count(F.lit(1)).alias("n_docs")))
         .collect()[0]
     )
@@ -201,42 +187,155 @@ def _df_guard_candidates(
         if df_cap is not None
         else max(DF_CAP_MIN, (stats["n_docs"] or 0) // DF_CAP_FRAC)
     )
-    if stats["max_df"] is None or stats["max_df"] <= cap:
+    fires = stats["max_df"] is not None and stats["max_df"] > cap
+    return df_tab, cap, stats["n_over_thr"], fires
+
+
+def _df_guard_probe(
+    df_tab: DataFrame, sizes, size_col: str, cap: int, exempt_sz: float
+) -> tuple[list, int]:
+    """One combined job collecting the hot-hash list AND the exempt-doc
+    count (docs small enough that hot shingles alone could carry them
+    over the threshold). Both are bounded: hot hashes by _HOT_LIST_MAX
+    (checked by the caller), the count is one row."""
+    probe = df_tab.filter(F.col("__df") > cap).select(
+        F.col("__h"), F.lit(None).cast("long").alias("__cnt")
+    ).unionByName(
+        sizes.filter(F.col(size_col) <= F.lit(exempt_sz)).agg(
+            F.count(F.lit(1)).alias("__cnt")
+        ).select(F.lit(None).cast("long").alias("__h"), "__cnt")
+    )
+    hot_hashes, n_exempt = [], 0
+    for r in probe.collect():
+        if r["__h"] is not None:
+            hot_hashes.append(r["__h"])
+        else:
+            n_exempt = r["__cnt"]
+    return hot_hashes, n_exempt
+
+
+def _df_guard_pair_table(
+    sh: DataFrame,
+    threshold: float,
+    df_cap: int | None,
+) -> DataFrame | None:
+    """Exact (doc_a, doc_b, intersection_size, size_a, size_b) computed
+    hot-shingle-safely, or None when no shingle's document frequency
+    exceeds the cap — the clean-corpus common case, where the plain
+    self-join is the better plan (the guard then costs exactly one
+    bounded two-aggregate job; the fixed-overhead lesson from the
+    semdedup grid).
+
+    Guarded decomposition: intersection = COLD part + HOT part.
+
+    - COLD: the standard shingle self-join restricted to shingles with
+      df ≤ cap — per-bucket work is bounded by cap², never (n/2)².
+    - HOT: each doc carries at most |HOT| hot shingles, so they ride
+      the per-doc size aggregate as a collect_set column and the hot
+      overlap is |array_intersect(hs_a, hs_b)| computed AT the size
+      joins the op already does — zero extra joins, no explosion, and
+      no re-scoring of full shingle sets (a first cut re-scored
+      candidates over full sets; that multiplies every 1-shared-shingle
+      candidate by ~|doc| and measured 10× the naive time on the hot
+      corpus).
+    - Pairs whose overlap is hot-ONLY are added from the exemption
+      join: intersection ≤ |HOT| forces the deciding doc's size ≤
+      |HOT|/threshold (Jaccard divides by max size, containment by min
+      size), so joining just the EXEMPT docs' hot rows against all hot
+      rows recovers every such pair; when NO doc is small enough to be
+      exempt (the probe job counts them), the branch — and its
+      union+dedup — is skipped entirely. Same exactness-preserving
+      shape as the TF-IDF max-df guard (operators/text.py): output
+      identical for ANY cap.
+
+    A corpus of near-identical boilerplate docs still pairs
+    quadratically through the exemption — but there the OUTPUT is
+    genuinely quadratic; no candidate scheme can beat its own result
+    size.
+
+    A corpus with >_HOT_LIST_MAX distinct hot shingles (pathological —
+    a boilerplate corpus has a handful) falls back to the unguarded
+    plan rather than shipping an unbounded isin list; the naive plan's
+    per-bucket cost is bounded by that very df distribution being flat.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    df_tab, cap, n_hot_ub, fires = _df_guard_stats(sh, sizes, df_cap)
+    if not fires or n_hot_ub > _HOT_LIST_MAX:
         return None
-    hot = df_tab.filter(F.col("__df") > cap).select(
-        "__h", F.lit(True).alias("__hot")
+    exempt_sz = n_hot_ub / threshold
+    hot_hashes, n_exempt = _df_guard_probe(
+        df_tab, sizes, "sz", cap, exempt_sz
     )
-    n_hot = hot.count()
-    exempt_sz = n_hot / threshold
-    cand_rows = (
-        sh.join(hot, "__h", "left")
-        .join(sizes, "doc_id")
-        .filter(F.col("__hot").isNull() | (F.col("sz") <= F.lit(exempt_sz)))
-        .select("doc_id", "__h")
-    )
-    return (
-        cand_rows.select(F.col("doc_id").alias("doc_x"), "__h")
-        .join(sh.select(F.col("doc_id").alias("doc_y"), "__h"), "__h")
-        .filter(F.col("doc_x") != F.col("doc_y"))
-        .select(
-            F.least("doc_x", "doc_y").alias("doc_a"),
-            F.greatest("doc_x", "doc_y").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    is_hot = F.col("__h").isin(hot_hashes)
+    cold, hot = sh.filter(~is_hot), sh.filter(is_hot)
 
-
-def _pair_intersections(sh: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact intersection counts over FULL shingle sets, restricted to
-    the given candidate pairs (the same verification shape as the
-    MinHash path)."""
-    a = sh.select(F.col("doc_id").alias("doc_a"), "__h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "__h")
-    return (
-        pairs.join(a, "doc_a")
-        .join(b, ["doc_b", "__h"])
+    cold_inter = (
+        cold.select(F.col("doc_id").alias("doc_a"), "__h")
+        .join(cold.select(F.col("doc_id").alias("doc_b"), "__h"), "__h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("intersection_size"))
+        .agg(F.count(F.lit(1)).alias("__cold"))
+    )
+    if n_exempt > 0:
+        exempt_docs = sizes.filter(F.col("sz") <= F.lit(exempt_sz)).select(
+            "doc_id"
+        )
+        hot_only_pairs = (
+            hot.join(F.broadcast(exempt_docs), "doc_id")
+            .select(F.col("doc_id").alias("doc_x"), "__h")
+            .join(hot.select(F.col("doc_id").alias("doc_y"), "__h"), "__h")
+            .filter(F.col("doc_x") != F.col("doc_y"))
+            .select(
+                F.least("doc_x", "doc_y").alias("doc_a"),
+                F.greatest("doc_x", "doc_y").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        base = (
+            cold_inter.select("doc_a", "doc_b")
+            .unionByName(hot_only_pairs)
+            .dropDuplicates(["doc_a", "doc_b"])
+            .join(cold_inter, ["doc_a", "doc_b"], "left")
+        )
+    else:
+        base = cold_inter
+    # per-doc size + hot-shingle set in ONE aggregate: the op-level size
+    # joins double as the hot-overlap transport (collect_set ignores the
+    # when()'s nulls, so cold-only docs carry an empty array)
+    szhs = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.collect_set(F.when(is_hot, F.col("__h"))).alias("__hs"),
+    )
+    hot_shared = F.array_size(
+        F.array_intersect(F.col("__hs_a"), F.col("__hs_b"))
+    )
+    return (
+        base.join(
+            szhs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sz").alias("size_a"),
+                F.col("__hs").alias("__hs_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            szhs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sz").alias("size_b"),
+                F.col("__hs").alias("__hs_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("__cold"), F.lit(0).cast("long"))
+                + hot_shared.cast("long")
+            ).alias("intersection_size"),
+            "size_a",
+            "size_b",
+        )
     )
 
 
@@ -263,9 +362,9 @@ def ngram_jaccard_pairs(
         sh = _swap_cache("jaccard", hashed_shingles(documents, text_col, k))
     else:
         _require_shingle_table(sh, text_col, k, "ngram_jaccard_pairs")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    cand = _df_guard_candidates(sh, sizes, threshold, df_cap)
-    if cand is None:
+    scored = _df_guard_pair_table(sh, threshold, df_cap)
+    if scored is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
         a = sh.select(F.col("doc_id").alias("doc_a"), "__h")
         b = sh.select(F.col("doc_id").alias("doc_b"), "__h")
         inter = (
@@ -274,21 +373,19 @@ def ngram_jaccard_pairs(
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("intersection_size"))
         )
-    else:
-        inter = _pair_intersections(sh, cand)
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")
+        )
+        scored = inter.join(sa, "doc_a").join(sb, "doc_b")
     j = F.col("intersection_size").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("intersection_size")
     )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(j >= threshold)
-        .select(
-            "doc_a", "doc_b", "intersection_size", "size_a", "size_b",
-            j.alias("jaccard"),
-        )
+    return scored.filter(j >= threshold).select(
+        "doc_a", "doc_b", "intersection_size", "size_a", "size_b",
+        j.alias("jaccard"),
     )
 
 
@@ -582,40 +679,66 @@ def incremental_neardup_check(
     # probes and the pair survives. Candidates are re-scored over the
     # full indexes, so output is identical for any cap (the
     # _df_guard_candidates exactness argument, one-sided).
-    df_old = sh_old.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
-    stats = (
-        df_old.agg(F.max("__df").alias("max_df"))
-        .crossJoin(sz_old.agg(F.count(F.lit(1)).alias("n_docs")))
-        .collect()[0]
-    )
-    cap = (
-        df_cap
-        if df_cap is not None
-        else max(DF_CAP_MIN, (stats["n_docs"] or 0) // DF_CAP_FRAC)
-    )
-    if stats["max_df"] is not None and stats["max_df"] > cap:
-        hot = df_old.filter(F.col("__df") > cap).select(
-            "__h", F.lit(True).alias("__hot")
+    df_old_tab, cap, n_hot_ub, fires = _df_guard_stats(sh_old, sz_old, df_cap)
+    if fires and n_hot_ub <= _HOT_LIST_MAX:
+        exempt_sz = n_hot_ub / threshold
+        hot_hashes, n_exempt = _df_guard_probe(
+            df_old_tab, sz_new, "__szn", cap, exempt_sz
         )
-        exempt_sz = hot.count() / threshold
-        cand_new = (
-            sh_new.join(hot, "__h", "left")
-            .join(sz_new, "doc_id")
-            .filter(
-                F.col("__hot").isNull() | (F.col("__szn") <= F.lit(exempt_sz))
+        is_hot = F.col("__h").isin(hot_hashes)
+        cold_new, hot_new = sh_new.filter(~is_hot), sh_new.filter(is_hot)
+        cold_old, hot_old = sh_old.filter(~is_hot), sh_old.filter(is_hot)
+        # cold part: the plain probe join, hot buckets excluded
+        cold_inter = (
+            cold_new.join(cold_old, "__h")
+            .groupBy("doc_id", "corpus_id")
+            .agg(F.count(F.lit(1)).alias("__cold"))
+        )
+        if n_exempt > 0:
+            # hot-only pairs: only small (exempt) incoming docs can
+            # clear the threshold on hot shingles alone
+            exempt_docs = sz_new.filter(
+                F.col("__szn") <= F.lit(exempt_sz)
+            ).select("doc_id")
+            hot_only = (
+                hot_new.join(F.broadcast(exempt_docs), "doc_id")
+                .join(hot_old, "__h")
+                .select("doc_id", "corpus_id")
+                .dropDuplicates(["doc_id", "corpus_id"])
             )
-            .select("doc_id", "__h")
+            base = (
+                cold_inter.select("doc_id", "corpus_id")
+                .unionByName(hot_only)
+                .dropDuplicates(["doc_id", "corpus_id"])
+                .join(cold_inter, ["doc_id", "corpus_id"], "left")
+            )
+        else:
+            base = cold_inter
+        # hot part at PAIR grain via per-doc hot sets (≤ |HOT| elements)
+        hs_new = hot_new.groupBy("doc_id").agg(
+            F.collect_set("__h").alias("__hsn")
         )
-        cand_pairs = (
-            cand_new.join(sh_old, "__h")
-            .select("doc_id", "corpus_id")
-            .dropDuplicates(["doc_id", "corpus_id"])
+        hs_old = hot_old.groupBy("corpus_id").agg(
+            F.collect_set("__h").alias("__hso")
+        )
+        empty = F.array().cast("array<bigint>")
+        hot_shared = F.array_size(
+            F.array_intersect(
+                F.coalesce(F.col("__hsn"), empty),
+                F.coalesce(F.col("__hso"), empty),
+            )
         )
         inter = (
-            cand_pairs.join(sh_new, "doc_id")
-            .join(sh_old, ["corpus_id", "__h"])
-            .groupBy("doc_id", "corpus_id")
-            .agg(F.count(F.lit(1)).alias("__i"))
+            base.join(hs_new, "doc_id", "left")
+            .join(hs_old, "corpus_id", "left")
+            .select(
+                "doc_id",
+                "corpus_id",
+                (
+                    F.coalesce(F.col("__cold"), F.lit(0).cast("long"))
+                    + hot_shared.cast("long")
+                ).alias("__i"),
+            )
         )
     else:
         inter = (
@@ -793,9 +916,9 @@ def ngram_containment_pairs(
         sh = _swap_cache("jaccard", hashed_shingles(documents, text_col, k))
     else:
         _require_shingle_table(sh, text_col, k, "ngram_containment_pairs")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    cand = _df_guard_candidates(sh, sizes, threshold, df_cap)
-    if cand is None:
+    scored = _df_guard_pair_table(sh, threshold, df_cap)
+    if scored is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
         a = sh.select(F.col("doc_id").alias("doc_a"), "__h")
         b = sh.select(F.col("doc_id").alias("doc_b"), "__h")
         inter = (
@@ -804,21 +927,19 @@ def ngram_containment_pairs(
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("intersection_size"))
         )
-    else:
-        inter = _pair_intersections(sh, cand)
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")
+        )
+        scored = inter.join(sa, "doc_a").join(sb, "doc_b")
     c_a = F.col("intersection_size").cast("double") / F.col("size_a").cast("double")
     c_b = F.col("intersection_size").cast("double") / F.col("size_b").cast("double")
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(F.greatest(c_a, c_b) >= threshold)
-        .select(
-            "doc_a", "doc_b", "intersection_size", "size_a", "size_b",
-            F.round(c_a, 6).alias("containment_a"),
-            F.round(c_b, 6).alias("containment_b"),
-        )
+    return scored.filter(F.greatest(c_a, c_b) >= threshold).select(
+        "doc_a", "doc_b", "intersection_size", "size_a", "size_b",
+        F.round(c_a, 6).alias("containment_a"),
+        F.round(c_b, 6).alias("containment_b"),
     )
 
 

