@@ -257,3 +257,56 @@ def test_df_guard_tiny_doc_exemption_catches_hot_only_pair(spark):
     }
     want = {(a, b) for a in range(10) for b in range(10) if a < b}
     assert got == want
+
+
+def test_df_guard_stays_off_on_clean_and_empty_corpus(spark, sf_dir):
+    """The natural corpus (max shingle df 25 at sf0.1, 7 at sf0.01) must
+    ride the simple self-join — the guard's collect_set transport is the
+    fingerprint of the guarded plan, so its absence proves the fast
+    path. An empty corpus takes the fast path too (max_df is NULL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        neardup.ngram_jaccard_pairs(docs, 0.6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "collect_set" not in plan
+    guarded_plan = (
+        neardup.ngram_jaccard_pairs(docs, 0.6, df_cap=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "collect_set" in guarded_plan
+    empty = docs.limit(0)
+    assert neardup.ngram_jaccard_pairs(empty, 0.6).count() == 0
+
+
+def test_df_guard_containment_small_side_exemption(spark):
+    """Containment's hot-only hazard is ASYMMETRIC: a tiny doc that IS
+    the boilerplate phrase is fully contained in every big doc carrying
+    the phrase, sharing only the hot shingle. The exemption must keep
+    exactly those pairs and nothing else."""
+    rows = [(1, "zzz stop phrase")]
+    rows += [
+        (100 + i, f"alpha{i} beta{i} gamma{i} delta{i} zzz stop phrase")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda r: (r.doc_a, r.doc_b, r.intersection_size,
+                     r.containment_a, r.containment_b)
+    naive = {
+        key(r)
+        for r in neardup.ngram_containment_pairs(
+            docs, 0.9, df_cap=10**9
+        ).collect()
+    }
+    guarded = {
+        key(r)
+        for r in neardup.ngram_containment_pairs(docs, 0.9, df_cap=2).collect()
+    }
+    assert guarded == naive
+    # the tiny doc pairs with every phrase-carrying big doc, nothing else
+    assert {(a, b) for a, b, *_ in guarded} == {(1, 100 + i) for i in range(10)}
+    assert all(ca == 1.0 for _a, _b, _i, ca, _cb in guarded)
