@@ -29,6 +29,27 @@ from snowflake_to_bq_pipeline_spark.session import get_spark
 # operator escapes the perf signal.
 BENCH_QUERIES = sorted(QUERIES)
 
+#: Rows in the VM-calibration probe. Module-level so tests can shrink it.
+CALIBRATION_ROWS = 20_000_000
+
+
+def calibration_probe(spark, n_rows: int = CALIBRATION_ROWS):
+    """Fixed, code-independent probe (range → hash-agg → shuffle → sort)
+    whose best-of-3 time calibrates the VM: the r7 control experiment
+    showed whole-run bench totals swing ~30% between benching DAYS on
+    identical code, so cross-round totals must be normalized by the
+    calibration ratio before a delta is read as an engine change
+    (tools/bench_diff.py does this when both artifacts carry it)."""
+    return (
+        spark.range(0, n_rows, 1, 32)
+        # modulo BEFORE summing: raw xxhash64 longs overflow ANSI long
+        # addition over tens of millions of rows
+        .selectExpr("id % 9973 AS k", "xxhash64(id) % 1000003 AS h")
+        .groupBy("k")
+        .sum("h")
+        .orderBy("k")
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,6 +77,15 @@ def main() -> None:
             with open(os.path.join(sf_dir, fname), "rb") as f:
                 while f.read(1 << 22):
                     pass
+
+    calib = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        calibration_probe(spark).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        calib = dt if calib is None else min(calib, dt)
+    calib = round(calib, 3)
+    print(f"# vm_calibration: {calib}s", file=sys.stderr)
 
     bests: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
@@ -114,6 +144,7 @@ def main() -> None:
                     n: list(hs) for n, hs in sorted(MEMO_CONSUMERS.items())
                 },
                 "memo_cold_carriers": cold_carriers,
+                "vm_calibration_sec": calib,
                 "sf": sf,
             },
             f,
@@ -134,6 +165,7 @@ def main() -> None:
                 "n_queries": len(bests),
                 "reps": reps,
                 "max_spread_sec": max(spreads.values()) if spreads else 0.0,
+                "vm_calibration_sec": calib,
                 "details": "bench_details.json",
             }
         )

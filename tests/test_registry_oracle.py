@@ -83,3 +83,14 @@ def test_bench_diff_tool_parses_both_artifact_forms(tmp_path):
     assert summary["common_n"] == 2
     assert summary["improved_beyond_spread"] == ["q_one"]
     assert summary["regressed_beyond_spread"] == ["q_two"]
+
+
+def test_bench_calibration_probe_runs_and_is_deterministic(spark):
+    """The calibration probe must execute under ANSI mode (raw xxhash64
+    sums overflow long — the bug that killed a bench run) and produce a
+    deterministic result so it measures the VM, not the data."""
+    from bench import calibration_probe
+
+    rows = calibration_probe(spark, n_rows=200_000).collect()
+    assert len(rows) == 9973
+    assert rows == calibration_probe(spark, n_rows=200_000).collect()

@@ -38,6 +38,7 @@ _TAIL_BEST = re.compile(
     r"# ([\w]+): best ([0-9.]+)s of \[([0-9., ]+)\]"
 )
 _TAIL_SINGLE = re.compile(r"# ([\w]+): ([0-9.]+)s\s*$", re.M)
+_TAIL_CALIB = re.compile(r"# vm_calibration: ([0-9.]+)s")
 
 
 def _resolve(arg: str) -> str:
@@ -51,13 +52,22 @@ def _resolve(arg: str) -> str:
     raise SystemExit(f"cannot resolve bench artifact {arg!r}")
 
 
-def load_bests(path: str) -> tuple[dict[str, float], dict[str, list[float]]]:
-    """Return (best_sec, rep_times) per query from either artifact form."""
+def load_bests(
+    path: str,
+) -> tuple[dict[str, float], dict[str, list[float]], float | None]:
+    """(best_sec, rep_times, vm_calibration_sec|None) per artifact.
+
+    The calibration constant (bench.py's fixed code-independent probe)
+    lets cross-round TOTALS be normalized for VM drift — the r7 control
+    experiment measured ~30% whole-run swings between benching days on
+    identical code."""
     with open(path) as f:
         doc = json.load(f)
     if "rep_times" in doc:  # bench_details.json
-        return doc["queries"], doc["rep_times"]
+        return doc["queries"], doc["rep_times"], doc.get("vm_calibration_sec")
     tail = doc.get("tail", "")
+    calib_m = _TAIL_CALIB.search(tail)
+    calib = float(calib_m.group(1)) if calib_m else None
     bests: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     for m in _TAIL_BEST.finditer(tail):
@@ -68,15 +78,15 @@ def load_bests(path: str) -> tuple[dict[str, float], dict[str, list[float]]]:
         for m in _TAIL_SINGLE.finditer(tail):
             bests[m.group(1)] = float(m.group(2))
             reps[m.group(1)] = [float(m.group(2))]
-    return bests, reps
+    return bests, reps, calib
 
 
 def main() -> None:
     if len(sys.argv) != 3:
         raise SystemExit(__doc__)
     a_path, b_path = _resolve(sys.argv[1]), _resolve(sys.argv[2])
-    a_best, a_reps = load_bests(a_path)
-    b_best, b_reps = load_bests(b_path)
+    a_best, a_reps, a_cal = load_bests(a_path)
+    b_best, b_reps, b_cal = load_bests(b_path)
 
     try:
         from snowflake_to_bq_pipeline_spark.registry import MEMO_CONSUMERS
@@ -114,6 +124,7 @@ def main() -> None:
     median = mids[len(mids) // 2]
     improved = [n for r, n, _o, _v, noise in rows if r < 1 and not noise]
     regressed = [n for r, n, _o, _v, noise in rows if r > 1 and not noise]
+    cal_ratio = (b_cal / a_cal) if (a_cal and b_cal) else None
     print()
     print(
         json.dumps(
@@ -122,6 +133,14 @@ def main() -> None:
                 "old_total_sec": round(tot_a, 3),
                 "new_total_sec": round(tot_b, 3),
                 "total_ratio": round(tot_b / tot_a, 3) if tot_a else None,
+                "vm_calibration_ratio": round(cal_ratio, 3)
+                if cal_ratio
+                else None,
+                "total_ratio_vm_normalized": round(
+                    tot_b / tot_a / cal_ratio, 3
+                )
+                if tot_a and cal_ratio
+                else None,
                 "median_ratio": round(median, 3),
                 "improved_beyond_spread": improved,
                 "regressed_beyond_spread": regressed,
