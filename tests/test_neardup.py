@@ -310,3 +310,21 @@ def test_df_guard_containment_small_side_exemption(spark):
     # the tiny doc pairs with every phrase-carrying big doc, nothing else
     assert {(a, b) for a, b, *_ in guarded} == {(1, 100 + i) for i in range(10)}
     assert all(ca == 1.0 for _a, _b, _i, ca, _cb in guarded)
+
+
+def test_df_guard_declines_beyond_hot_list_max(spark, sf_dir, monkeypatch):
+    """Past _HOT_LIST_MAX distinct hot shingles the guard declines
+    (returns the naive plan) rather than shipping an unbounded isin
+    list — output must be the plain self-join's, plan must carry no
+    collect_set transport."""
+    from snowflake_to_bq_pipeline_spark.operators import neardup as nd
+
+    monkeypatch.setattr(nd, "_HOT_LIST_MAX", 0)
+    docs = _hot_phrase_docs(spark, sf_dir)
+    df = nd.ngram_jaccard_pairs(docs, 0.6, df_cap=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan
+    got = _pairs(df)
+    monkeypatch.setattr(nd, "_HOT_LIST_MAX", 10_000)
+    want = _pairs(nd.ngram_jaccard_pairs(docs, 0.6, df_cap=10**9))
+    assert got == want
