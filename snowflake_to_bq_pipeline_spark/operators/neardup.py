@@ -258,6 +258,12 @@ def _df_guard_pair_table(
     plan rather than shipping an unbounded isin list; the naive plan's
     per-bucket cost is bounded by that very df distribution being flat.
     """
+    if threshold <= 0:
+        # exempt_sz = n_hot/threshold is undefined (or inverts the
+        # exemption for negative values); a non-positive threshold keeps
+        # every pair anyway, so fall back to the naive plan — which
+        # accepts threshold<=0 without crashing — instead of guarding.
+        return None
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     df_tab, cap, n_hot_ub, fires = _df_guard_stats(sh, sizes, df_cap)
     if not fires or n_hot_ub > _HOT_LIST_MAX:
@@ -357,6 +363,11 @@ def ngram_jaccard_pairs(
     probability ~distinct²/2⁶⁴ — negligible against the DuckDB oracle's
     string-exact counts. Pass ``sh`` (a hashed_shingles table, e.g. the
     registry's fingerprint memo) to skip the shingle build.
+
+    NOTE: constructing the plan runs ONE bounded Spark job (the
+    hot-shingle guard's two-aggregate stats probe) — the repo's
+    established one-bounded-job guard pattern — so this call is not
+    lazy the way a pure plan builder is.
     """
     if sh is None:
         sh = _swap_cache("jaccard", hashed_shingles(documents, text_col, k))
@@ -633,6 +644,10 @@ def incremental_neardup_check(
     ngram_jaccard_pairs. At 100 TB the corpus shingle side is the big
     one and is exactly what you'd persist as a reusable index between
     daily runs (the _swap_cache slot does that within a session).
+
+    NOTE: constructing the plan runs ONE bounded Spark job (the
+    hot-shingle guard's stats probe over the corpus index, skipped when
+    ``threshold <= 0``); see :func:`ngram_jaccard_pairs`.
     """
     from pyspark.sql import Window
 
@@ -678,8 +693,15 @@ def incremental_neardup_check(
     # forces szn <= n_hot/threshold — the exempt doc keeps its hot
     # probes and the pair survives. Candidates are re-scored over the
     # full indexes, so output is identical for any cap (the
-    # _df_guard_candidates exactness argument, one-sided).
-    df_old_tab, cap, n_hot_ub, fires = _df_guard_stats(sh_old, sz_old, df_cap)
+    # _df_guard_pair_table exactness argument, one-sided). threshold<=0
+    # skips the guard — and its stats job — entirely (exempt_sz would be
+    # undefined; the naive probe join below accepts it without crashing).
+    if threshold > 0:
+        df_old_tab, cap, n_hot_ub, fires = _df_guard_stats(
+            sh_old, sz_old, df_cap
+        )
+    else:
+        fires, n_hot_ub = False, 0
     if fires and n_hot_ub <= _HOT_LIST_MAX:
         exempt_sz = n_hot_ub / threshold
         hot_hashes, n_exempt = _df_guard_probe(
@@ -911,6 +933,9 @@ def ngram_containment_pairs(
     size joins, row-local arithmetic — no cross product. Pass ``sh`` (a
     hashed_shingles table, e.g. the registry's fingerprint memo) to skip
     the shingle build.
+
+    NOTE: constructing the plan runs ONE bounded Spark job (the
+    hot-shingle guard's stats probe); see :func:`ngram_jaccard_pairs`.
     """
     if sh is None:
         sh = _swap_cache("jaccard", hashed_shingles(documents, text_col, k))

@@ -478,8 +478,17 @@ def reporting_lag_analysis(
     contributors = joined.groupBy(F.col("__due").alias("reporting_date")).agg(
         F.countDistinct("l_suppkey").alias("unique_contributors")
     )
-    return main.join(contributors, "reporting_date").select(
-        "reporting_date",
+    # Null-safe date key: both aggregates derive from the same pair grain,
+    # so every __due group — including a null order-date group, which a
+    # plain equi-join would silently drop while the single-aggregate
+    # oracle keeps it — exists on both sides and must rejoin. eqNullSafe
+    # makes the two-partial split exactly equivalent to one aggregate for
+    # ANY input, not just the non-null TPC-H dates.
+    return main.join(
+        contributors,
+        main["reporting_date"].eqNullSafe(contributors["reporting_date"]),
+    ).select(
+        main["reporting_date"],
         "pair_count",
         "total_records",
         "total_hours",

@@ -5301,9 +5301,9 @@ def embedding_outlier_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's CORRECTNESS gate hash-checks only the FIRST 50 entries of
 # ``queries()`` (dict insertion order).  Definition order above is narrative
 # (grouped by SURVEY §2 family), so we rebuild QUERIES here with an explicit
-# priority order (r6 rotation): changed-this-round queries first (fresh
+# priority order (r8 rotation): changed-this-round queries first (fresh
 # hash signal), then the queries whose last driver verdict is OLDEST
-# (r3-vintage, then the oldest r4-vintage) — so driver coverage cycles
+# (r5-vintage, then the oldest r6-vintage) — so driver coverage cycles
 # through the whole oracle-gated surface across rounds.  Rows-only ops
 # (no oracle possible) must never hold a window slot.
 #
@@ -5315,20 +5315,97 @@ def embedding_outlier_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINDOW_ORDER = [
     # -- DRIVER WINDOW (first 50): the driver hash-checks only these --
-    # engine code changed this round (r7): the shared hashed-shingle
-    # memo now feeds the exact-Jaccard pair table (and through it the
-    # cluster/savings consumers) and the incremental check's corpus/
-    # incoming slices; reporting_lag_analysis dropped its two-distinct
-    # Expand for joined single-distinct partials over a persisted pair
-    # grain
+    # engine code changed this round (r8): the two single-distinct date
+    # partials now rejoin null-safely (eqNullSafe) so a null order-date
+    # group can never silently vanish vs the single-aggregate oracle
+    "reporting_lag_analysis",
+    # r5-vintage stable passers — the oldest driver verdicts in the
+    # registry (rotation cohort per VERDICT r7 item 1: the 28 queries
+    # whose last driver verdict is r5)
+    "cdc_fold_snapshot",
+    "incremental_agg_maintenance",
+    "row_count_by_day",
+    "data_quality_metrics",
+    "freshness_check",
+    "row_count_compare",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "dedup_exact",
+    "doc_fingerprint",
+    "text_stats",
+    "text_quality_score",
+    "lang_id",
+    "ann_cosine_topk",
+    "embedding_dup_pairs",
+    "doc_length_histogram",
+    "error_window_events",
+    "event_sessions",
+    "user_running_totals",
+    "user_activity_trend",
+    "events_windowed_counts",
+    "pipeline_alerts",
+    "volume_anomaly",
+    "volume_anomaly_dow",
+    "dup_key_audit",
+    # oldest r6-vintage fill (longest-unchecked after the r5 block)
+    "utilization_rollup",
+    "client_budget_rollup",
+    "contributor_utilization_rollup",
+    "view_variance_detection",
+    "budget_fallback_allocation",
+    "budget_vs_actual",
+    "individual_budget_tracking",
+    "tfidf_top_terms",
+    "vocab_top_k",
+    "tfidf_doc_similarity",
+    "asof_join_last_purchase",
+    "bloom_filtered_entries",
+    "decontamination_overlap",
+    "embedding_doc_dedup",
+    "monthly_hours_pivot",
+    "pii_redaction",
+    "quality_filter_funnel",
+    "source_mix_weights",
+    "stratified_sample_mix",
+    "work_item_enriched",
+    "q2_min_cost_supplier",
+    # -- past the window: remaining r6-checked, then r7-checked -------
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_bracket_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_accounts",
+    "gopher_quality_rules",
+    "embedding_outlier_topk",
+    "bom_per_case_consumption",
+    "ngram_containment_dups",
+    "vocab_coverage_curve",
+    "char_entropy_score",
+    "doc_novelty_profile",
+    "status_flap_audit",
+    "source_quality_report",
+    "shard_assignment_balanced",
+    "shard_balance_summary",
+    # r7-checked (freshest verdicts, rotated out of the window)
     "ngram_jaccard_dups",
     "incremental_dedup_check",
     "dedup_clusters",
     "dedup_savings_report",
-    "reporting_lag_analysis",
     "sales_rollup_sets",
-    # r4-vintage stable passers — the oldest driver verdicts in the
-    # registry (rotation cohort per VERDICT r6 item 1)
     "dsir_select_topk",
     "source_mix_temperature",
     "substring_dup_profile",
@@ -5361,7 +5438,6 @@ _WINDOW_ORDER = [
     "pack_fill_summary",
     "source_language_mix",
     "repetition_filter",
-    # oldest r5-vintage fill (longest-unchecked after the r4 block)
     "multivariate_anomaly",
     "cross_split_contamination",
     "alert_digest",
@@ -5374,84 +5450,6 @@ _WINDOW_ORDER = [
     "sync_date_dedup",
     "paginated_extract",
     "chunked_backfill_plan",
-    # -- past the window: remaining r5-checked, then r6-checked -------
-    "cdc_fold_snapshot",
-    "incremental_agg_maintenance",
-    "row_count_by_day",
-    "data_quality_metrics",
-    "freshness_check",
-    "row_count_compare",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_supplier_volume",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "dedup_exact",
-    "doc_fingerprint",
-    "text_stats",
-    "text_quality_score",
-    "lang_id",
-    "ann_cosine_topk",
-    "embedding_dup_pairs",
-    "doc_length_histogram",
-    "error_window_events",
-    "event_sessions",
-    "user_running_totals",
-    "user_activity_trend",
-    "events_windowed_counts",
-    "pipeline_alerts",
-    "volume_anomaly",
-    "volume_anomaly_dow",
-    "dup_key_audit",
-    # r6-checked (freshest verdicts, rotated out of the window)
-    "utilization_rollup",
-    "client_budget_rollup",
-    "contributor_utilization_rollup",
-    "view_variance_detection",
-    "budget_fallback_allocation",
-    "budget_vs_actual",
-    "individual_budget_tracking",
-    "tfidf_top_terms",
-    "vocab_top_k",
-    "tfidf_doc_similarity",
-    "asof_join_last_purchase",
-    "bloom_filtered_entries",
-    "decontamination_overlap",
-    "embedding_doc_dedup",
-    "monthly_hours_pivot",
-    "pii_redaction",
-    "quality_filter_funnel",
-    "source_mix_weights",
-    "stratified_sample_mix",
-    "work_item_enriched",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_bracket_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_accounts",
-    "gopher_quality_rules",
-    "embedding_outlier_topk",
-    "bom_per_case_consumption",
-    "ngram_containment_dups",
-    "vocab_coverage_curve",
-    "char_entropy_score",
-    "doc_novelty_profile",
-    "status_flap_audit",
-    "source_quality_report",
-    "shard_assignment_balanced",
-    "shard_balance_summary",
     # -- rows-only ops (no oracle possible, must never hold a slot) ---
     "bpe_merge_table",
     "bpe_encode_tokens",
@@ -5480,17 +5478,9 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 #: driver hash verdict, so each must sit inside the 50-slot window.  Update
 #: this set whenever a round touches a query's plan or oracle.
 _WINDOW_CRITICAL = {
-    # r7: hashed-shingle memo wired into the exact-Jaccard pair table —
-    # every consumer of _jaccard_pairs_for gets a fresh hash verdict
-    "ngram_jaccard_dups",
-    "dedup_clusters",
-    "dedup_savings_report",
-    # r7: corpus/incoming slices of the shingle memo
-    "incremental_dedup_check",
-    # r7: Expand-free two-partial distinct rollup
+    # r8: the two-partial distinct rollup now rejoins on a null-safe
+    # date key (plans/dashboard.py reporting_lag_analysis)
     "reporting_lag_analysis",
-    # r7: ROLLUP moved onto the pre-aggregated leaf grain
-    "sales_rollup_sets",
 }
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (
     "changed-this-round query outside the driver's 50-slot window: "
@@ -5531,14 +5521,30 @@ _MEMO_HELPERS = (
 
 
 def _memo_helpers_called(fn) -> frozenset:
+    """Memo helpers a function's CODE actually calls.
+
+    AST-based (ast.Call nodes only), so a helper merely MENTIONED in a
+    docstring or comment — e.g. a query documenting why it does NOT ride
+    ``_shingles_for(...)`` — is never falsely flagged as a memo consumer
+    (a false flag would discount that query's genuine bench wins in
+    bench_details' memo accounting)."""
+    import ast
     import inspect
-    import re as _re
+    import textwrap
 
     try:
-        src = inspect.getsource(fn)
-    except (OSError, TypeError):  # pragma: no cover - C callables only
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, TypeError, SyntaxError):  # pragma: no cover
         return frozenset()
-    return frozenset(h for h in _MEMO_HELPERS if _re.search(rf"\b{h}\(", src))
+    called = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call):
+            f = node.func
+            if isinstance(f, ast.Name):
+                called.add(f.id)
+            elif isinstance(f, ast.Attribute):
+                called.add(f.attr)
+    return frozenset(h for h in _MEMO_HELPERS if h in called)
 
 
 _HELPER_DEPS = {

@@ -103,6 +103,18 @@ def read_jdbc(
     With ``partition_column`` + bounds, Spark issues ``num_partitions``
     range-predicated queries in parallel — the scalable version of the
     reference's OFFSET/LIMIT loop.
+
+    Skew note — stride vs bounds: Spark derives a fixed stride
+    ``(upper_bound - lower_bound) / num_partitions`` and the FIRST/LAST
+    partition predicates are unbounded (``< lo+stride`` / ``>= hi-stride``),
+    so under-covering bounds never lose rows (pinned by the live Derby
+    round-trip test) but DO pile every out-of-range key onto the two edge
+    partitions, and a non-uniform key distribution skews the middle ones.
+    At warehouse scale pick bounds from ``MIN()/MAX()`` of the key (one
+    cheap aggregate push-down) and a roughly uniform key (a sequence id,
+    not a hot tenant id); filters and projections still push to the
+    relation per-partition (``PushedFilters``/``ReadSchema`` on the scan,
+    asserted live in tests/test_sources.py).
     """
     reader = (
         spark.read.format("jdbc")

@@ -328,3 +328,24 @@ def test_df_guard_declines_beyond_hot_list_max(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(nd, "_HOT_LIST_MAX", 10_000)
     want = _pairs(nd.ngram_jaccard_pairs(docs, 0.6, df_cap=10**9))
     assert got == want
+
+
+def test_df_guard_nonpositive_threshold_falls_back_to_naive(spark):
+    """threshold<=0 makes the exemption size n_hot/threshold undefined
+    (or, for negatives, inverted) — the guard must decline and the naive
+    plan, which accepts threshold<=0 without crashing, must serve the
+    result even on a hot corpus that would normally fire the guard."""
+    rows = [(i, "zzz stop phrase shared by all") for i in range(10)]
+    rows += [(100 + i, f"unique text number {i} for doc {i} pad") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.0, -0.5):
+        got = _pairs(neardup.ngram_jaccard_pairs(docs, thr, df_cap=2))
+        want = _pairs(neardup.ngram_jaccard_pairs(docs, thr, df_cap=10**9))
+        assert got == want
+        got_c = _pairs(neardup.ngram_containment_pairs(docs, thr, df_cap=2))
+        want_c = _pairs(neardup.ngram_containment_pairs(docs, thr, df_cap=10**9))
+        assert got_c == want_c
+    corpus = docs.filter("doc_id < 100")
+    incoming = docs.filter("doc_id >= 100")
+    inc = neardup.incremental_neardup_check(corpus, incoming, 0.0, df_cap=2)
+    assert inc.count() == 5  # one row per incoming doc, no crash

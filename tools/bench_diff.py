@@ -97,6 +97,8 @@ def main() -> None:
     if not common:
         raise SystemExit("no common queries between the two artifacts")
 
+    cal_ratio = (b_cal / a_cal) if (a_cal and b_cal) else None
+
     rows = []
     for name in common:
         old, new = a_best[name], b_best[name]
@@ -107,6 +109,21 @@ def main() -> None:
         noise = (new <= old_hi) and (old <= new_hi)
         rows.append((ratio, name, old, new, noise))
     rows.sort()
+
+    # Per-query VM-normalized ratio: divide out the calibration drift so
+    # a whole-VM slowdown doesn't read as 140 per-query regressions.
+    # Queries whose NORMALIZED ratio still exceeds 1.25 beyond both rep
+    # spreads are the ones worth a bench_some re-measure before a round
+    # closes (the r7 VERDICT's follow-up threshold).
+    norm_regressed = (
+        [
+            n
+            for r, n, _o, _v, noise in rows
+            if not noise and r / cal_ratio > 1.25
+        ]
+        if cal_ratio
+        else None
+    )
 
     flags = lambda n, noise: (
         ("[memo]" if n in MEMO_CONSUMERS else "")
@@ -124,7 +141,6 @@ def main() -> None:
     median = mids[len(mids) // 2]
     improved = [n for r, n, _o, _v, noise in rows if r < 1 and not noise]
     regressed = [n for r, n, _o, _v, noise in rows if r > 1 and not noise]
-    cal_ratio = (b_cal / a_cal) if (a_cal and b_cal) else None
     print()
     print(
         json.dumps(
@@ -144,6 +160,7 @@ def main() -> None:
                 "median_ratio": round(median, 3),
                 "improved_beyond_spread": improved,
                 "regressed_beyond_spread": regressed,
+                "normalized_regressed_gt_1.25": norm_regressed,
                 "memo_flagged": sorted(set(common) & set(MEMO_CONSUMERS)),
             }
         )

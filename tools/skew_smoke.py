@@ -14,7 +14,7 @@ assumed. This tool builds a skewed twin of the sf0.1 corpus:
   the realistic 100 TB hazard for the lexical near-dup family (a naive
   shingle self-join puts (n/2)² pair rows in ONE hash bucket; the
   reference's postmortems are exactly this shape). The engine's df-cap
-  guard (operators/neardup.py:_df_guard_candidates) must keep the
+  guard (operators/neardup.py:_df_guard_pair_table) must keep the
   hot-corpus runtime within the ceiling while remaining exact.
 
 It then times the join/window family on both corpora (best-of-N per
