@@ -254,9 +254,61 @@ def main() -> int:
             f"ratio {ratio:6.2f} ({per_rep:4.2f}x/replica){flag}"
         )
 
+    # --- hot-corpus (stop-phrase) guarded growth curve -----------------
+    # The skew smoke's lexical_guard_crossover proves naive-vs-guarded at
+    # 1x/3x; this section extends the GUARDED curve to the full replica
+    # count (naive would be ~(replicas)^2 on the hot bucket — ~100x — and
+    # is exactly what the guard exists to avoid, so it is not run here).
+    # Same construction: shingle-disjoint word-suffixed replicas that all
+    # share ONE boilerplate stop phrase on half their docs, so the hot
+    # shingle's df grows with the corpus while true dup output stays
+    # linear. Within the per-replica ceiling = the df-cap guard holds the
+    # lexical family ~linear where the unguarded plan compounds.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from skew_smoke import _replicated_hot_docs
+
+    from snowflake_to_bq_pipeline_spark.operators import neardup
+
+    hot_ops = {
+        "ngram_jaccard_dups_hot_corpus": (
+            lambda d: neardup.ngram_jaccard_pairs(d, 0.6)
+        ),
+        "ngram_containment_dups_hot_corpus": (
+            lambda d: neardup.ngram_containment_pairs(d, 0.6)
+        ),
+    }
+    for name, op in hot_ops.items():
+        small_docs = _replicated_hot_docs(spark, SMALL_SF_DIR, 1)
+        big_docs = _replicated_hot_docs(spark, SMALL_SF_DIR, args.replicas)
+        time_build(lambda: op(small_docs), spark)  # warm
+        small_s = time_build(lambda: op(small_docs), spark)
+        big_s = time_build(lambda: op(big_docs), spark)
+        ratio = big_s / max(small_s, 1e-6)
+        per_rep = ratio / args.replicas
+        report[name] = {
+            "small_s": round(small_s, 2),
+            "big_s": round(big_s, 2),
+            "ratio": round(ratio, 2),
+            "ratio_per_replica": round(per_rep, 2),
+        }
+        flag = ""
+        if per_rep > LINEAR_RATIO_CEILING:
+            failed.append(name)
+            flag = "  <-- SUPERLINEAR"
+        print(
+            f"{name:32s} small {small_s:6.2f}s  big {big_s:7.2f}s "
+            f"ratio {ratio:6.2f} ({per_rep:4.2f}x/replica){flag}"
+        )
+
     payload = {
         "replicas": args.replicas,
         "small_sf_dir": SMALL_SF_DIR,
+        "hot_corpus_note": (
+            "*_hot_corpus rows time the GUARDED lexical ops on the "
+            "stop-phrase corpus (one shingle's df grows with the corpus); "
+            "the unguarded plan's hot bucket grows ~replicas^2 and is "
+            "benched at 1x/3x in SKEW_SMOKE's lexical_guard_crossover"
+        ),
         "ceiling_per_replica": LINEAR_RATIO_CEILING,
         "sublinear_note": SUBLINEAR_NOTE,
         "semdedup_note": (
