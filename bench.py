@@ -119,11 +119,16 @@ def main() -> None:
         # rep) keeps the fixed System.gc() cost off the rep loop.
         gc.collect()
         spark.sparkContext._jvm.System.gc()
-        if name in carrier_queries:
+        if name in carrier_queries and reps >= 2:
             # cold carrier: drop every memo so rep 1 pays this query's
             # full memo build — the honest cold time for its cohort.
             # (Any other memo cleared here rebuilds in its next
             # consumer's rep 1, which best-of-N >= 2 discards.)
+            # With reps == 1 there is no later rep to absorb the cold
+            # build, so clearing would silently turn every carrier's ONLY
+            # recorded time into a cold-build time and spray memo rebuilds
+            # into downstream consumers' single rep — skip, matching the
+            # cold_bests gate below.
             clear_model_caches()
         ts: list[float] = []
         for _ in range(reps):

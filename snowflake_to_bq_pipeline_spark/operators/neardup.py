@@ -260,9 +260,12 @@ def _df_guard_pair_table(
     """
     if threshold <= 0:
         # exempt_sz = n_hot/threshold is undefined (or inverts the
-        # exemption for negative values); a non-positive threshold keeps
-        # every pair anyway, so fall back to the naive plan — which
-        # accepts threshold<=0 without crashing — instead of guarding.
+        # exemption for negative values); at threshold <= 0 the naive
+        # plan keeps every INTERSECTING pair (both plans only ever emit
+        # pairs sharing >= 1 shingle — shingle-disjoint pairs with
+        # jaccard 0 >= threshold are out of scope for either), so fall
+        # back to the naive plan — which accepts threshold <= 0 without
+        # crashing — instead of guarding.
         return None
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     df_tab, cap, n_hot_ub, fires = _df_guard_stats(sh, sizes, df_cap)
@@ -354,6 +357,12 @@ def ngram_jaccard_pairs(
     df_cap: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold (exact, via shingle join).
+
+    Scope: pairs sharing at least one shingle.  For any threshold > 0 that
+    IS every qualifying pair (jaccard > 0 requires an intersection); at the
+    degenerate threshold ≤ 0 shingle-disjoint pairs (jaccard 0 ≥ 0) are
+    still absent — the operator never enumerates the non-intersecting
+    cross product.
 
     The intersection join runs on ``xxhash64(shingle)`` — 8-byte keys —
     instead of the variable-length shingle strings: measured 2.5× at

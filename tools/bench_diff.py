@@ -38,7 +38,15 @@ _TAIL_BEST = re.compile(
     r"# ([\w]+): best ([0-9.]+)s of \[([0-9., ]+)\]"
 )
 _TAIL_SINGLE = re.compile(r"# ([\w]+): ([0-9.]+)s\s*$", re.M)
-_TAIL_CALIB = re.compile(r"# vm_calibration: ([0-9.]+)s")
+# The calibration constant appears twice in a bench run's output: as a
+# stderr progress line ('# vm_calibration: X.XXs') and inside the final
+# JSON summary ('"vm_calibration_sec": X.XX').  Driver BENCH_r0N.json
+# tails are truncated and usually retain ONLY the JSON summary, so match
+# either form (r8 verdict: the stderr-only regex silently nulled the
+# normalized ratio on its primary inputs).
+_TAIL_CALIB = re.compile(
+    r'# vm_calibration: ([0-9.]+)s|"vm_calibration_sec": ([0-9.]+)'
+)
 
 
 def _resolve(arg: str) -> str:
@@ -67,7 +75,9 @@ def load_bests(
         return doc["queries"], doc["rep_times"], doc.get("vm_calibration_sec")
     tail = doc.get("tail", "")
     calib_m = _TAIL_CALIB.search(tail)
-    calib = float(calib_m.group(1)) if calib_m else None
+    calib = (
+        float(calib_m.group(1) or calib_m.group(2)) if calib_m else None
+    )
     bests: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     for m in _TAIL_BEST.finditer(tail):

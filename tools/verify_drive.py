@@ -26,6 +26,58 @@ def norm(v):
     return v
 
 
+#: committed evidence artifact -> the sources that generate it.  An
+#: artifact older than its newest generator change is STALE EVIDENCE —
+#: r8 shipped exactly that (new smoke sections committed, JSONs never
+#: regenerated), so the drive now fails on it (VERDICT r8 item 6).
+_ARTIFACT_GENERATORS = {
+    "SKEW_SMOKE.json": (
+        "tools/skew_smoke.py",
+        "snowflake_to_bq_pipeline_spark/operators/neardup.py",
+    ),
+    "SCALE_SMOKE.json": (
+        "tools/scale_smoke.py",
+        "snowflake_to_bq_pipeline_spark/operators/neardup.py",
+    ),
+    "bench_details.json": ("bench.py",),
+}
+
+
+def _effective_ts(repo: str, rel: str) -> int:
+    """Last-commit unix time of ``rel``; falls back to filesystem mtime
+    when the working tree carries uncommitted changes to it (so an
+    in-round regenerate counts as fresh before the snapshot commit)."""
+    import subprocess
+
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--", rel],
+        cwd=repo, capture_output=True, text=True,
+    ).stdout.strip()
+    if dirty:
+        return int(os.stat(os.path.join(repo, rel)).st_mtime)
+    out = subprocess.run(
+        ["git", "log", "-1", "--format=%ct", "--", rel],
+        cwd=repo, capture_output=True, text=True,
+    ).stdout.strip()
+    return int(out) if out else 0
+
+
+def check_artifact_freshness(repo: str) -> list[str]:
+    """Names of committed evidence artifacts older than their newest
+    generator change (empty = all fresh)."""
+    stale = []
+    for artifact, gens in _ARTIFACT_GENERATORS.items():
+        if not os.path.exists(os.path.join(repo, artifact)):
+            continue
+        a_ts = _effective_ts(repo, artifact)
+        for g in gens:
+            g_ts = _effective_ts(repo, g)
+            if g_ts > a_ts:
+                stale.append(f"{artifact} (older than {g})")
+                break
+    return stale
+
+
 def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -72,6 +124,15 @@ def main() -> int:
     if fails:
         print("FAILED:", fails)
         return 1
+    # Freshness gate LAST so a stale-artifact state still yields the full
+    # correctness diagnostics above before failing the drive.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stale = check_artifact_freshness(repo)
+    if stale:
+        print("STALE EVIDENCE ARTIFACTS (regenerate before snapshot):")
+        for s in stale:
+            print(" ", s)
+        return 2
     print("VERIFY DRIVE CLEAN")
     return 0
 
