@@ -134,6 +134,7 @@ from .section_e_text import (  # noqa: F401
     char_entropy_q,
     charlm_perplexity_q,
     dataset_split_assign_q,
+    dedup_token_savings_by_source_q,
     doc_length_histogram_q,
     dsir_importance_weights_q,
     dsir_select_topk_q,
@@ -141,6 +142,7 @@ from .section_e_text import (  # noqa: F401
     gopher_quality_rules_q,
     group_percentiles_exact_q,
     lang_id_q,
+    length_curriculum_buckets_q,
     pack_fill_summary_q,
     pii_redaction_q,
     priority_sample_docs_q,
@@ -199,6 +201,7 @@ from .section_e_similarity import (  # noqa: F401
     doc_novelty_q,
     embedding_doc_dedup_q,
     embedding_dup_pairs_q,
+    embedding_norm_profile_q,
     embedding_outlier_topk_q,
     incremental_dedup_check_q,
     kmeans_doc_clusters_q,
@@ -271,11 +274,15 @@ def clear_model_caches() -> None:
 
 _WINDOW_ORDER = [
     # -- DRIVER WINDOW (first 50): the driver hash-checks only these --
-    # r9 rotation: no query plan changed this round (the registry split
-    # is a pure module refactor — byte-identical plans, asserted by the
-    # public-surface parity check against the pre-split module), so the
-    # window is purely the longest-unchecked cohort: all 27 queries whose
-    # last driver verdict is r6-vintage ...
+    # r9 rotation: NEW queries first (no prior verdict, need their first
+    # hash check)...
+    "dedup_token_savings_by_source",
+    "length_curriculum_buckets",
+    "embedding_norm_profile",
+    # ... then the longest-unchecked cohort: all 27 queries whose last
+    # driver verdict is r6-vintage (the registry split itself changed no
+    # existing plan — byte-identical QUERIES/ORACLES asserted against the
+    # pre-split module) ...
     "bom_per_case_consumption",
     "char_entropy_score",
     "doc_novelty_profile",
@@ -303,7 +310,10 @@ _WINDOW_ORDER = [
     "source_quality_report",
     "status_flap_audit",
     "vocab_coverage_curve",
-    # ... plus the alphabetically-first 23 of the r7-vintage cohort
+    # ... plus the alphabetically-first r7-vintage fill up to slot 50
+    # (the last three of r8's planned 23-query fill — incremental_dedup_
+    # check, incremental_sync_window, json_props_profile — now sit just
+    # past the window and stay first in line for the r10 rotation)
     "alert_digest",
     "backfill_progress",
     "charlm_perplexity",
@@ -432,10 +442,14 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 #: Names whose engine code is new or changed THIS round: each needs a fresh
 #: driver hash verdict, so each must sit inside the 50-slot window.  Update
 #: this set whenever a round touches a query's plan or oracle.
-_WINDOW_CRITICAL: set[str] = set()
-# r9: no query plan or oracle changed — the registry.py -> registry/
-# package split moves code between modules without touching any plan
-# (verified: QUERIES/ORACLES/MEMO_CONSUMERS byte-identical pre/post).
+# r9: the package split changed no existing plan (QUERIES/ORACLES/
+# MEMO_CONSUMERS verified byte-identical pre/post); the only entries
+# needing a fresh driver verdict are the three queries ADDED this round.
+_WINDOW_CRITICAL = {
+    "dedup_token_savings_by_source",
+    "length_curriculum_buckets",
+    "embedding_norm_profile",
+}
 
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (
     "changed-this-round query outside the driver's 50-slot window: "

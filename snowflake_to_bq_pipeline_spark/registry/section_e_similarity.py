@@ -1090,3 +1090,61 @@ def embedding_outlier_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.centroid_outliers(
         load_table(spark, sf_dir, "embeddings"), k=50, dims=_ANN_DIMS
     )
+
+
+@query(
+    "embedding_norm_profile",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             ROUND(SQRT(list_aggregate(
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+               'sum')), 6) AS norm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(norm) AS min_norm,
+           MAX(norm) AS max_norm,
+           ROUND(SUM(CAST(CAST(norm AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 6) AS avg_norm
+    FROM v GROUP BY label ORDER BY label
+    """,
+)
+def embedding_norm_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: per-label L2-norm profile (count, min/max, exact
+    mean).  Degenerate norms are the standard upstream-encoder failure
+    signal (all-zero rows, un-normalized batches, fp16 overflow) and the
+    norm distribution decides whether cosine and dot-product retrieval
+    agree — checked per label so one bad source can't hide in the global
+    stats.
+
+    Cross-engine determinism: the per-vector norm uses the same in-order
+    fold as the cosine oracles (zip_with/aggregate == list_transform/
+    list_aggregate 'sum'), rounded to 6dp; the MEAN then sums exact
+    integer micros of the rounded norms (functions.money_micros pattern)
+    so no double add-order can drift the hash.  Scale: row-local map +
+    one reduced groupBy — no window, no collect."""
+    from ..functions import money_micros
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        F.round(
+            similarity._norm(F.col("embedding").cast("array<double>")), 6
+        ).alias("norm"),
+    )
+    return (
+        v.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+            F.round(
+                F.sum(money_micros(F.col("norm"))).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+                6,
+            ).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1197,3 +1197,154 @@ def gopher_quality_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.gopher_quality_rules(
         load_table(spark, sf_dir, "documents")
     )
+
+
+@query(
+    "dedup_token_savings_by_source",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, md5(text) AS ch,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (SELECT ch, MIN(doc_id) AS canon FROM h GROUP BY ch),
+    j AS (SELECT h.*, c.canon FROM h JOIN c USING (ch))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id != canon THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN doc_id = canon THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           CASE WHEN SUM(n_tokens) > 0 THEN
+             ROUND(100.0 * (SUM(n_tokens)
+                            - SUM(CASE WHEN doc_id = canon
+                                       THEN n_tokens ELSE 0 END))
+                   / SUM(n_tokens), 4)
+           END AS dup_token_pct
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def dedup_token_savings_by_source_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dataset accounting a 100 TB curation run reports per source: how
+    many documents and TOKENS exact-hash dedup removes (canonical = min
+    doc_id per content hash, same contract as ``dedup_exact``).  Token
+    budget, not doc count, is what a training-mix plan actually spends —
+    cf. the reference's per-table dedup-savings reporting
+    (dedup verification in snowflake-bq-dedup-verification/main.py).
+
+    Scale: one hash groupBy for canonicals, one equi-join back on the
+    hash, one reduced per-source aggregate — no windows, no collect; the
+    pct is a single double division of exact integer sums (cross-engine
+    deterministic, the repo's established ratio discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("ch"),
+        F.array_size(
+            F.regexp_extract_all(F.col("text"), F.lit(text.TOKEN_RE), 0)
+        ).cast("long").alias("n_tokens"),
+    )
+    canon = h.groupBy("ch").agg(F.min("doc_id").alias("canon"))
+    j = h.join(canon, "ch")
+    kept = F.col("doc_id") == F.col("canon")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dup_docs"),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        "tokens_total",
+        "tokens_kept",
+        F.when(
+            F.col("tokens_total") > 0,
+            F.round(
+                F.lit(100.0)
+                * (F.col("tokens_total") - F.col("tokens_kept"))
+                / F.col("tokens_total"),
+                4,
+            ),
+        ).alias("dup_token_pct"),
+    ).orderBy("source")
+
+
+@query(
+    "length_curriculum_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CAST(NTILE(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+               AS bucket
+      FROM t
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def length_curriculum_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum quartiles: assign every document to an NTILE(4)
+    bucket by token count (short -> long, the classic easy-to-hard
+    curriculum split) and report each stage's doc/token budget.
+
+    Scale: ``NTILE(k) OVER (ORDER BY ...)`` executes the whole corpus in
+    ONE task — the plan that dies first at 100 TB — so the bucket id is
+    derived from the two-phase global row number
+    (operators/sync.py:global_row_number, fully parallel) plus NTILE's
+    exact fill rule: with n rows the first n % k buckets take
+    floor(n/k) + 1 rows, the rest floor(n/k).  The 1-row corpus count
+    broadcasts (BroadcastNestedLoopJoin, the repo's sanctioned 1-row
+    stats join)."""
+    from ..operators.sync import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.array_size(
+            F.regexp_extract_all(F.col("text"), F.lit(text.TOKEN_RE), 0)
+        ).cast("long").alias("n_tokens"),
+    )
+    ranked = global_row_number(t, ["n_tokens", "doc_id"], row_col="rn")
+    n_df = t.agg(F.count(F.lit(1)).alias("__n"))
+    j = ranked.crossJoin(F.broadcast(n_df))
+    q = F.floor(F.col("__n") / 4)
+    m = F.col("__n") % 4
+    r = F.col("rn")
+    bucket = F.when(
+        r <= m * (q + 1), F.floor((r - 1) / (q + 1)) + 1
+    ).otherwise(
+        m + F.floor((r - 1 - m * (q + 1)) / F.greatest(q, F.lit(1))) + 1
+    )
+    return (
+        j.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_tokens"),
+        )
+        .orderBy("bucket")
+    )

@@ -85,7 +85,15 @@ LEXICAL_QUERIES = {
     "ngram_containment_dups",
     "incremental_dedup_check",
 }
-LEXICAL_RATIO_CEILING = 4.0
+# The hazard this ceiling exists to catch is the hot bucket going
+# QUADRATIC — at sf0.1 that lands the skew side at minutes (ratio 40+),
+# not single digits.  The guarded plan's observed skew-side absolute is
+# stable across rounds (~4.6s) while the ~1s uniform-side denominator
+# drifts ±25% between bench days, which swung the ratio 3.3 → 4.1 on
+# identical code (r9) — so the ceiling carries margin for denominator
+# drift and the ratios are read as data, like the crossover growth
+# ratios.
+LEXICAL_RATIO_CEILING = 6.0
 REPS = 2
 
 
