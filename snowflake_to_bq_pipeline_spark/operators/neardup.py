@@ -620,13 +620,19 @@ def simhash_pairs(
         "chunk", "chunk_val",
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # Hamming-verify BEFORE the pair distinct: verification is a row-local
+    # expression (bit_count of xor), so running it on the raw band join
+    # costs nothing extra per row, while the distinct's shuffle then only
+    # carries pairs that already passed — by far the smaller set, since
+    # band candidates are dominated by chance single-byte collisions.
+    # Semantically identical: every chunk-copy of a pair carries the same
+    # signatures, hence the same hamming verdict.
     return (
         left.join(right, ["chunk", "chunk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
         .filter(ham <= max_hamming)
         .select("doc_a", "doc_b", ham.alias("hamming_distance"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
