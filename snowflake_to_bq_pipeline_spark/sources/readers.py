@@ -88,6 +88,24 @@ def read_json(
     return reader.json(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """XML read via Spark 4's built-in ``xml`` source (the donated
+    spark-xml module) — ``row_tag`` names the repeating element that
+    becomes one row.  The remaining feed format legacy enterprise
+    exports actually arrive in (the reference's Snowflake stages accept
+    XML stages the same way).  Self-describing like JSON: schema is
+    inferred unless pinned, and attributes land as ``_attr`` columns."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

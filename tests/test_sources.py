@@ -51,6 +51,23 @@ def test_csv_json_round_trips(spark, tmp_path):
     assert got == want
 
 
+def test_xml_round_trip_and_write_read_parity(spark, tmp_path):
+    """Spark 4 ships the xml source built in — full write/read round
+    trip, schema pinned on read so numeric types survive."""
+    want = sorted(map(tuple, _sample(spark).collect()))
+    p = str(tmp_path / "t.xml")
+    _sample(spark).write.format("xml").option("rowTag", "row").save(p)
+    got = sorted(
+        map(
+            tuple,
+            readers.read_xml(spark, p, "row", schema=_sample(spark).schema)
+            .select("k", "grp", "s")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_avro_gating_error_when_module_absent(spark, tmp_path):
     try:
         readers.read_avro(spark, str(tmp_path / "none.avro"))
