@@ -114,6 +114,22 @@ def test_curriculum_buckets_are_ordered_by_length(spark, tmp_path):
     assert sum(r["n_docs"] for r in rows) == 20
 
 
+def test_curriculum_plan_has_no_single_task_window(spark, sf_dir):
+    """The scale contract: the bucket id must come from the two-phase
+    rank, never a global NTILE/ROW_NUMBER window — every Window node in
+    the executed plan must be partitioned by the range-partition id."""
+    plan = (
+        QUERIES["length_curriculum_buckets"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile" not in plan.lower()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__pid" in line, f"unpartitioned window:\n{line}"
+
+
 def test_embedding_norm_profile_exact(spark, tmp_path):
     d = str(tmp_path)
     _write_embeddings(
