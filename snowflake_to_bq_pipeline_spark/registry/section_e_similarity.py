@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import load_table
-from ..operators import curation, graph, neardup, pq, similarity, text, text as text_ops
+from ..operators import curation, graph, neardup, pq, similarity, text as text_ops
 from ._core import _ModelMemo, _corpus_fingerprint, query
 from .section_e_text import _tok_counts_for
 
@@ -46,7 +46,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 fingerprint of normalized text."""
-    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+    return text_ops.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
 _JACCARD_TAU = 0.6

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import load_table
-from ..operators import bpe, curation, quality, ranges, text, text as text_ops
+from ..operators import bpe, curation, quality, ranges, text as text_ops
 from ._core import _ModelMemo, _corpus_fingerprint, query
 
 
@@ -39,7 +39,7 @@ from ._core import _ModelMemo, _corpus_fingerprint, query
 )
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/size statistics."""
-    return text.text_stats(load_table(spark, sf_dir, "documents"))
+    return text_ops.text_stats(load_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -49,7 +49,7 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             CAST(len(regexp_extract_all(text, '{text.BPE_RE.replace("'", "''")}')) AS BIGINT)
+             CAST(len(regexp_extract_all(text, '{text_ops.BPE_RE.replace("'", "''")}')) AS BIGINT)
                AS n_bpe_tokens,
              CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
                AS n_ws_tokens
@@ -67,7 +67,7 @@ def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts under a BPE-ish pretokenizer (GPT-2-style segments,
     lookahead-free) vs whitespace words — the token-budget calibration
     view a training-data pipeline runs before sampling."""
-    return text.bpe_token_stats(load_table(spark, sf_dir, "documents"))
+    return text_ops.bpe_token_stats(load_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -105,7 +105,7 @@ def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (C4/Gopher-style filter composition)."""
-    return text.quality_score(load_table(spark, sf_dir, "documents"))
+    return text_ops.quality_score(load_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -129,7 +129,7 @@ def text_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language heuristic."""
-    return text.lang_id(load_table(spark, sf_dir, "documents"))
+    return text_ops.lang_id(load_table(spark, sf_dir, "documents"))
 
 
 #: Shared unigram (doc_id, token, term_count) table — the common first
@@ -1246,7 +1246,7 @@ def dedup_token_savings_by_source_q(
         "source",
         F.md5("text").alias("ch"),
         F.array_size(
-            F.regexp_extract_all(F.col("text"), F.lit(text.TOKEN_RE), 0)
+            F.regexp_extract_all(F.col("text"), F.lit(text_ops.TOKEN_RE), 0)
         ).cast("long").alias("n_tokens"),
     )
     canon = h.groupBy("ch").agg(F.min("doc_id").alias("canon"))
@@ -1321,7 +1321,7 @@ def length_curriculum_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id",
         F.array_size(
-            F.regexp_extract_all(F.col("text"), F.lit(text.TOKEN_RE), 0)
+            F.regexp_extract_all(F.col("text"), F.lit(text_ops.TOKEN_RE), 0)
         ).cast("long").alias("n_tokens"),
     )
     ranked = global_row_number(t, ["n_tokens", "doc_id"], row_col="rn")
