@@ -165,31 +165,46 @@ def alert_digest(
     lineitem: DataFrame,
     **alert_kwargs,
 ) -> DataFrame:
-    """Severity-rolled digest of the alert dataset — the engine form of the
-    reference's report ASSEMBLY step (pipeline_fallback_monitor.py:247 and
-    data_quality_agent.py:244 build severity-ranked HTML/e-mail digests from
-    the raw monitor outputs; transport stays out of scope).
+    """Severity-rolled digest built from the raw tables — convenience
+    wrapper over :func:`alert_digest_from` for standalone use.
+
+    The alert dataset is persisted here for the digest's three consumers
+    (summary, worst-offender, top-action) — without it the four-monitor
+    build executes once per consumer (operators/_cache.py). Callers that
+    already hold the dataset (the registry shares one fingerprint-memoized
+    build across ``pipeline_alerts`` AND ``alert_digest``) should call
+    :func:`alert_digest_from` directly.
+    """
+    from ._cache import swap_cache
+
+    return alert_digest_from(
+        swap_cache(
+            "alert_digest_alerts",
+            pipeline_alerts(events, orders, lineitem, **alert_kwargs),
+        )
+    )
+
+
+def alert_digest_from(alerts: DataFrame) -> DataFrame:
+    """Severity-rolled digest of a pre-built alert dataset — the engine
+    form of the reference's report ASSEMBLY step
+    (pipeline_fallback_monitor.py:247 and data_quality_agent.py:244 build
+    severity-ranked HTML/e-mail digests from the raw monitor outputs;
+    transport stays out of scope).
 
     One row per alert_source (the digest's sections): alert counts by
     severity, distinct offending entities, the worst offender (CRITICAL
     first, then highest observed value, entity as the deterministic
     tie-break), and the dominant recommended action (most frequent, ties
-    lexicographic). Consumes ``pipeline_alerts`` unchanged.
+    lexicographic). Consumes the ``pipeline_alerts`` schema unchanged.
 
     Scale: the alert dataset is violation-sized (tiny at any corpus
     scale); rollup windows partition by alert_source over those rows.
-    The dataset is persisted for the digest's three consumers (summary,
-    worst-offender, top-action) — without it the four-monitor build
-    executes once per consumer (operators/_cache.py).
+    ``alerts`` should be persisted by the caller — the digest reads it
+    three times (summary, worst-offender, top-action).
     """
     from pyspark.sql import Window
 
-    from ._cache import swap_cache
-
-    alerts = swap_cache(
-        "alert_digest_alerts",
-        pipeline_alerts(events, orders, lineitem, **alert_kwargs),
-    )
     is_crit = F.col("severity") == SEVERITY_CRITICAL
     summary = alerts.groupBy("alert_source").agg(
         F.count(F.lit(1)).alias("alerts_total"),

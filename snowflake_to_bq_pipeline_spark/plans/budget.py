@@ -60,6 +60,64 @@ def _schedule_now():
     return F.lit(SCHEDULE_AS_OF).cast("timestamp_ntz")
 
 
+def line_rollup(lineitem: DataFrame) -> DataFrame:
+    """Shared (order, contributor)-grain rollup of the entry-line fact —
+    the single scan behind the whole budget family.
+
+    The four budget views (order-grain flagship, individual v5 flagship,
+    fallback allocation, contributor utilization) each need conditional
+    aggregates of the SAME fact at grains that are all coarsenings of
+    (l_orderkey, l_suppkey). Building this cube once per corpus snapshot
+    (fingerprint-memoized and persisted by the registry) replaces four
+    full fact scans with one; every consumer re-aggregates the cube,
+    which is far smaller than the fact in bytes even where its row count
+    is comparable.
+
+    Exactness: every money measure is an exact long-micros partial sum
+    (functions.money_micros; integer partials re-aggregate exactly at any
+    coarser grain), quantity additionally as an exact decimal partial for
+    the flagship's decimal-sum path, and the conditional measures use the
+    IDENTICAL null-preserving ``when`` conditions as the standalone
+    plans — so each ``*_from`` consumer below is provably bit-identical
+    to its one-pass twin for ANY input (tests/test_budget_rollup.py
+    asserts row-identical output on skewed/null-edge data).
+
+    Scale: one map-side-combined shuffle on (l_orderkey, l_suppkey);
+    groups are bounded by one order's line count, so micros longs can't
+    overflow. Coarser re-aggregates sum the integer partials as
+    decimal(38,0)-safe longs (per-consumer grain audits below).
+    """
+    from ..functions import dec
+
+    net_mic = money_micros(
+        net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    )
+    qty_mic = money_micros(F.col("l_quantity"))
+    is_alloc = F.col("l_returnflag").isin("A", "R")
+    is_time = F.col("l_returnflag") == "N"
+    return lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(net_mic).alias("net_mic"),
+        F.sum(
+            F.when(F.col("l_tax") > 0, net_mic).otherwise(F.lit(0).cast("long"))
+        ).alias("bill_mic"),
+        F.sum(F.when(is_alloc, net_mic)).alias("alloc_mic"),
+        F.sum(F.when(is_time, net_mic)).alias("time_mic"),
+        F.sum(
+            F.when(is_time & (F.col("l_tax") > 0), net_mic)
+        ).alias("time_bill_mic"),
+        F.sum(dec(F.col("l_quantity"))).alias("qty_dec"),
+        F.sum(F.when(is_alloc, qty_mic)).alias("alloc_qty_mic"),
+        F.sum(F.when(is_time, qty_mic)).alias("time_qty_mic"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.when(is_alloc, F.lit(1))).alias("alloc_cnt"),
+        F.count(F.when(is_time, F.lit(1))).alias("time_cnt"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min(F.when(is_time, F.col("l_shipdate"))).alias("time_min_ship"),
+        F.max(F.when(is_time, F.col("l_shipdate"))).alias("time_max_ship"),
+    )
+
+
 def budget_vs_actual(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Per-order budget vs actual with variance/utilization/status."""
     # Long-micros money sums: per-order groups are bounded by one order's
@@ -83,6 +141,36 @@ def budget_vs_actual(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.min("l_shipdate").alias("first_entry_date"),
         F.max("l_shipdate").alias("last_entry_date"),
     )
+    return _order_grain_select(orders, li)
+
+
+def budget_vs_actual_from(orders: DataFrame, rollup: DataFrame) -> DataFrame:
+    """Per-order budget vs actual derived from the shared
+    :func:`line_rollup` cube — identical output to
+    :func:`budget_vs_actual` for any input.
+
+    Exactness at the order coarsening: integer micros partials sum
+    exactly; the quantity re-aggregates the exact DECIMAL partials (the
+    flagship's own sum path, associative by construction); contributors
+    count the cube's (order, contributor) rows with a null-skipping
+    ``count(l_suppkey)`` == ``count(distinct l_suppkey)`` at this grain.
+    Grain audit: per-order sums stay bounded by one order's line mass —
+    fine-grain, no salted decimal needed.
+    """
+    li = rollup.groupBy("l_orderkey").agg(
+        money_from_micros_sum(F.sum("net_mic")).alias("actual_amount"),
+        money_from_micros_sum(F.sum("bill_mic")).alias("billable_amount"),
+        money(F.sum("qty_dec")).alias("actual_qty"),
+        F.sum("cnt").alias("entry_count"),
+        F.count(F.col("l_suppkey")).alias("unique_contributors"),
+        F.min("min_ship").alias("first_entry_date"),
+        F.max("max_ship").alias("last_entry_date"),
+    )
+    return _order_grain_select(orders, li)
+
+
+def _order_grain_select(orders: DataFrame, li: DataFrame) -> DataFrame:
+    """Shared finalize for the order-grain flagship (both build paths)."""
     joined = orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
 
     budget = money(F.col("o_totalprice"))
@@ -229,7 +317,68 @@ def individual_budget_tracking(orders: DataFrame, lineitem: DataFrame) -> DataFr
             ),
         )
     )
+    return _individual_select(orders, grouped)
 
+
+def individual_budget_tracking_from(
+    orders: DataFrame, rollup: DataFrame
+) -> DataFrame:
+    """Per-(order, contributor) flagship derived from the shared
+    :func:`line_rollup` cube — identical output to
+    :func:`individual_budget_tracking` for any input.
+
+    The cube grain IS this view's grain, so no re-aggregation happens at
+    all: the cube's null-preserving conditional partials map 1:1 onto the
+    one-pass plan's aggregates (alloc_mic == sum(when(is_alloc, net_mic))
+    etc.), and rows with neither an allocation nor a time line are
+    filtered exactly as the one-pass plan's returnflag filter does.
+    """
+    grouped = (
+        rollup.filter((F.col("alloc_cnt") > 0) | (F.col("time_cnt") > 0))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            money_from_micros_sum(F.col("alloc_mic")).alias(
+                "ind_budget_amount"
+            ),
+            money_from_micros_sum(F.col("alloc_qty_mic")).alias(
+                "ind_budget_qty"
+            ),
+            F.col("alloc_cnt").alias("allocation_count_nz"),
+            money_from_micros_sum(F.col("time_mic")).alias(
+                "ind_actual_amount"
+            ),
+            money_from_micros_sum(F.col("time_bill_mic")).alias(
+                "ind_billable_amount_n"
+            ),
+            money_from_micros_sum(F.col("time_qty_mic")).alias(
+                "ind_actual_qty"
+            ),
+            F.col("time_cnt").alias("time_entry_count_nz"),
+            F.col("time_min_ship").alias("first_entry_date"),
+            F.col("time_max_ship").alias("last_entry_date"),
+        )
+        .withColumn(
+            "allocation_count",
+            F.when(F.col("allocation_count_nz") > 0, F.col("allocation_count_nz")),
+        )
+        .withColumn(
+            "time_entry_count",
+            F.when(F.col("time_entry_count_nz") > 0, F.col("time_entry_count_nz")),
+        )
+        .withColumn(
+            "ind_billable_amount",
+            F.when(
+                F.col("time_entry_count_nz") > 0,
+                F.coalesce(F.col("ind_billable_amount_n"), F.lit(0.0)),
+            ),
+        )
+    )
+    return _individual_select(orders, grouped)
+
+
+def _individual_select(orders: DataFrame, grouped: DataFrame) -> DataFrame:
+    """Shared finalize for the individual flagship (both build paths)."""
     # No broadcast hint: orders is a fact table (not broadcastable at
     # 100 TB); AQE picks broadcast automatically when it is small enough.
     joined = grouped.join(
@@ -331,6 +480,31 @@ def budget_fallback_allocation(
             ).alias("__ind_budget"),
         )
     )
+    return _fallback_select(orders, per_contrib)
+
+
+def budget_fallback_allocation_from(
+    orders: DataFrame, rollup: DataFrame
+) -> DataFrame:
+    """Fallback allocation derived from the shared :func:`line_rollup`
+    cube — identical output to :func:`budget_fallback_allocation` for any
+    input: the cube grain is this view's grain, time_mic/alloc_mic carry
+    the exact same null-preserving conditional sums (the one-pass plan's
+    N/A/R pre-filter is subsumed by the downstream ``__sup_mic IS NOT
+    NULL`` filter both plans share), and the order-grain share
+    re-aggregation runs identically downstream.
+    """
+    per_contrib = rollup.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_suppkey").alias("contributor_key"),
+        F.col("time_mic").alias("__sup_mic"),
+        money_from_micros_sum(F.col("alloc_mic")).alias("__ind_budget"),
+    )
+    return _fallback_select(orders, per_contrib)
+
+
+def _fallback_select(orders: DataFrame, per_contrib: DataFrame) -> DataFrame:
+    """Shared finalize for the fallback view (both build paths)."""
     sup_time = per_contrib.filter(F.col("__sup_mic").isNotNull())
     ord_time = sup_time.groupBy("order_key").agg(
         F.sum("__sup_mic").alias("__ord_mic")

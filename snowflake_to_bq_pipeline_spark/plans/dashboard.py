@@ -51,6 +51,27 @@ def client_budget_rollup(orders: DataFrame, lineitem: DataFrame, customer: DataF
             )
         ).alias("__actual_mic")
     )
+    return _client_select(orders, li, customer)
+
+
+def client_budget_rollup_from(
+    orders: DataFrame, rollup: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Per-client rollup derived from the shared budget-family cube
+    (plans/budget.line_rollup) — identical output to
+    :func:`client_budget_rollup` for any input: the per-order micros sum
+    re-aggregates the cube's exact integer partials (associative), and
+    the client-grain finalize is shared code."""
+    li = rollup.groupBy("l_orderkey").agg(
+        F.sum("net_mic").alias("__actual_mic")
+    )
+    return _client_select(orders, li, customer)
+
+
+def _client_select(
+    orders: DataFrame, li: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Shared finalize for the client rollup (both build paths)."""
     joined = orders.join(li, orders.o_orderkey == li.l_orderkey, "left").join(
         F.broadcast(customer.select("c_custkey", "c_name")),
         orders.o_custkey == F.col("c_custkey"),
@@ -111,6 +132,42 @@ def contributor_utilization_rollup(
         F.min(F.when(is_time, F.col("l_shipdate"))).alias("first_entry_date"),
         F.max(F.when(is_time, F.col("l_shipdate"))).alias("last_entry_date"),
     )
+    return _contributor_select(per, supplier, nation)
+
+
+def contributor_utilization_rollup_from(
+    rollup: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-contributor utilization derived from the shared budget-family
+    cube (plans/budget.line_rollup) — identical output to
+    :func:`contributor_utilization_rollup` for any input.
+
+    Exactness at the contributor coarsening: integer micros partials sum
+    exactly and F.sum's null-skipping matches the one-pass conditional
+    sums (all-null side → NULL both ways); orders_contributed counts the
+    cube's distinct (order, contributor) rows with a null-skipping
+    count(l_orderkey) == countDistinct at this grain. Grain audit:
+    per-contributor is fine-grain (entries-per-contributor bounded), so
+    the long micros re-sum cannot overflow — same bound as the one-pass
+    plan's own groups.
+    """
+    per = rollup.groupBy(F.col("l_suppkey").alias("contributor_key")).agg(
+        F.count(F.col("l_orderkey")).alias("orders_contributed"),
+        money_from_micros_sum(F.sum("alloc_mic")).alias("__alloc_n"),
+        money_from_micros_sum(F.sum("time_mic")).alias("__actual_n"),
+        money_from_micros_sum(F.sum("time_bill_mic")).alias("__billable_n"),
+        F.sum("alloc_cnt").alias("allocation_count"),
+        F.sum("time_cnt").alias("time_entry_count"),
+        F.min("time_min_ship").alias("first_entry_date"),
+        F.max("time_max_ship").alias("last_entry_date"),
+    )
+    return _contributor_select(per, supplier, nation)
+
+
+def _contributor_select(
+    per: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Shared finalize for the contributor rollup (both build paths)."""
     dims = supplier.select("s_suppkey", "s_name", "s_nationkey").join(
         nation.select("n_nationkey", "n_name"),
         F.col("s_nationkey") == F.col("n_nationkey"),

@@ -39,8 +39,10 @@ from .section_a_sync import (  # noqa: F401
     sync_date_dedup_q,
 )
 from .section_b_analytics import (  # noqa: F401
+    _BUDGET_ROLLUP_CACHE,
     _NET,
     _PIVOT_YEAR,
+    _budget_rollup_for,
     asof_join_q,
     bom_per_case_q,
     budget_fallback_allocation_q,
@@ -68,8 +70,10 @@ from .section_b_analytics import (  # noqa: F401
     work_item_enriched_q,
 )
 from .section_c_monitoring import (  # noqa: F401
+    _ALERTS_CACHE,
     _ALERTS_SQL_CTES,
     _PROFILE_COLS,
+    _alerts_for,
     alert_digest_q,
     data_quality_metrics_q,
     distribution_drift_psi_q,
@@ -274,70 +278,21 @@ def clear_model_caches() -> None:
 
 _WINDOW_ORDER = [
     # -- DRIVER WINDOW (first 50): the driver hash-checks only these --
-    # r9 rotation: NEW queries first (no prior verdict, need their first
-    # hash check)...
-    "dedup_token_savings_by_source",
-    "length_curriculum_buckets",
-    "embedding_norm_profile",
-    # ... then the longest-unchecked cohort: all 27 queries whose last
-    # driver verdict is r6-vintage (the registry split itself changed no
-    # existing plan — byte-identical QUERIES/ORACLES asserted against the
-    # pre-split module) ...
-    "bom_per_case_consumption",
-    "char_entropy_score",
-    "doc_novelty_profile",
-    "embedding_outlier_topk",
-    "gopher_quality_rules",
-    "ngram_containment_dups",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_bracket_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_accounts",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "shard_assignment_balanced",
-    "shard_balance_summary",
-    "source_quality_report",
-    "status_flap_audit",
-    "vocab_coverage_curve",
-    # ... plus the alphabetically-first r7-vintage fill up to slot 50
-    # (the last three of r8's planned 23-query fill — incremental_dedup_
-    # check, incremental_sync_window, json_props_profile — now sit just
-    # past the window and stay first in line for the r10 rotation)
+    # r10 rotation: CHANGED-this-round queries first (the alert pair now
+    # shares one memoized alert-dataset build; the budget family rides
+    # the shared (order, contributor) line_rollup cube) ...
+    "pipeline_alerts",
     "alert_digest",
-    "backfill_progress",
-    "charlm_perplexity",
-    "chunked_backfill_plan",
-    "click_attribution",
-    "column_value_drift",
-    "cross_split_contamination",
-    "customer_revenue_deciles",
-    "dataset_split_assign",
-    "dedup_clusters",
-    "dedup_latest_record",
-    "dedup_savings_report",
-    "distribution_drift_psi",
-    "dsir_importance_weights",
-    "dsir_select_topk",
-    "event_lateness_profile",
-    "event_session_stats",
-    "full_sync_snapshot",
-    "funnel_conversion",
-    "group_percentiles_exact",
+    "budget_vs_actual",
+    "individual_budget_tracking",
+    "budget_fallback_allocation",
+    "contributor_utilization_rollup",
+    "client_budget_rollup",
+    # ... then the longest-unchecked cohort: all 29 queries whose last
+    # driver verdict is r7-vintage ...
     "incremental_dedup_check",
     "incremental_sync_window",
     "json_props_profile",
-    # -- past the window: remaining r7-checked, then r8-checked ------
     "key_skew_profile",
     "mad_outlier_profile",
     "merge_upsert",
@@ -364,14 +319,12 @@ _WINDOW_ORDER = [
     "substring_dup_profile",
     "sync_date_dedup",
     "token_count_bpe",
+    # ... plus the alphabetically-first 14 r8-vintage fill up to
+    # slot 50 (freshness_check onward stay first in line for r11)
     "ann_cosine_topk",
     "asof_join_last_purchase",
     "bloom_filtered_entries",
-    "budget_fallback_allocation",
-    "budget_vs_actual",
     "cdc_fold_snapshot",
-    "client_budget_rollup",
-    "contributor_utilization_rollup",
     "data_quality_metrics",
     "decontamination_overlap",
     "dedup_exact",
@@ -382,14 +335,13 @@ _WINDOW_ORDER = [
     "embedding_dup_pairs",
     "error_window_events",
     "event_sessions",
+    # -- past the window: remaining r8-checked, then r9-checked ------
     "events_windowed_counts",
     "freshness_check",
     "incremental_agg_maintenance",
-    "individual_budget_tracking",
     "lang_id",
     "monthly_hours_pivot",
     "pii_redaction",
-    "pipeline_alerts",
     "q18_large_orders",
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -414,6 +366,55 @@ _WINDOW_ORDER = [
     "volume_anomaly",
     "volume_anomaly_dow",
     "work_item_enriched",
+    "backfill_progress",
+    "bom_per_case_consumption",
+    "char_entropy_score",
+    "charlm_perplexity",
+    "chunked_backfill_plan",
+    "click_attribution",
+    "column_value_drift",
+    "cross_split_contamination",
+    "customer_revenue_deciles",
+    "dataset_split_assign",
+    "dedup_clusters",
+    "dedup_latest_record",
+    "dedup_savings_report",
+    "dedup_token_savings_by_source",
+    "distribution_drift_psi",
+    "doc_novelty_profile",
+    "dsir_importance_weights",
+    "dsir_select_topk",
+    "embedding_norm_profile",
+    "embedding_outlier_topk",
+    "event_lateness_profile",
+    "event_session_stats",
+    "full_sync_snapshot",
+    "funnel_conversion",
+    "gopher_quality_rules",
+    "group_percentiles_exact",
+    "length_curriculum_buckets",
+    "ngram_containment_dups",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_bracket_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_accounts",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "shard_assignment_balanced",
+    "shard_balance_summary",
+    "source_quality_report",
+    "status_flap_audit",
+    "vocab_coverage_curve",
     # -- rows-only ops (no oracle possible, must never hold a slot) ---
     "ann_ivf_topk",
     "ann_ivfpq_topk",
@@ -442,13 +443,17 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 #: Names whose engine code is new or changed THIS round: each needs a fresh
 #: driver hash verdict, so each must sit inside the 50-slot window.  Update
 #: this set whenever a round touches a query's plan or oracle.
-# r9: the package split changed no existing plan (QUERIES/ORACLES/
-# MEMO_CONSUMERS verified byte-identical pre/post); the only entries
-# needing a fresh driver verdict are the three queries ADDED this round.
+# r10: the alert pair and the budget family changed PLANS (shared
+# fingerprint-memoized builds) with oracles untouched — each needs a
+# fresh driver hash verdict.
 _WINDOW_CRITICAL = {
-    "dedup_token_savings_by_source",
-    "length_curriculum_buckets",
-    "embedding_norm_profile",
+    "pipeline_alerts",
+    "alert_digest",
+    "budget_vs_actual",
+    "individual_budget_tracking",
+    "budget_fallback_allocation",
+    "contributor_utilization_rollup",
+    "client_budget_rollup",
 }
 
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (
@@ -486,6 +491,8 @@ _MEMO_HELPERS = (
     "_assigned_for",
     "_bpe_merges_for",
     "_dsir_weights_for",
+    "_alerts_for",
+    "_budget_rollup_for",
 )
 
 def _memo_helpers_called(fn) -> frozenset:

@@ -11,7 +11,35 @@ from ..catalog import load_table
 from ..operators import asof, scd
 from ..plans import bom, budget, dashboard, engagement, enrichment
 from ..streaming import incremental, joins as stream_joins
-from ._core import query
+from ._core import _corpus_fingerprint, query
+
+
+#: Shared (order, contributor)-grain rollup of the entry-line fact per
+#: corpus snapshot — the budget family (budget_vs_actual,
+#: individual_budget_tracking, budget_fallback_allocation,
+#: contributor_utilization_rollup) all coarsen this one cube, so the fact
+#: is scanned/shuffled ONCE per snapshot instead of once per query. At
+#: 100 TB these are full fact scans; the persisted cube is a narrow
+#: integer-partials table at pair grain. Same single-live-snapshot
+#: lifecycle as _ASSIGN_CACHE (section_e_similarity); exact re-aggregation
+#: proofs live on plans/budget.line_rollup and the *_from consumers.
+_BUDGET_ROLLUP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _budget_rollup_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "lineitem"))
+    df = _BUDGET_ROLLUP_CACHE.get(key)
+    if df is None:
+        for old in _BUDGET_ROLLUP_CACHE.values():
+            old.unpersist(blocking=False)
+        _BUDGET_ROLLUP_CACHE.clear()
+        from pyspark.storagelevel import StorageLevel
+
+        df = budget.line_rollup(
+            load_table(spark, sf_dir, "lineitem")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _BUDGET_ROLLUP_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -81,9 +109,10 @@ _NET = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
     """,
 )
 def budget_vs_actual_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-order budget vs actual (ref: v4 view)."""
-    return budget.budget_vs_actual(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    """Per-order budget vs actual (ref: v4 view). Rides the shared
+    _budget_rollup_for cube with the rest of the budget family."""
+    return budget.budget_vs_actual_from(
+        load_table(spark, sf_dir, "orders"), _budget_rollup_for(spark, sf_dir)
     )
 
 
@@ -174,9 +203,10 @@ def budget_vs_actual_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def individual_budget_tracking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(order, contributor) budget vs actual — flagship (ref: v5 view)."""
-    return budget.individual_budget_tracking(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    """Per-(order, contributor) budget vs actual — flagship (ref: v5 view).
+    Rides the shared _budget_rollup_for cube (which IS this view's grain)."""
+    return budget.individual_budget_tracking_from(
+        load_table(spark, sf_dir, "orders"), _budget_rollup_for(spark, sf_dir)
     )
 
 
@@ -301,10 +331,11 @@ def monthly_hours_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def client_budget_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-client budget/actual totals (ref: dashboard/main.py L1660-1678)."""
-    return dashboard.client_budget_rollup(
+    """Per-client budget/actual totals (ref: dashboard/main.py L1660-1678).
+    Rides the shared _budget_rollup_for cube with the budget family."""
+    return dashboard.client_budget_rollup_from(
         load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
+        _budget_rollup_for(spark, sf_dir),
         load_table(spark, sf_dir, "customer"),
     )
 
@@ -362,9 +393,10 @@ def client_budget_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def contributor_utilization_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-member utilization with team attributes (ref: dashboard/main.py
-    member/team grain tables; v5 view's primary dashboard consumer)."""
-    return dashboard.contributor_utilization_rollup(
-        load_table(spark, sf_dir, "lineitem"),
+    member/team grain tables; v5 view's primary dashboard consumer).
+    Rides the shared _budget_rollup_for cube with the budget family."""
+    return dashboard.contributor_utilization_rollup_from(
+        _budget_rollup_for(spark, sf_dir),
         load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "nation"),
     )
@@ -805,10 +837,11 @@ def click_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def budget_fallback_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v5 FALLBACK view: per-contributor budget with work-item-level
-    proportional distribution when no individual allocation exists."""
-    return budget.budget_fallback_allocation(
+    proportional distribution when no individual allocation exists.
+    Rides the shared _budget_rollup_for cube with the budget family."""
+    return budget.budget_fallback_allocation_from(
         load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
+        _budget_rollup_for(spark, sf_dir),
     )
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import load_table
 from ..operators import alerts as alerts_op, anomaly, quality, semistructured, skew
-from ._core import query
+from ._core import _corpus_fingerprint, query
 
 
 # ---------------------------------------------------------------------------
@@ -422,6 +422,38 @@ _ALERTS_SQL_CTES = """daily AS (
     )"""
 
 
+#: Unified alert dataset per corpus snapshot — shared by pipeline_alerts
+#: (the dataset) and alert_digest (its severity rollup), so the four
+#: monitor scans behind it (daily volume, per-type watermarks, dup keys,
+#: day-level reconciliation) run ONCE per snapshot instead of once per
+#: consuming query. At 100 TB these are full fact scans; the dataset
+#: itself is violation-sized, so persisting it is O(alerts), not
+#: O(corpus). Same single-live-snapshot lifecycle as _ASSIGN_CACHE
+#: (section_e_similarity).
+_ALERTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _alerts_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (
+        sf_dir,
+        _corpus_fingerprint(sf_dir, "events", "orders", "lineitem"),
+    )
+    df = _ALERTS_CACHE.get(key)
+    if df is None:
+        for old in _ALERTS_CACHE.values():
+            old.unpersist(blocking=False)
+        _ALERTS_CACHE.clear()
+        from pyspark.storagelevel import StorageLevel
+
+        df = alerts_op.pipeline_alerts(
+            load_table(spark, sf_dir, "events"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _ALERTS_CACHE[key] = df
+    return df
+
+
 @query(
     "pipeline_alerts",
     oracle=f"""
@@ -432,12 +464,9 @@ _ALERTS_SQL_CTES = """daily AS (
 def pipeline_alerts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified severity-ranked alert dataset folding the four monitors
     (ref: pipeline_fallback_monitor.py main flow + slack_integration_agent
-    payloads, minus the delivery transport)."""
-    return alerts_op.pipeline_alerts(
-        load_table(spark, sf_dir, "events"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
+    payloads, minus the delivery transport). Rides the _alerts_for memo
+    shared with alert_digest."""
+    return _alerts_for(spark, sf_dir)
 
 
 @query(
@@ -483,12 +512,11 @@ def alert_digest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Severity-rolled alert digest — the reference's report-assembly step
     (pipeline_fallback_monitor.py:247, data_quality_agent.py:244 build
     severity-ranked digests) as a dataset: per monitor section, alert
-    counts by severity, worst offender, dominant recommended action."""
-    return alerts_op.alert_digest(
-        load_table(spark, sf_dir, "events"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
+    counts by severity, worst offender, dominant recommended action.
+    Rides the _alerts_for memo shared with pipeline_alerts (the memoized
+    dataset is persisted, which also serves the digest's three internal
+    consumers)."""
+    return alerts_op.alert_digest_from(_alerts_for(spark, sf_dir))
 
 
 @query(

@@ -39,22 +39,47 @@ _ARTIFACT_GENERATORS = {
         "tools/scale_smoke.py",
         "snowflake_to_bq_pipeline_spark/operators/neardup.py",
     ),
-    "bench_details.json": ("bench.py",),
+    # Bench numbers depend on every plan under test, not just the harness:
+    # a registry/operator change that never touches bench.py still
+    # invalidates the recorded timings (ADVICE r9). Directory generators
+    # resolve to the newest change across their tree.
+    "bench_details.json": (
+        "bench.py",
+        "snowflake_to_bq_pipeline_spark/registry",
+        "snowflake_to_bq_pipeline_spark/operators",
+        "snowflake_to_bq_pipeline_spark/plans",
+    ),
 }
 
 
 def _effective_ts(repo: str, rel: str) -> int:
     """Last-commit unix time of ``rel``; falls back to filesystem mtime
     when the working tree carries uncommitted changes to it (so an
-    in-round regenerate counts as fresh before the snapshot commit)."""
+    in-round regenerate counts as fresh before the snapshot commit).
+    Directories resolve to the newest timestamp across their ``*.py``
+    tree. Timestamps are committer times (%ct), which assume the linear
+    append-only history this repo uses — an amend/rebase could reorder
+    them; if history rewriting ever enters the flow, compare topological
+    order (git merge-base --is-ancestor) instead (ADVICE r9)."""
     import subprocess
 
+    path = os.path.join(repo, rel)
+    if os.path.isdir(path):
+        ts = 0
+        for root, _dirs, files in os.walk(path):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    sub = os.path.relpath(os.path.join(root, f), repo)
+                    ts = max(ts, _effective_ts(repo, sub))
+        return ts
     dirty = subprocess.run(
         ["git", "status", "--porcelain", "--", rel],
         cwd=repo, capture_output=True, text=True,
     ).stdout.strip()
     if dirty:
-        return int(os.stat(os.path.join(repo, rel)).st_mtime)
+        return int(os.stat(path).st_mtime)
     out = subprocess.run(
         ["git", "log", "-1", "--format=%ct", "--", rel],
         cwd=repo, capture_output=True, text=True,
