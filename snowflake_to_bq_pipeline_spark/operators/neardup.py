@@ -516,6 +516,135 @@ def minhash_lsh_pairs(
     )
 
 
+#: 16-bit lanes per packed sign-sum aggregate (see simhash_signatures).
+_SIMHASH_LANES = 4
+
+
+def _simhash_lane_sum(h, j: int):
+    """Packed 4-lane contribution of one shingle hash to counter ``j``:
+    lane k of counter j counts the set bit at position 4j + k, shifted to
+    bit 16k. Lanes never carry into each other while per-doc shingle
+    counts stay under 2^16 (guaranteed by orders of magnitude at the doc
+    grain)."""
+    expr = None
+    for kk in range(_SIMHASH_LANES):
+        bit = j * _SIMHASH_LANES + kk
+        lane = F.shiftleft(
+            F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)).cast("long"),
+            16 * kk,
+        )
+        expr = lane if expr is None else expr + lane
+    return expr
+
+
+def _simhash_ones(j_col, i: int):
+    """Extract bit-position ``i``'s counter from its packed lane column."""
+    return F.shiftrightunsigned(
+        j_col, 16 * (i % _SIMHASH_LANES)
+    ).bitwiseAND(F.lit(65535))
+
+
+def _simhash_from_packed(n_col, p_col):
+    """64-bit signature from n_shingles + 16 packed counters: bit i set
+    iff 2·ones(i) > n — exactly the sign-sum > 0 rule (ones − (n − ones)
+    > 0), ties unset."""
+    return sum(
+        [
+            F.when(
+                _simhash_ones(p_col(i // _SIMHASH_LANES), i) * 2 > n_col,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(64)
+        ],
+        F.lit(0).cast("long"),
+    )
+
+
+def simhash_signatures(h: DataFrame) -> DataFrame:
+    """(doc_id, simhash) 64-bit signatures from a hashed-shingle table
+    ``(doc_id, th)``.
+
+    Packs the 64 per-bit sign counters into 16 SUM aggregates, 4 × 16-bit
+    lanes each (see :func:`_simhash_lane_sum`) — one long addition
+    advances four counters, quartering the aggregation-buffer width (the
+    cost driver for a 64-aggregate groupBy) without leaving whole-stage
+    codegen.
+    """
+    pack_aggs = [
+        F.sum(_simhash_lane_sum(F.col("th"), j)).alias(f"p_{j}")
+        for j in range(64 // _SIMHASH_LANES)
+    ]
+    bits = h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n"), *pack_aggs
+    )
+    return bits.select(
+        "doc_id",
+        _simhash_from_packed(
+            F.col("__n"), lambda j: F.col(f"p_{j}")
+        ).alias("simhash"),
+    )
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash", k: int = 3
+) -> DataFrame:
+    """Append a ROW-LOCAL 64-bit SimHash column — bit-identical to
+    :func:`simhash_signatures` over :func:`hashed_shingles` (asserted in
+    tests/test_neardup.py), but computed entirely inside one row via
+    array expressions: tokenize → distinct word-k-grams → xxhash64 each →
+    16 packed ``F.aggregate`` sign-sum folds → majority-vote bits.
+
+    This is the streaming-safe form: no explode, no groupBy, no shuffle —
+    it composes onto an unbounded stream as a stateless projection
+    (streaming/curation.near_dedup_docs builds its band keys from it).
+    Batch consumers should prefer the aggregated form, whose shuffle
+    doubles as the shared materialization point of the near-dup family.
+
+    Docs with fewer than ``k`` words have no shingles and get NULL (the
+    aggregated form simply has no row for them — same "no signature"
+    semantics).
+    """
+    w = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.array_size(w) >= k, F.sequence(F.lit(1), F.array_size(w) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingle_arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(k)]
+            ),
+        )
+    )
+    hashes = F.transform(shingle_arr, lambda s: F.xxhash64(s))
+    tmp_h = f"__{out_col}_h"
+    tmp_p = [f"__{out_col}_p{j}" for j in range(64 // _SIMHASH_LANES)]
+    # Two-step select so the 16 packed fold columns are evaluated ONCE per
+    # row and the 64 majority votes read them as plain columns — inlining
+    # the folds into the vote expression would re-run each O(shingles)
+    # aggregate up to 16 times per row.
+    def _fold(j: int):
+        # closure factory (NOT a default arg: PySpark counts lambda
+        # params, and a bound default would read as a third lambda var)
+        return lambda acc, h: acc + _simhash_lane_sum(h, j)
+
+    packed = df.withColumn(tmp_h, hashes).select(
+        "*",
+        *[
+            F.aggregate(
+                F.col(tmp_h), F.lit(0).cast("long"), _fold(j)
+            ).alias(tmp_p[j])
+            for j in range(64 // _SIMHASH_LANES)
+        ],
+    )
+    n = F.array_size(F.col(tmp_h))
+    sig = F.when(
+        n >= 1,
+        _simhash_from_packed(n, lambda j: F.col(tmp_p[j])),
+    )
+    return packed.withColumn(out_col, sig).drop(tmp_h, *tmp_p)
+
+
 def simhash_pairs(
     documents: DataFrame,
     max_hamming: int = 6,
@@ -540,59 +669,11 @@ def simhash_pairs(
         h = hashed_shingles(documents, text_col, k=3).select(
             "doc_id", F.col("__h").alias("th")
         )
-    # Pack the 64 per-bit counters into 16 SUM aggregates, 4 × 16-bit
-    # lanes each: lane k of aggregate j counts set bits at position
-    # 4j + k, shifted to bit 16k. Lanes never carry into each other while
-    # per-doc shingle counts stay under 2^16 (and the doc_id grain
-    # guarantees that by orders of magnitude), so one long addition
-    # advances four counters. This quarters the aggregation-buffer width —
-    # the cost driver for a 64-aggregate groupBy — without leaving
-    # whole-stage codegen. Bit i of the signature is then set iff
-    # 2·ones(i) > n_shingles, which is exactly the old sign-sum > 0 rule
-    # (ones − (n − ones) > 0), ties unset on both formulations.
-    lanes = 4
-    pack_aggs = []
-    for j in range(64 // lanes):
-        expr = None
-        for kk in range(lanes):
-            bit = j * lanes + kk
-            lane = F.shiftleft(
-                F.shiftrightunsigned(F.col("th"), bit)
-                .bitwiseAND(F.lit(1))
-                .cast("long"),
-                16 * kk,
-            )
-            expr = lane if expr is None else expr + lane
-        pack_aggs.append(F.sum(expr).alias(f"p_{j}"))
-    bits = h.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("__n"), *pack_aggs
-    )
-
-    def ones(i: int):
-        return F.shiftrightunsigned(
-            F.col(f"p_{i // lanes}"), 16 * (i % lanes)
-        ).bitwiseAND(F.lit(65535))
-
     # Persisted: the candidate join consumes this twice (left/right), and
     # without the persist each side recomputes the whole shingle explode +
     # 16-aggregate groupBy (no ReusedExchange in the executed plan). The
     # table is 16 bytes/doc — trivially cacheable at any scale.
-    sig = _swap_cache(
-        "simhash",
-        bits.select(
-            "doc_id",
-            sum(
-                [
-                    F.when(
-                        ones(i) * 2 > F.col("__n"),
-                        F.shiftleft(F.lit(1).cast("long"), i),
-                    ).otherwise(F.lit(0).cast("long"))
-                    for i in range(64)
-                ],
-                F.lit(0).cast("long"),
-            ).alias("simhash"),
-        ),
-    )
+    sig = _swap_cache("simhash", simhash_signatures(h))
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -645,6 +726,8 @@ def incremental_neardup_check(
     sh_corpus: DataFrame | None = None,
     sh_incoming: DataFrame | None = None,
     df_cap: int | None = None,
+    corpus_bloom: list[int] | None = None,
+    bloom_bits: int | None = None,
 ) -> DataFrame:
     """Check INCOMING docs against an EXISTING corpus (daily-increment
     dedup: the batch flow of "is today's crawl already in the training
@@ -700,6 +783,28 @@ def incremental_neardup_check(
         )
     sz_old = sh_old.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("__szo"))
     sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__szn"))
+    # Exactness-preserving Bloom prefilter on the PROBE side: incoming
+    # shingles whose hash is provably absent from the corpus index never
+    # reach the inverted-index join. No false negatives by construction
+    # (operators/bloom.py), so every probe row that could match survives
+    # and candidates re-score identically — pytest-proven equal to the
+    # unfiltered plan on an adversarial corpus (tests/test_neardup.py).
+    # False positives only cost join input. Sizes (sz_new) deliberately
+    # come from the UNfiltered incoming shingles — they are part of the
+    # Jaccard denominator, not candidate generation. Pass a prebuilt
+    # ``corpus_bloom`` bitmap (the registry memoizes one per corpus
+    # snapshot) or ``bloom_bits`` to build it here (one bounded job:
+    # partial-aggregated bit_or, O(n_bits/64) collect).
+    if corpus_bloom is None and bloom_bits:
+        from .bloom import build_bloom
+
+        corpus_bloom = build_bloom(sh_old, "__h", bloom_bits)
+    if corpus_bloom is not None:
+        from .bloom import apply_bloom
+
+        sh_probe = apply_bloom(sh_new, "__h", corpus_bloom)
+    else:
+        sh_probe = sh_new
     # Hot-shingle guard, asymmetric form: cap on the CORPUS index's
     # document frequencies (the big side). Probe shingles that hit a
     # hot corpus shingle are dropped from candidate generation unless
@@ -723,7 +828,7 @@ def incremental_neardup_check(
             df_old_tab, sz_new, "__szn", cap, exempt_sz
         )
         is_hot = F.col("__h").isin(hot_hashes)
-        cold_new, hot_new = sh_new.filter(~is_hot), sh_new.filter(is_hot)
+        cold_new, hot_new = sh_probe.filter(~is_hot), sh_probe.filter(is_hot)
         cold_old, hot_old = sh_old.filter(~is_hot), sh_old.filter(is_hot)
         # cold part: the plain probe join, hot buckets excluded
         cold_inter = (
@@ -779,7 +884,7 @@ def incremental_neardup_check(
         )
     else:
         inter = (
-            sh_new.join(sh_old, "__h")
+            sh_probe.join(sh_old, "__h")
             .groupBy("doc_id", "corpus_id")
             .agg(F.count(F.lit(1)).alias("__i"))
         )

@@ -130,9 +130,11 @@ from .section_e_text import (  # noqa: F401
     _PII_AUG_SQL,
     _SHARD_RANK_SQL,
     _TOK_COUNTS_CACHE,
+    _UNIGRAM_VOCAB_CACHE,
     _bpe_merges_for,
     _dsir_weights_for,
     _tok_counts_for,
+    _unigram_vocab_for,
     bpe_encode_tokens_q,
     bpe_merge_table_q,
     char_entropy_q,
@@ -165,6 +167,8 @@ from .section_e_text import (  # noqa: F401
     text_quality_score_q,
     text_stats_q,
     token_count_bpe_q,
+    unigram_encode_tokens_q,
+    unigram_vocab_table_q,
     vocab_coverage_q,
     vocab_top_k_q,
 )
@@ -176,6 +180,7 @@ from .section_e_similarity import (  # noqa: F401
     _COS_SQL,
     _DUP_COS_TAU,
     _EVAL_SOURCE,
+    _INCR_BLOOM_CACHE,
     _JACCARD_PAIRS_CACHE,
     _JACCARD_TAU,
     _MINHASH_PAIRS_CACHE,
@@ -184,11 +189,14 @@ from .section_e_similarity import (  # noqa: F401
     _SUBSTR_S,
     _SUBSTR_W,
     _TFIDF_SIM_TAU,
+    _TFIDF_TOPK_CACHE,
     _assigned_for,
     _centroids_for,
+    _incr_bloom_for,
     _jaccard_pairs_for,
     _minhash_pairs_for,
     _shingles_for,
+    _tfidf_topk_for,
     ann_cosine_topk_q,
     ann_ivf_topk_q,
     ann_ivfpq_topk_q,
@@ -288,6 +296,7 @@ _WINDOW_ORDER = [
     "budget_fallback_allocation",
     "contributor_utilization_rollup",
     "client_budget_rollup",
+    "tfidf_doc_similarity",
     # ... then the longest-unchecked cohort: all 29 queries whose last
     # driver verdict is r7-vintage ...
     "incremental_dedup_check",
@@ -334,8 +343,8 @@ _WINDOW_ORDER = [
     "embedding_doc_dedup",
     "embedding_dup_pairs",
     "error_window_events",
-    "event_sessions",
     # -- past the window: remaining r8-checked, then r9-checked ------
+    "event_sessions",
     "events_windowed_counts",
     "freshness_check",
     "incremental_agg_maintenance",
@@ -356,7 +365,6 @@ _WINDOW_ORDER = [
     "stratified_sample_mix",
     "text_quality_score",
     "text_stats",
-    "tfidf_doc_similarity",
     "tfidf_top_terms",
     "user_activity_trend",
     "user_running_totals",
@@ -430,6 +438,8 @@ _WINDOW_ORDER = [
     "semdedup_prune",
     "sketch_distinct_users",
     "sketch_value_quantiles",
+    "unigram_encode_tokens",
+    "unigram_vocab_table",
 ]
 
 assert set(_WINDOW_ORDER) == set(QUERIES), (
@@ -454,6 +464,7 @@ _WINDOW_CRITICAL = {
     "budget_fallback_allocation",
     "contributor_utilization_rollup",
     "client_budget_rollup",
+    "tfidf_doc_similarity",
 }
 
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (
@@ -491,8 +502,11 @@ _MEMO_HELPERS = (
     "_assigned_for",
     "_bpe_merges_for",
     "_dsir_weights_for",
+    "_unigram_vocab_for",
     "_alerts_for",
     "_budget_rollup_for",
+    "_incr_bloom_for",
+    "_tfidf_topk_for",
 )
 
 def _memo_helpers_called(fn) -> frozenset:

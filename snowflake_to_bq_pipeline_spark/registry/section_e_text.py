@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import load_table
-from ..operators import bpe, curation, quality, ranges, text as text_ops
+from ..operators import bpe, curation, quality, ranges, text as text_ops, unigram
 from ._core import _ModelMemo, _corpus_fingerprint, query
 
 
@@ -898,6 +898,46 @@ def bpe_encode_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_bpe.py cross-checks against pure-Python BPE)."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe.bpe_encode_stats(docs, _bpe_merges_for(spark, sf_dir))
+
+
+#: Once-per-corpus unigram-LM vocabulary (SentencePiece-style Viterbi-EM
+#: prune, operators/unigram.py) — the same driver-resident-model posture
+#: and _ModelMemo lifecycle as _BPE_MERGE_CACHE.
+_UNIGRAM_VOCAB_CACHE = _ModelMemo()
+
+
+def _unigram_vocab_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    rows = _UNIGRAM_VOCAB_CACHE.get(key)
+    if rows is None:
+        rows = unigram.unigram_vocab_rows(
+            load_table(spark, sf_dir, "documents"), vocab_size=400
+        )
+        _UNIGRAM_VOCAB_CACHE.put(key, rows)
+    return spark.createDataFrame(rows, unigram.VOCAB_SCHEMA)
+
+
+@query("unigram_vocab_table")  # rows-only: iterative EM induction, no SQL twin
+def unigram_vocab_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned unigram-LM (SentencePiece-style) piece vocabulary over the
+    document corpus — Viterbi-EM over the capped word dictionary with
+    deterministic integer counts and lexicographic tie-breaks;
+    cross-checked against a pure-Python reference implementation in
+    tests/test_unigram.py."""
+    return _unigram_vocab_for(spark, sf_dir)
+
+
+@query("unigram_encode_tokens")  # rows-only: applies the learned model
+def unigram_encode_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram-LM token counts from applying the learned
+    vocabulary (learn once per corpus via the shared model cache; Viterbi
+    encode over the distinct word vocab in an Arrow-batched pandas UDF,
+    broadcast-join back; tests/test_unigram.py cross-checks the
+    segmentation against the pure-Python reference)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram.unigram_encode_stats(
+        docs, _unigram_vocab_for(spark, sf_dir)
+    )
 
 
 _CHARLM_REF = "src1"

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.neardup import SIMHASH_CHUNKS, with_simhash
 from ..operators.text import TOKEN_RE
 
 CURATION_WATERMARK = "10 minutes"
@@ -59,4 +60,113 @@ def curate_docs(
         return gated.dropDuplicates(["fingerprint"])
     return gated.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
+    )
+
+
+def near_dedup_docs(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    watermark: str | None = CURATION_WATERMARK,
+) -> DataFrame:
+    """Streaming simhash-band NEAR-dedup, survivor-band form — the fuzzy
+    twin of :func:`curate_docs`'s md5 exact-fingerprint stage (ref
+    pattern: work_item_details_latest_view.sql:58 latest-wins dedup,
+    continuous form).
+
+    Semantics (greedy first-seen, order = event time then doc id): each
+    doc's 64-bit row-local SimHash (operators.neardup.with_simhash —
+    bit-identical to the batch signatures) is split into
+    ``SIMHASH_CHUNKS`` disjoint byte bands; a doc is kept iff NONE of its
+    band values was seen on ANY earlier doc inside the horizon. By the
+    pigeonhole bound this drops every in-horizon pair the batch
+    ``dedup_simhash`` (hamming ≤ 7 with 8 bands) would flag — recall 1.0
+    within the horizon, asserted in tests/test_streaming.py — at the
+    cost of chance byte-collision over-drops the scheduled batch sweep
+    adjudicates (the same layered posture as the exact stage). Docs too
+    short to shingle (NULL simhash) pass through unexamined, as band −1
+    rows keyed by their own doc id.
+
+    Spark shape: ONE stateful operator. The stream is a stateless
+    signature projection exploded to band rows, deduped with
+    ``dropDuplicatesWithinWatermark`` on the constant-width
+    (band, band_val) key — state is band keys within the horizon, never
+    document text. The per-doc keep decision (ALL bands first-seen) is
+    deliberately NOT a second stateful aggregate (a chained stateful op
+    would hold every in-flight doc until watermark eviction): a doc's
+    band rows are exploded from one input row, so they live and die in
+    the SAME micro-batch, making the reassembly batch-LOCAL — run
+    :func:`near_dedup_finalize` on each sink micro-batch (foreachBatch),
+    which is exact, stateless, and adds no latency.
+
+    ``watermark=None`` runs the exact batch twin — min-(ts, doc_id)
+    first-seen band survival WITH the finalize applied — the
+    drain-equality reference for the streaming form.
+    """
+    sig = with_simhash(docs, text_col).select(ts_col, doc_id_col, "simhash")
+    short = sig.filter(F.col("simhash").isNull()).select(
+        ts_col,
+        doc_id_col,
+        "simhash",
+        F.lit(-1).alias("band"),
+        F.col(doc_id_col).cast("long").alias("band_val"),
+    )
+    banded = sig.filter(F.col("simhash").isNotNull()).select(
+        ts_col,
+        doc_id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("band"),
+                        F.shiftright(F.col("simhash"), c * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        ts_col, doc_id_col, "simhash", "bv.band", "bv.band_val"
+    ).unionByName(short)
+
+    if watermark is None:
+        order = F.struct(F.col(ts_col), F.col(doc_id_col))
+        first = banded.groupBy("band", "band_val").agg(
+            F.min(order).alias("__first")
+        )
+        surv = (
+            banded.join(first, ["band", "band_val"])
+            .filter(order == F.col("__first"))
+            .drop("__first")
+        )
+        return near_dedup_finalize(surv, ts_col, doc_id_col)
+    return banded.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(["band", "band_val"])
+
+
+def near_dedup_finalize(
+    surv: DataFrame, ts_col: str = "ts", doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """Batch-local keep decision over survivor-band rows: a doc is kept
+    iff ALL its ``SIMHASH_CHUNKS`` band rows survived the dedup, or it is
+    a band −1 pass-through (too short to shingle). Exact within any
+    DataFrame whose rows cover whole docs — in streaming that is every
+    foreachBatch micro-batch, because a doc's band rows are exploded from
+    one input row and never straddle batches. Emits ``(ts, doc_id,
+    simhash)``."""
+    return (
+        surv.groupBy(ts_col, doc_id_col, "simhash")
+        .agg(
+            F.count(F.when(F.col("band") >= 0, F.lit(1))).alias("__bands"),
+            F.max(F.col("band") == -1).alias("__passthrough"),
+        )
+        .filter(
+            F.col("__passthrough") | (F.col("__bands") == SIMHASH_CHUNKS)
+        )
+        .select(ts_col, doc_id_col, "simhash")
     )

@@ -349,3 +349,54 @@ def test_df_guard_nonpositive_threshold_falls_back_to_naive(spark):
     incoming = docs.filter("doc_id >= 100")
     inc = neardup.incremental_neardup_check(corpus, incoming, 0.0, df_cap=2)
     assert inc.count() == 5  # one row per incoming doc, no crash
+
+
+def test_bloom_prefilter_incremental_output_identical(spark, sf_dir):
+    """The corpus Bloom prefilter must be invisible in the OUTPUT on the
+    adversarial hot-phrase corpus — no false negatives by construction,
+    so the pruned probe join re-scores to exactly the unfiltered plan's
+    rows. Checked both with the naive plan and composed with the
+    df-cap hot-shingle guard (the two prunes stack), and with a
+    deliberately TINY bitmap (high false-positive rate — the prune
+    degrades to a no-op, never to a wrong answer)."""
+    from pyspark.sql import functions as F
+
+    docs = _hot_phrase_docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    key = lambda r: (r.doc_id, r.best_match_id, r.best_jaccard, r.is_duplicate)
+    plain = {
+        key(r)
+        for r in neardup.incremental_neardup_check(
+            corpus, incoming, 0.6
+        ).collect()
+    }
+    assert plain
+    for df_cap, bits in ((None, 1 << 20), (2, 1 << 20), (None, 256)):
+        got = {
+            key(r)
+            for r in neardup.incremental_neardup_check(
+                corpus, incoming, 0.6, df_cap=df_cap, bloom_bits=bits
+            ).collect()
+        }
+        assert got == plain, (df_cap, bits)
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    """On disjoint-vocabulary incoming docs the bitmap removes every
+    probe row (sanity that the filter is in the plan, not a no-op)."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(5, "uno dos tres cuatro cinco seis")],
+        "doc_id long, text string",
+    )
+    out = neardup.incremental_neardup_check(
+        corpus, incoming, 0.1, bloom_bits=1 << 20
+    ).collect()
+    assert len(out) == 1
+    assert out[0].best_match_id is None and not out[0].is_duplicate

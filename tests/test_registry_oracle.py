@@ -50,12 +50,20 @@ def test_memo_consumers_introspection_is_complete():
         "bpe_merge_table": {"_bpe_merges_for"},
         "bpe_encode_tokens": {"_bpe_merges_for"},
         "dedup_minhash_lsh": {"_minhash_pairs_for"},
+        # r10 shared-scan memos: the alert pair and the budget family
+        "pipeline_alerts": {"_alerts_for"},
+        "alert_digest": {"_alerts_for"},
+        "budget_vs_actual": {"_budget_rollup_for"},
+        "individual_budget_tracking": {"_budget_rollup_for"},
+        "budget_fallback_allocation": {"_budget_rollup_for"},
+        "contributor_utilization_rollup": {"_budget_rollup_for"},
+        "client_budget_rollup": {"_budget_rollup_for"},
     }
     for name, helpers in expect.items():
         assert helpers <= set(MEMO_CONSUMERS.get(name, ())), name
     # non-consumers must NOT be flagged (a false flag would discount a
     # genuine engine win in the bench read)
-    for name in ("q1_pricing_summary", "text_stats", "budget_vs_actual"):
+    for name in ("q1_pricing_summary", "text_stats", "view_variance_detection"):
         assert name not in MEMO_CONSUMERS
 
 

@@ -516,3 +516,81 @@ def test_multivariate_scoring_flags_unknown_stream(spark, sf_dir):
     assert rows
     assert all(r.mahalanobis is None for r in rows)
     assert all(r.is_anomaly for r in rows)
+
+
+def test_streaming_near_dedup_drain_equals_batch_twin(spark, sf_dir, tmp_path):
+    """Simhash-band near-dedup stage: the availableNow drain over a
+    (ts, doc_id)-ordered single-partition source must keep EXACTLY the
+    docs the batch twin (watermark=None greedy first-seen) keeps, and —
+    the pigeonhole recall property — must drop the later doc of every
+    in-horizon pair the batch ``simhash_pairs`` (hamming ≤ 7, 8 byte
+    bands) flags."""
+    from snowflake_to_bq_pipeline_spark.operators import neardup
+    from snowflake_to_bq_pipeline_spark.streaming import curation as scur
+
+    base = 1_700_000_000
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(base) + F.col("doc_id")).alias("ts"),
+    )
+    # Plant NEAR-duplicates: copies with one word swapped, arriving
+    # shortly after their originals (well inside the horizon).
+    planted = docs.limit(8).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.regexp_replace("text", r"^(\S+ \S+ \S+) \S+", r"$1 zqzqzq").alias(
+            "text"
+        ),
+        F.timestamp_seconds(
+            F.lit(base) + F.col("doc_id") + F.lit(120)
+        ).alias("ts"),
+    )
+    shorty = spark.range(1).select(
+        F.lit(999_999).cast("long").alias("doc_id"),
+        F.lit("one two").alias("text"),  # < 3 words: no shingles
+        F.timestamp_seconds(F.lit(base + 700)).alias("ts"),
+    )
+    real = docs.unionByName(planted).unionByName(shorty)
+
+    src = str(tmp_path / "near_src")
+    # (ts, doc_id) order, ONE partition — makes the stream's arrival
+    # order match the batch twin's (ts, doc_id) greedy order.
+    real.orderBy("ts", "doc_id").coalesce(1).write.mode("overwrite").parquet(
+        src
+    )
+
+    batch_keep = {
+        r["doc_id"]
+        for r in scur.near_dedup_docs(
+            spark.read.parquet(src), watermark=None
+        ).collect()
+    }
+
+    surv = scur.near_dedup_docs(
+        spark.readStream.schema(real.schema).parquet(src)
+    )
+    out = str(tmp_path / "near_out")
+
+    def _sink(batch_df, _bid):
+        scur.near_dedup_finalize(batch_df).write.mode("append").parquet(out)
+
+    q = (
+        surv.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "near_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    assert got == batch_keep
+    assert 999_999 in got  # shingle-less docs pass through
+
+    # Pigeonhole recall: every batch simhash near-dup pair in-horizon →
+    # the later doc was dropped.
+    pairs = neardup.simhash_pairs(real, max_hamming=7).collect()
+    assert len(pairs) >= 8  # the planted near-dups are visible to batch
+    for p in pairs:
+        later = max(p["doc_a"], p["doc_b"])
+        assert later not in got, (p, later)
