@@ -222,6 +222,27 @@ def view_variance_detection(lineitem: DataFrame) -> DataFrame:
             "view_b_entries"
         ),
     )
+    return _variance_select(per)
+
+
+def view_variance_detection_from(rollup: DataFrame) -> DataFrame:
+    """Cross-view variance derived from the shared budget-family cube —
+    identical output to :func:`view_variance_detection` for any input:
+    per-contributor re-sums of the cube's exact integer micros partials
+    (fine-grain: entries-per-contributor bounded), time-side nulls
+    preserved by F.sum's null-skipping exactly as the one-pass
+    conditional sums."""
+    per = rollup.groupBy(F.col("l_suppkey").alias("contributor_key")).agg(
+        money_from_micros_sum(F.sum("net_mic")).alias("view_a_total"),
+        money_from_micros_sum(F.sum("time_mic")).alias("view_b_total_n"),
+        F.sum("cnt").alias("view_a_entries"),
+        F.sum("time_cnt").alias("view_b_entries"),
+    )
+    return _variance_select(per)
+
+
+def _variance_select(per: DataFrame) -> DataFrame:
+    """Shared finalize for the variance view (both build paths)."""
     vb = F.coalesce(F.col("view_b_total_n"), F.lit(0.0))
     return per.select(
         "contributor_key",

@@ -70,8 +70,15 @@ def utilization_rollup(
     customer: DataFrame,
     nation: DataFrame,
     region: DataFrame,
+    li_rollup: DataFrame | None = None,
 ) -> DataFrame:
     """Budget vs actual rolled up to (region, nation).
+
+    Pass ``li_rollup`` (the budget family's shared (order, contributor)
+    cube, plans/budget.line_rollup) to derive the per-order actual from
+    its exact integer micros partials instead of re-scanning the fact —
+    identical output (integer partials re-aggregate exactly), one fewer
+    full fact scan when the family runs together.
 
     The fact-fact aggregate (lineitem per order) happens before any
     dimension join. Money sums are long micros (bit-identical to the
@@ -85,13 +92,18 @@ def utilization_rollup(
     aggregate is O(groups*salts), effectively free, and the hot per-row
     path stays a primitive long add.
     """
-    li = lineitem.groupBy("l_orderkey").agg(
-        F.sum(
-            money_micros(
-                net_price(F.col("l_extendedprice"), F.col("l_discount"))
-            )
-        ).alias("__actual_mic")
-    )
+    if li_rollup is not None:
+        li = li_rollup.groupBy("l_orderkey").agg(
+            F.sum("net_mic").alias("__actual_mic")
+        )
+    else:
+        li = lineitem.groupBy("l_orderkey").agg(
+            F.sum(
+                money_micros(
+                    net_price(F.col("l_extendedprice"), F.col("l_discount"))
+                )
+            ).alias("__actual_mic")
+        )
     dims = (
         customer.join(
             F.broadcast(nation), customer.c_nationkey == nation.n_nationkey

@@ -229,6 +229,7 @@ from .section_e_similarity import (  # noqa: F401
 )
 from .section_f_streaming import (  # noqa: F401
     events_windowed_counts_q,
+    streaming_near_dedup_twin_q,
 )
 
 
@@ -296,6 +297,8 @@ _WINDOW_ORDER = [
     "budget_fallback_allocation",
     "contributor_utilization_rollup",
     "client_budget_rollup",
+    "utilization_rollup",
+    "view_variance_detection",
     "tfidf_doc_similarity",
     # ... then the longest-unchecked cohort: all 29 queries whose last
     # driver verdict is r7-vintage ...
@@ -341,9 +344,9 @@ _WINDOW_ORDER = [
     "doc_length_histogram",
     "dup_key_audit",
     "embedding_doc_dedup",
+    # -- past the window: remaining r8-checked, then r9-checked ------
     "embedding_dup_pairs",
     "error_window_events",
-    # -- past the window: remaining r8-checked, then r9-checked ------
     "event_sessions",
     "events_windowed_counts",
     "freshness_check",
@@ -368,8 +371,6 @@ _WINDOW_ORDER = [
     "tfidf_top_terms",
     "user_activity_trend",
     "user_running_totals",
-    "utilization_rollup",
-    "view_variance_detection",
     "vocab_top_k",
     "volume_anomaly",
     "volume_anomaly_dow",
@@ -438,6 +439,7 @@ _WINDOW_ORDER = [
     "semdedup_prune",
     "sketch_distinct_users",
     "sketch_value_quantiles",
+    "streaming_near_dedup_twin",
     "unigram_encode_tokens",
     "unigram_vocab_table",
 ]
@@ -464,6 +466,8 @@ _WINDOW_CRITICAL = {
     "budget_fallback_allocation",
     "contributor_utilization_rollup",
     "client_budget_rollup",
+    "utilization_rollup",
+    "view_variance_detection",
     "tfidf_doc_similarity",
 }
 

@@ -271,13 +271,15 @@ def work_item_enriched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def utilization_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Region/nation budget-vs-actual rollup (ref: dashboard aggregations)."""
+    """Region/nation budget-vs-actual rollup (ref: dashboard aggregations).
+    Derives the per-order actual from the shared _budget_rollup_for cube."""
     return enrichment.utilization_rollup(
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "region"),
+        li_rollup=_budget_rollup_for(spark, sf_dir),
     )
 
 
@@ -426,8 +428,11 @@ def contributor_utilization_rollup_q(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def view_variance_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-view totals variance per contributor (ref:
-    TIME_ENTRY_VARIANCE_ANALYSIS.md)."""
-    return dashboard.view_variance_detection(load_table(spark, sf_dir, "lineitem"))
+    TIME_ENTRY_VARIANCE_ANALYSIS.md). Rides the shared
+    _budget_rollup_for cube with the budget family."""
+    return dashboard.view_variance_detection_from(
+        _budget_rollup_for(spark, sf_dir)
+    )
 
 
 @query(

@@ -6,9 +6,9 @@ unchanged — registration still flows through registry._core.query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import load_table
-from ..streaming import incremental
+from ..streaming import curation as stream_curation, incremental
 from ._core import query
 
 
@@ -30,3 +30,21 @@ def events_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental sync (streaming/incremental.py); the streaming path is
     asserted equal to this in tests/test_streaming.py."""
     return incremental.windowed_counts_batch(load_table(spark, sf_dir, "events"))
+
+
+@query("streaming_near_dedup_twin")  # rows-only: xxhash64 simhash, no SQL twin
+def streaming_near_dedup_twin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming simhash-band near-dedup stage
+    (streaming/curation.near_dedup_docs): the keep-list over documents
+    arriving in doc_id order (synthetic one-second event times). The
+    streaming form is asserted drain-equal to exactly this plan — plus
+    pigeonhole recall 1.0 vs batch dedup_simhash — in
+    tests/test_streaming.py."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("doc_id")
+        ).alias("ts"),
+    )
+    return stream_curation.near_dedup_docs(docs, watermark=None)

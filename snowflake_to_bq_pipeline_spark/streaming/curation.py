@@ -21,12 +21,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.neardup import SIMHASH_CHUNKS, with_simhash
+from ..operators.neardup import with_simhash
 from ..operators.text import TOKEN_RE
 
 CURATION_WATERMARK = "10 minutes"
 MIN_TOKENS = 5
 MAX_TOKENS = 100_000
+
+#: Simhash band width (bits) for the streaming near-dedup stage. 16-bit
+#: bands (4 per 64-bit signature) guarantee an in-horizon drop for every
+#: pair with hamming ≤ 3 (pigeonhole) while keeping chance band
+#: collisions rare; 8-bit bands would guarantee hamming ≤ 7 but measured
+#: 94% spurious drops on a homogeneous sf0.001 corpus (sign-sum
+#: signatures cluster, so narrow bands collide far above the uniform
+#: birthday rate) vs 7% for 16-bit.
+NEAR_DEDUP_BAND_BITS = 16
 
 
 def curate_docs(
@@ -69,6 +78,7 @@ def near_dedup_docs(
     text_col: str = "text",
     doc_id_col: str = "doc_id",
     watermark: str | None = CURATION_WATERMARK,
+    band_bits: int = NEAR_DEDUP_BAND_BITS,
 ) -> DataFrame:
     """Streaming simhash-band NEAR-dedup, survivor-band form — the fuzzy
     twin of :func:`curate_docs`'s md5 exact-fingerprint stage (ref
@@ -77,16 +87,27 @@ def near_dedup_docs(
 
     Semantics (greedy first-seen, order = event time then doc id): each
     doc's 64-bit row-local SimHash (operators.neardup.with_simhash —
-    bit-identical to the batch signatures) is split into
-    ``SIMHASH_CHUNKS`` disjoint byte bands; a doc is kept iff NONE of its
-    band values was seen on ANY earlier doc inside the horizon. By the
-    pigeonhole bound this drops every in-horizon pair the batch
-    ``dedup_simhash`` (hamming ≤ 7 with 8 bands) would flag — recall 1.0
-    within the horizon, asserted in tests/test_streaming.py — at the
-    cost of chance byte-collision over-drops the scheduled batch sweep
-    adjudicates (the same layered posture as the exact stage). Docs too
-    short to shingle (NULL simhash) pass through unexamined, as band −1
-    rows keyed by their own doc id.
+    bit-identical to the batch signatures) is split into ``64 //
+    band_bits`` disjoint bands; a doc is kept iff NONE of its band
+    values was seen on ANY earlier doc inside the horizon. By the
+    pigeonhole bound this drops every in-horizon pair with hamming ≤
+    n_bands − 1 (≤ 3 at the default 16-bit width — the near-exact
+    replays a streaming stage exists to stop; asserted against batch
+    ``simhash_pairs`` in tests/test_streaming.py). Chance band-collision
+    over-drops fall to the scheduled batch sweep to adjudicate (the same
+    layered posture as the exact stage) and are kept rare by the band
+    width — see NEAR_DEDUP_BAND_BITS for the measured 8-bit failure
+    mode. Docs too short to shingle (NULL simhash) pass through
+    unexamined, as band −1 rows keyed by their own doc id.
+
+    Density caveat: chance-collision over-drops grow with docs-per-
+    horizon (sign-sum signatures cluster, so bands fill far above the
+    uniform birthday rate — the whole-corpus batch twin keeps ~93% of
+    508 docs but only ~10% of 5,080 at 4×16-bit). Size ``band_bits`` to
+    the expected horizon volume; a VERIFIED variant (band state carrying
+    signatures for exact hamming checks via applyInPandasWithState)
+    is the escalation path when horizon density is high and retention
+    matters.
 
     Spark shape: ONE stateful operator. The stream is a stateless
     signature projection exploded to band rows, deduped with
@@ -104,6 +125,18 @@ def near_dedup_docs(
     first-seen band survival WITH the finalize applied — the
     drain-equality reference for the streaming form.
     """
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    if watermark is None:
+        # Batch twin: the signature projection is CPU-heavy (16
+        # interpreted higher-order folds per row) — spread it across
+        # cores; a single local parquet file would otherwise run it on
+        # one task. Streaming micro-batches keep their arrival
+        # partitioning (repartitioning would also break the greedy
+        # arrival-order semantics within a batch).
+        from ..catalog import fan_out
+
+        docs = fan_out(docs.select(ts_col, doc_id_col, text_col))
     sig = with_simhash(docs, text_col).select(ts_col, doc_id_col, "simhash")
     short = sig.filter(F.col("simhash").isNull()).select(
         ts_col,
@@ -121,11 +154,11 @@ def near_dedup_docs(
                 *[
                     F.struct(
                         F.lit(c).alias("band"),
-                        F.shiftright(F.col("simhash"), c * 8)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("simhash"), c * band_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
                     )
-                    for c in range(SIMHASH_CHUNKS)
+                    for c in range(n_bands)
                 ]
             )
         ).alias("bv"),
@@ -134,6 +167,13 @@ def near_dedup_docs(
     ).unionByName(short)
 
     if watermark is None:
+        # Persisted: the first-seen aggregate and the rejoin both consume
+        # the band table, and each would otherwise re-run the expensive
+        # signature projection (4 materializations measured 320s vs one
+        # at sf0.001 on a single-file input).
+        from ..operators._cache import swap_cache
+
+        banded = swap_cache("near_dedup_twin_bands", banded)
         order = F.struct(F.col(ts_col), F.col(doc_id_col))
         first = banded.groupBy("band", "band_val").agg(
             F.min(order).alias("__first")
@@ -143,18 +183,21 @@ def near_dedup_docs(
             .filter(order == F.col("__first"))
             .drop("__first")
         )
-        return near_dedup_finalize(surv, ts_col, doc_id_col)
+        return near_dedup_finalize(surv, ts_col, doc_id_col, band_bits)
     return banded.withWatermark(
         ts_col, watermark
     ).dropDuplicatesWithinWatermark(["band", "band_val"])
 
 
 def near_dedup_finalize(
-    surv: DataFrame, ts_col: str = "ts", doc_id_col: str = "doc_id"
+    surv: DataFrame,
+    ts_col: str = "ts",
+    doc_id_col: str = "doc_id",
+    band_bits: int = NEAR_DEDUP_BAND_BITS,
 ) -> DataFrame:
     """Batch-local keep decision over survivor-band rows: a doc is kept
-    iff ALL its ``SIMHASH_CHUNKS`` band rows survived the dedup, or it is
-    a band −1 pass-through (too short to shingle). Exact within any
+    iff ALL its ``64 // band_bits`` band rows survived the dedup, or it
+    is a band −1 pass-through (too short to shingle). Exact within any
     DataFrame whose rows cover whole docs — in streaming that is every
     foreachBatch micro-batch, because a doc's band rows are exploded from
     one input row and never straddle batches. Emits ``(ts, doc_id,
@@ -166,7 +209,7 @@ def near_dedup_finalize(
             F.max(F.col("band") == -1).alias("__passthrough"),
         )
         .filter(
-            F.col("__passthrough") | (F.col("__bands") == SIMHASH_CHUNKS)
+            F.col("__passthrough") | (F.col("__bands") == 64 // band_bits)
         )
         .select(ts_col, doc_id_col, "simhash")
     )

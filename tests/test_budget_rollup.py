@@ -105,6 +105,27 @@ def test_from_variants_equal_one_pass_adversarial(spark):
     assert _rows(
         dashboard.client_budget_rollup_from(orders_c, cube, customer)
     ) == _rows(dashboard.client_budget_rollup(orders_c, li, customer))
+    assert _rows(dashboard.view_variance_detection_from(cube)) == _rows(
+        dashboard.view_variance_detection(li)
+    )
+    from snowflake_to_bq_pipeline_spark.plans import enrichment
+
+    cust_dim = spark.createDataFrame(
+        [(100, 1)], "c_custkey long, c_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(1, "ALPHA", 7)], "n_nationkey long, n_name string, n_regionkey long"
+    )
+    region = spark.createDataFrame(
+        [(7, "R7")], "r_regionkey long, r_name string"
+    )
+    assert _rows(
+        enrichment.utilization_rollup(
+            orders_c, li, cust_dim, nation, region, li_rollup=cube
+        )
+    ) == _rows(
+        enrichment.utilization_rollup(orders_c, li, cust_dim, nation, region)
+    )
 
 
 def test_from_variants_equal_one_pass_real_data(spark, sf_dir):
@@ -126,6 +147,8 @@ def test_budget_family_declared_memo_consumers():
         "budget_fallback_allocation",
         "contributor_utilization_rollup",
         "client_budget_rollup",
+        "utilization_rollup",
+        "view_variance_detection",
     }
     for name in family:
         assert registry.MEMO_CONSUMERS.get(name) == ("_budget_rollup_for",)

@@ -58,12 +58,14 @@ def test_memo_consumers_introspection_is_complete():
         "budget_fallback_allocation": {"_budget_rollup_for"},
         "contributor_utilization_rollup": {"_budget_rollup_for"},
         "client_budget_rollup": {"_budget_rollup_for"},
+        "utilization_rollup": {"_budget_rollup_for"},
+        "view_variance_detection": {"_budget_rollup_for"},
     }
     for name, helpers in expect.items():
         assert helpers <= set(MEMO_CONSUMERS.get(name, ())), name
     # non-consumers must NOT be flagged (a false flag would discount a
     # genuine engine win in the bench read)
-    for name in ("q1_pricing_summary", "text_stats", "view_variance_detection"):
+    for name in ("q1_pricing_summary", "text_stats", "monthly_hours_pivot"):
         assert name not in MEMO_CONSUMERS
 
 

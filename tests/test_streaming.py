@@ -522,9 +522,9 @@ def test_streaming_near_dedup_drain_equals_batch_twin(spark, sf_dir, tmp_path):
     """Simhash-band near-dedup stage: the availableNow drain over a
     (ts, doc_id)-ordered single-partition source must keep EXACTLY the
     docs the batch twin (watermark=None greedy first-seen) keeps, and —
-    the pigeonhole recall property — must drop the later doc of every
-    in-horizon pair the batch ``simhash_pairs`` (hamming ≤ 7, 8 byte
-    bands) flags."""
+    the pigeonhole recall property at the default 4×16-bit banding —
+    must drop the later doc of every in-horizon pair with hamming ≤ 3,
+    while NOT over-dropping the corpus at large."""
     from snowflake_to_bq_pipeline_spark.operators import neardup
     from snowflake_to_bq_pipeline_spark.streaming import curation as scur
 
@@ -586,11 +586,19 @@ def test_streaming_near_dedup_drain_equals_batch_twin(spark, sf_dir, tmp_path):
 
     assert got == batch_keep
     assert 999_999 in got  # shingle-less docs pass through
+    # Precision guard: the stage must not over-drop unique docs (the
+    # 8-bit-band failure mode kept only 6% of this corpus).
+    n_docs = real.count()
+    assert len(got) > 0.8 * n_docs, (len(got), n_docs)
 
-    # Pigeonhole recall: every batch simhash near-dup pair in-horizon →
-    # the later doc was dropped.
-    pairs = neardup.simhash_pairs(real, max_hamming=7).collect()
-    assert len(pairs) >= 8  # the planted near-dups are visible to batch
+    # Pigeonhole recall at 4×16-bit bands: every in-horizon pair with
+    # hamming ≤ 3 → the later doc was dropped.
+    pairs = [
+        p
+        for p in neardup.simhash_pairs(real, max_hamming=7).collect()
+        if p["hamming_distance"] <= 3
+    ]
+    assert len(pairs) >= 8  # planted + natural near-dups visible to batch
     for p in pairs:
         later = max(p["doc_a"], p["doc_b"])
         assert later not in got, (p, later)
