@@ -47,4 +47,8 @@ def streaming_near_dedup_twin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1_700_000_000) + F.col("doc_id")
         ).alias("ts"),
     )
-    return stream_curation.near_dedup_docs(docs, watermark=None)
+    from .section_e_similarity import _shingles_for
+
+    return stream_curation.near_dedup_docs(
+        docs, watermark=None, sh=_shingles_for(spark, sf_dir)
+    )
