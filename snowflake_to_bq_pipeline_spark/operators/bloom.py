@@ -35,6 +35,20 @@ from pyspark.sql import functions as F
 
 N_BITS_DEFAULT = 1 << 20
 N_HASHES_DEFAULT = 3
+
+
+def bits_for_keys(n_keys: int, floor_bits: int = N_BITS_DEFAULT) -> int:
+    """Data-dependent bitmap width: next power of two ≥ 10 bits per
+    distinct build key (k=3 hashes → <1% FP at that load), floored at
+    ``floor_bits``. A fixed width silently loses its FP rate when the
+    build side outgrows it (~38% FP at 10× the keys — still correct,
+    no false negatives at any width, but the prune stops paying for
+    its probe cost); power-of-two keeps the width 64-divisible and the
+    driver state a predictable 2× ladder. Callers feed ``n_keys`` from
+    a cheap ``approx_count_distinct`` over the build side (±2% HLL
+    error is irrelevant against the 2× ladder)."""
+    need = max(1, 10 * n_keys)
+    return max(floor_bits, 1 << (need - 1).bit_length())
 #: Largest bitmap embedded as a constant-folded array literal; larger
 #: bitmaps ride a one-row broadcast DataFrame (see apply_bloom).
 _LITERAL_WORDS_MAX = 1 << 14
@@ -90,7 +104,16 @@ _BLOOM_DF_CACHE: dict[int, tuple[list, DataFrame]] = {}
 
 def _bloom_df(probe: DataFrame, bitmap: list[int]) -> DataFrame:
     ent = _BLOOM_DF_CACHE.get(id(bitmap))
-    if ent is not None and ent[0] is bitmap:
+    # Session guard: callers memoize the bitmap LIST across queries
+    # (fingerprint-keyed, so its id survives a SparkSession restart), but
+    # the cached one-row DataFrame is bound to the session that created
+    # it — reusing it after a restart would fail cryptically inside the
+    # crossJoin. Same-session is part of the cache hit condition.
+    if (
+        ent is not None
+        and ent[0] is bitmap
+        and ent[1].sparkSession is probe.sparkSession
+    ):
         return ent[1]
     df = probe.sparkSession.createDataFrame(
         [(bitmap,)], "__bloom array<bigint>"

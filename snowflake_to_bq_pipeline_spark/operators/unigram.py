@@ -64,6 +64,20 @@ VOCAB_SCHEMA = (
     "piece string, piece_freq long, log_prob double, is_char boolean"
 )
 
+#: Score for a single char absent from the trained vocabulary: a large
+#: FINITE penalty, not -inf. With -inf the fallback was dead code —
+#: s = best[i] + (-inf) = -inf never beats best[j] (also -inf), so
+#: back[j] stayed 0 and any word containing an out-of-vocab char
+#: collapsed into ONE whole-word pseudo-piece that is not in the
+#: vocabulary. Finite keeps the DP totally ordered: unknown chars
+#: genuinely segment as single-char pieces, each costing more than any
+#: chain of real pieces (corpus log-probs are > -40), so known spans
+#: still segment optimally around them. Training never hits this branch
+#: (the trainer seeds every char of every dictionary word), but encoding
+#: runs over ALL distinct corpus words — tail words beyond the
+#: VOCAB_CAP dictionary can carry chars the model never saw.
+UNK_CHAR_LOGP = -1.0e12
+
 
 def _viterbi_segment(
     word: str, log_probs: dict[str, float], max_len: int
@@ -71,7 +85,8 @@ def _viterbi_segment(
     """Viterbi-best segmentation; on score ties the earliest start (=
     longest final piece) wins. Assumes every single char is in the model
     (the trainer guarantees it); unknown chars fall back to themselves
-    with -inf score so encoding never fails on foreign input."""
+    with the finite UNK_CHAR_LOGP penalty so encoding never fails on
+    foreign input and OOV chars segment as single-char pieces."""
     n = len(word)
     NEG = float("-inf")
     best = [NEG] * (n + 1)
@@ -82,7 +97,7 @@ def _viterbi_segment(
             lp = log_probs.get(word[i:j])
             if lp is None:
                 if j - i == 1:
-                    lp = NEG  # unknown char: representable, worst score
+                    lp = UNK_CHAR_LOGP  # unknown char: worst real score
                 else:
                     continue
             s = best[i] + lp

@@ -186,6 +186,7 @@ from .section_e_similarity import (  # noqa: F401
     _MINHASH_PAIRS_CACHE,
     _SHINGLE_CACHE,
     _SHINGLE_SQL,
+    _SIMHASH_SIG_CACHE,
     _SUBSTR_S,
     _SUBSTR_W,
     _TFIDF_SIM_TAU,
@@ -196,6 +197,7 @@ from .section_e_similarity import (  # noqa: F401
     _jaccard_pairs_for,
     _minhash_pairs_for,
     _shingles_for,
+    _simhash_sigs_for,
     _tfidf_topk_for,
     ann_cosine_topk_q,
     ann_ivf_topk_q,
@@ -287,64 +289,12 @@ def clear_model_caches() -> None:
 
 _WINDOW_ORDER = [
     # -- DRIVER WINDOW (first 50): the driver hash-checks only these --
-    # r10 rotation: CHANGED-this-round queries first (the alert pair now
-    # shares one memoized alert-dataset build; the budget family rides
-    # the shared (order, contributor) line_rollup cube) ...
-    "pipeline_alerts",
-    "alert_digest",
-    "budget_vs_actual",
-    "individual_budget_tracking",
-    "budget_fallback_allocation",
-    "contributor_utilization_rollup",
-    "client_budget_rollup",
-    "utilization_rollup",
-    "view_variance_detection",
-    "tfidf_doc_similarity",
-    # ... then the longest-unchecked cohort: all 29 queries whose last
-    # driver verdict is r7-vintage ...
+    # r11 rotation: CHANGED-this-round queries first (incremental_dedup_
+    # check's Bloom prefilter is now data-dependently sized — output
+    # identical, plan changed, so it needs a fresh driver hash) ...
     "incremental_dedup_check",
-    "incremental_sync_window",
-    "json_props_profile",
-    "key_skew_profile",
-    "mad_outlier_profile",
-    "merge_upsert",
-    "missing_records",
-    "multivariate_anomaly",
-    "ngram_jaccard_dups",
-    "open_orders_by_day",
-    "orphaned_records",
-    "pack_fill_summary",
-    "paginated_extract",
-    "paragraph_dedup",
-    "priority_sample_docs",
-    "repetition_filter",
-    "retention_cohorts",
-    "robust_value_stats",
-    "rolling_revenue_7d",
-    "sales_rollup_sets",
-    "scd2_status_history",
-    "sequence_packing",
-    "snapshot_changelog",
-    "source_language_mix",
-    "source_mix_temperature",
-    "stale_snapshot_audit",
-    "substring_dup_profile",
-    "sync_date_dedup",
-    "token_count_bpe",
-    # ... plus the alphabetically-first 14 r8-vintage fill up to
-    # slot 50 (freshness_check onward stay first in line for r11)
-    "ann_cosine_topk",
-    "asof_join_last_purchase",
-    "bloom_filtered_entries",
-    "cdc_fold_snapshot",
-    "data_quality_metrics",
-    "decontamination_overlap",
-    "dedup_exact",
-    "doc_fingerprint",
-    "doc_length_histogram",
-    "dup_key_audit",
-    "embedding_doc_dedup",
-    # -- past the window: remaining r8-checked, then r9-checked ------
+    # ... then the longest-unchecked cohort: all 30 queries whose last
+    # driver verdict is r8-vintage ...
     "embedding_dup_pairs",
     "error_window_events",
     "event_sessions",
@@ -375,6 +325,9 @@ _WINDOW_ORDER = [
     "volume_anomaly",
     "volume_anomaly_dow",
     "work_item_enriched",
+    # ... plus the alphabetically-first 19 of the r9-vintage cohort to
+    # fill slot 50 (embedding_outlier_topk onward stay first in line
+    # for r12)
     "backfill_progress",
     "bom_per_case_consumption",
     "char_entropy_score",
@@ -394,6 +347,7 @@ _WINDOW_ORDER = [
     "dsir_importance_weights",
     "dsir_select_topk",
     "embedding_norm_profile",
+    # -- past the window: remaining r9-checked, then r10-checked ------
     "embedding_outlier_topk",
     "event_lateness_profile",
     "event_session_stats",
@@ -424,6 +378,56 @@ _WINDOW_ORDER = [
     "source_quality_report",
     "status_flap_audit",
     "vocab_coverage_curve",
+    # ... the r10-checked cohort (freshest verdicts, last in line) ...
+    "pipeline_alerts",
+    "alert_digest",
+    "budget_vs_actual",
+    "individual_budget_tracking",
+    "budget_fallback_allocation",
+    "contributor_utilization_rollup",
+    "client_budget_rollup",
+    "utilization_rollup",
+    "view_variance_detection",
+    "tfidf_doc_similarity",
+    "incremental_sync_window",
+    "json_props_profile",
+    "key_skew_profile",
+    "mad_outlier_profile",
+    "merge_upsert",
+    "missing_records",
+    "multivariate_anomaly",
+    "ngram_jaccard_dups",
+    "open_orders_by_day",
+    "orphaned_records",
+    "pack_fill_summary",
+    "paginated_extract",
+    "paragraph_dedup",
+    "priority_sample_docs",
+    "repetition_filter",
+    "retention_cohorts",
+    "robust_value_stats",
+    "rolling_revenue_7d",
+    "sales_rollup_sets",
+    "scd2_status_history",
+    "sequence_packing",
+    "snapshot_changelog",
+    "source_language_mix",
+    "source_mix_temperature",
+    "stale_snapshot_audit",
+    "substring_dup_profile",
+    "sync_date_dedup",
+    "token_count_bpe",
+    "ann_cosine_topk",
+    "asof_join_last_purchase",
+    "bloom_filtered_entries",
+    "cdc_fold_snapshot",
+    "data_quality_metrics",
+    "decontamination_overlap",
+    "dedup_exact",
+    "doc_fingerprint",
+    "doc_length_histogram",
+    "dup_key_audit",
+    "embedding_doc_dedup",
     # -- rows-only ops (no oracle possible, must never hold a slot) ---
     "ann_ivf_topk",
     "ann_ivfpq_topk",
@@ -455,20 +459,12 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 #: Names whose engine code is new or changed THIS round: each needs a fresh
 #: driver hash verdict, so each must sit inside the 50-slot window.  Update
 #: this set whenever a round touches a query's plan or oracle.
-# r10: the alert pair and the budget family changed PLANS (shared
-# fingerprint-memoized builds) with oracles untouched — each needs a
-# fresh driver hash verdict.
+# r11: incremental_dedup_check's Bloom prefilter is now data-dependently
+# sized (bits_for_keys over the corpus-side shingle count) — output
+# identical (no false negatives at any width), plan changed, so it needs
+# a fresh driver hash verdict.
 _WINDOW_CRITICAL = {
-    "pipeline_alerts",
-    "alert_digest",
-    "budget_vs_actual",
-    "individual_budget_tracking",
-    "budget_fallback_allocation",
-    "contributor_utilization_rollup",
-    "client_budget_rollup",
-    "utilization_rollup",
-    "view_variance_detection",
-    "tfidf_doc_similarity",
+    "incremental_dedup_check",
 }
 
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (
@@ -499,6 +495,7 @@ ORACLES = {name: ORACLES[name] for name in _WINDOW_ORDER if name in ORACLES}
 
 _MEMO_HELPERS = (
     "_shingles_for",
+    "_simhash_sigs_for",
     "_jaccard_pairs_for",
     "_minhash_pairs_for",
     "_tok_counts_for",

@@ -249,14 +249,41 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs_for(spark, sf_dir)
 
 
+#: Shared 64-bit SimHash signature table (doc_id, simhash) per corpus
+#: snapshot: dedup_simhash and the streaming twin's batch path aggregate
+#: the SAME 16-packed-counter signatures from the shared shingle memo —
+#: a production near-dup pipeline persists this table next to the
+#: shingle index (it IS the simhash index). 16 bytes/doc, so the persist
+#: is trivially cacheable at any scale; single-live-handle lifecycle
+#: like the pair-table memos.
+_SIMHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_sigs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    df = _SIMHASH_SIG_CACHE.get(key)
+    if df is None:
+        for old in _SIMHASH_SIG_CACHE.values():
+            old.unpersist(blocking=False)
+        _SIMHASH_SIG_CACHE.clear()
+        from pyspark.storagelevel import StorageLevel
+
+        sh = _shingles_for(spark, sf_dir)
+        df = neardup.simhash_signatures(
+            sh.select("doc_id", F.col("__h").alias("th"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _SIMHASH_SIG_CACHE[key] = df
+    return df
+
+
 @query("dedup_simhash")  # rows-only: depends on Spark xxhash64
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-banded near-dup pairs over the memoized
-    hashed-shingle index (the feature hash is the Jaccard family's
-    xxhash64 shingle hash)."""
+    per-snapshot signature table (itself aggregated once from the
+    Jaccard family's xxhash64 hashed-shingle memo)."""
     return neardup.simhash_pairs(
         load_table(spark, sf_dir, "documents"),
-        sh=_shingles_for(spark, sf_dir),
+        sig=_simhash_sigs_for(spark, sf_dir),
     )
 
 
@@ -1001,12 +1028,19 @@ def incremental_dedup_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Once-per-corpus Bloom bitmap over the corpus-side shingle hashes of
-#: the incremental-dedup index — 2^23 bits = 1 MB of driver state
-#: (O(n_bits), independent of corpus size), the production analog of a
-#: standing daily-increment membership filter persisted next to the
-#: shingle index. _ModelMemo lifecycle like the other model caches.
+#: the incremental-dedup index — O(n_bits) driver state, independent of
+#: corpus size: the production analog of a standing daily-increment
+#: membership filter persisted next to the shingle index. _ModelMemo
+#: lifecycle like the other model caches.
 _INCR_BLOOM_CACHE = _ModelMemo()
 
+#: FLOOR for the bitmap width (2^23 bits = 1 MB). The actual width is
+#: data-dependent (see _bloom_bits_for): a fixed width silently loses
+#: its <1% false-positive rate the moment the corpus outgrows it — at
+#: 10× the keys the FP rate climbs to ~38% and the prefilter stops
+#: pruning (still CORRECT — no false negatives at any width — but
+#: pure overhead). Sizing from the observed key count keeps the prune
+#: effective at any corpus scale.
 _INCR_BLOOM_BITS = 1 << 23
 
 
@@ -1014,11 +1048,21 @@ def _incr_bloom_for(spark: SparkSession, sf_dir: str) -> list[int]:
     key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
     bitmap = _INCR_BLOOM_CACHE.get(key)
     if bitmap is None:
-        from ..operators.bloom import build_bloom
+        from ..operators.bloom import bits_for_keys, build_bloom
 
         sh = _shingles_for(spark, sf_dir)
+        corpus_sh = sh.filter(F.col("doc_id") % 5 != 0)
+        # Cheap sizing aggregate (HLL sketch, one partial-agg pass over
+        # the already-persisted shingle memo; ±2% error is irrelevant
+        # against the 2× sizing ladder). Runs once per corpus snapshot —
+        # amortized into the same memo as the bitmap build itself.
+        n_keys = int(
+            corpus_sh.agg(
+                F.approx_count_distinct("__h").alias("n")
+            ).collect()[0]["n"]
+        )
         bitmap = build_bloom(
-            sh.filter(F.col("doc_id") % 5 != 0), "__h", _INCR_BLOOM_BITS
+            corpus_sh, "__h", bits_for_keys(n_keys, _INCR_BLOOM_BITS)
         )
         _INCR_BLOOM_CACHE.put(key, bitmap)
     return bitmap

@@ -80,6 +80,7 @@ def near_dedup_docs(
     watermark: str | None = CURATION_WATERMARK,
     band_bits: int = NEAR_DEDUP_BAND_BITS,
     sh: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming simhash-band NEAR-dedup, survivor-band form — the fuzzy
     twin of :func:`curate_docs`'s md5 exact-fingerprint stage (ref
@@ -99,7 +100,9 @@ def near_dedup_docs(
     layered posture as the exact stage) and are kept rare by the band
     width — see NEAR_DEDUP_BAND_BITS for the measured 8-bit failure
     mode. Docs too short to shingle (NULL simhash) pass through
-    unexamined, as band −1 rows keyed by their own doc id.
+    unexamined, as band −1 rows keyed by xxhash64 of their own doc id
+    (non-null and distinct for any doc-id type — the NULL-safe dedup
+    key must never collide across distinct short docs).
 
     Density caveat: chance-collision over-drops grow with docs-per-
     horizon (sign-sum signatures cluster, so bands fill far above the
@@ -140,12 +143,19 @@ def near_dedup_docs(
             simhash_signatures,
         )
 
-        if sh is not None:
+        if sig is not None:
+            # precomputed (doc_id, simhash) signature table (e.g. the
+            # registry's per-snapshot signature memo shared with batch
+            # dedup_simhash) — skips the aggregation entirely; wins
+            # over ``sh`` when both are given
+            agg = sig
+        elif sh is not None:
             # precomputed hashed-shingle index (e.g. the registry's
             # per-snapshot memo) — same (k=3, text_col) contract as the
             # batch near-dup family
             _require_shingle_table(sh, text_col, 3, "near_dedup_docs(sh)")
             h = sh.select("doc_id", F.col("__h").alias("th"))
+            agg = simhash_signatures(h)
         else:
             h = hashed_shingles(
                 docs.select(
@@ -154,7 +164,7 @@ def near_dedup_docs(
                 text_col,
                 k=3,
             ).select("doc_id", F.col("__h").alias("th"))
-        agg = simhash_signatures(h)
+            agg = simhash_signatures(h)
         sig = docs.select(ts_col, doc_id_col).join(
             agg.select(
                 F.col("doc_id").alias(doc_id_col), "simhash"
@@ -171,7 +181,13 @@ def near_dedup_docs(
         doc_id_col,
         "simhash",
         F.lit(-1).alias("band"),
-        F.col(doc_id_col).cast("long").alias("band_val"),
+        # xxhash64, NOT cast("long"): for a string doc id the cast yields
+        # NULL, and dropDuplicatesWithinWatermark treats NULL keys as
+        # equal — every short doc would share the (-1, NULL) key and all
+        # but the first would be dropped, contradicting the documented
+        # pass-through semantics. xxhash64 gives a distinct non-null
+        # band value for ANY doc-id type.
+        F.xxhash64(F.col(doc_id_col)).alias("band_val"),
     )
     banded = sig.filter(F.col("simhash").isNotNull()).select(
         ts_col,

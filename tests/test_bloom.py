@@ -51,3 +51,21 @@ def test_join_result_equality(spark):
         .collect()
     )
     assert sorted(map(tuple, plain)) == sorted(map(tuple, with_bloom))
+
+
+def test_bits_for_keys_sizing_ladder():
+    from snowflake_to_bq_pipeline_spark.operators.bloom import (
+        N_BITS_DEFAULT,
+        bits_for_keys,
+    )
+
+    # floor holds for small builds
+    assert bits_for_keys(0) == N_BITS_DEFAULT
+    assert bits_for_keys(1000) == N_BITS_DEFAULT
+    # 10 bits/key, next power of two, once past the floor
+    assert bits_for_keys(200_000) == 1 << 21  # 2e6 bits -> 2^21
+    assert bits_for_keys(1_000_000) == 1 << 24  # 1e7 bits -> 2^24
+    # custom floor (the incremental-dedup memo's 2^23)
+    assert bits_for_keys(1000, floor_bits=1 << 23) == 1 << 23
+    # always 64-divisible (a power of two >= 2^20 trivially is)
+    assert bits_for_keys(123_456_789) % 64 == 0

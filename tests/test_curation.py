@@ -217,3 +217,25 @@ def test_cross_split_contamination_flags_planted_leak(spark):
     assert rows[heldout_leak].n_shared_train_ngrams > 0
     assert not rows[heldout_clean].leaked
     assert rows[heldout_clean].n_shared_train_ngrams == 0
+
+
+def test_near_dedup_string_doc_ids_short_docs_all_pass_through(spark):
+    """Short (shingle-less) docs with STRING doc ids must each keep their
+    own pass-through band key: the old cast("long") turned every string
+    id into NULL, and the NULL-safe dedup key (-1, NULL) collapsed all
+    short docs to one survivor. xxhash64 keys them distinctly."""
+    from snowflake_to_bq_pipeline_spark.streaming import curation as scur
+
+    docs = spark.createDataFrame(
+        [
+            ("doc-a", "one two"),  # < 3 words: no shingles
+            ("doc-b", "three four"),
+            ("doc-c", "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id string, text string",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+    kept = {
+        r["doc_id"]
+        for r in scur.near_dedup_docs(docs, watermark=None).collect()
+    }
+    assert {"doc-a", "doc-b"} <= kept

@@ -36,7 +36,7 @@ def _ref_viterbi(word, lp, max_len):
             if piece in lp:
                 s = best[i] + lp[piece]
             elif j - i == 1:
-                s = NEG
+                s = best[i] + unigram.UNK_CHAR_LOGP
             else:
                 continue
             if s > best[j]:
@@ -144,6 +144,27 @@ def test_unigram_encode_matches_reference_segmentation(spark, sf_dir, ddb):
             len(_ref_viterbi(w, lp, unigram.MAX_PIECE_LEN)) for w in words
         )
         assert got[doc_id] == (len(words), n_tok), doc_id
+
+
+def test_unigram_oov_chars_segment_as_single_char_pieces():
+    """A word containing a char absent from the trained vocabulary must
+    segment around it — the OOV char alone as one piece, the known spans
+    segmented normally — instead of collapsing into one whole-word
+    pseudo-piece (the dead -inf fallback's failure mode: -inf + x never
+    beat -inf, so back[j] stayed 0 and the backtrace emitted word[0:n])."""
+    lp = {"a": -1.0, "b": -1.5, "ab": -0.5}
+    # 'q' is OOV: best split is ab | q | ab (2 real pieces + 1 unknown),
+    # not the whole word 'abqab'.
+    assert unigram._viterbi_segment("abqab", lp, 6) == ["ab", "q", "ab"]
+    # every OOV char stands alone, even consecutively
+    assert unigram._viterbi_segment("qq", lp, 6) == ["q", "q"]
+    # all-known words are untouched by the fallback
+    assert unigram._viterbi_segment("abab", lp, 6) == ["ab", "ab"]
+    # the reference DP in this file agrees (bit-identity guard)
+    for w in ("abqab", "qq", "abab", "qabq"):
+        assert _ref_viterbi(w, lp, unigram.MAX_PIECE_LEN) == (
+            unigram._viterbi_segment(w, lp, unigram.MAX_PIECE_LEN)
+        ), w
 
 
 def test_unigram_vocab_invariants(spark, sf_dir):
