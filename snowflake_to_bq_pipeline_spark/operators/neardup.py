@@ -650,6 +650,7 @@ def simhash_pairs(
     max_hamming: int = 6,
     text_col: str = "text",
     sh: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash hamming distance.
 
@@ -660,20 +661,26 @@ def simhash_pairs(
     bit_count(xor). Pass ``sh`` (a hashed_shingles table, e.g. the
     registry's fingerprint memo shared with the Jaccard family — the
     feature hash is the same xxhash64 over the same k=3 shingles) to
-    skip the shingle build.
+    skip the shingle build, or ``sig`` (a precomputed ``(doc_id,
+    simhash)`` signature table, e.g. the registry's per-snapshot
+    signature memo shared with the streaming twin) to skip the signature
+    aggregation entirely — ``sig`` wins when both are given.
     """
-    if sh is not None:
-        _require_shingle_table(sh, text_col, 3, "simhash_pairs")
-        h = sh.select("doc_id", F.col("__h").alias("th"))
-    else:
-        h = hashed_shingles(documents, text_col, k=3).select(
-            "doc_id", F.col("__h").alias("th")
-        )
-    # Persisted: the candidate join consumes this twice (left/right), and
-    # without the persist each side recomputes the whole shingle explode +
-    # 16-aggregate groupBy (no ReusedExchange in the executed plan). The
-    # table is 16 bytes/doc — trivially cacheable at any scale.
-    sig = _swap_cache("simhash", simhash_signatures(h))
+    if sig is None:
+        if sh is not None:
+            _require_shingle_table(sh, text_col, 3, "simhash_pairs")
+            h = sh.select("doc_id", F.col("__h").alias("th"))
+        else:
+            h = hashed_shingles(documents, text_col, k=3).select(
+                "doc_id", F.col("__h").alias("th")
+            )
+        # Persisted: the candidate join consumes this twice (left/right),
+        # and without the persist each side recomputes the whole shingle
+        # explode + 16-aggregate groupBy (no ReusedExchange in the
+        # executed plan). The table is 16 bytes/doc — trivially cacheable
+        # at any scale. (A caller-supplied ``sig`` is expected to arrive
+        # already persisted — the registry memo does.)
+        sig = _swap_cache("simhash", simhash_signatures(h))
     chunks = sig.select(
         "doc_id",
         "simhash",

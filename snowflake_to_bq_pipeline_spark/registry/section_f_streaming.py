@@ -47,8 +47,8 @@ def streaming_near_dedup_twin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1_700_000_000) + F.col("doc_id")
         ).alias("ts"),
     )
-    from .section_e_similarity import _shingles_for
+    from .section_e_similarity import _simhash_sigs_for
 
     return stream_curation.near_dedup_docs(
-        docs, watermark=None, sh=_shingles_for(spark, sf_dir)
+        docs, watermark=None, sig=_simhash_sigs_for(spark, sf_dir)
     )

@@ -400,3 +400,26 @@ def test_bloom_prefilter_actually_prunes(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].best_match_id is None and not out[0].is_duplicate
+
+
+def test_simhash_pairs_precomputed_signature_path_identical(spark, sf_dir):
+    """The per-snapshot signature memo path (sig=) must return exactly
+    the pairs of the self-built path — the memo is the SAME aggregation
+    persisted once, so sharing it across the simhash family is exact."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = neardup.hashed_shingles(docs, k=3)
+    sig = neardup.simhash_signatures(
+        sh.select("doc_id", F.col("__h").alias("th"))
+    )
+
+    def key(df):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["hamming_distance"])
+            for r in df.collect()
+        )
+
+    assert key(neardup.simhash_pairs(docs, sig=sig)) == key(
+        neardup.simhash_pairs(docs)
+    )
