@@ -185,6 +185,7 @@ from .section_e_similarity import (  # noqa: F401
     _JACCARD_TAU,
     _MINHASH_PAIRS_CACHE,
     _SHINGLE_CACHE,
+    _SEMDEDUP_CACHE,
     _SHINGLE_SQL,
     _SIMHASH_SIG_CACHE,
     _SUBSTR_S,
@@ -196,10 +197,12 @@ from .section_e_similarity import (  # noqa: F401
     _incr_bloom_for,
     _jaccard_pairs_for,
     _minhash_pairs_for,
+    _semdedup_for,
     _shingles_for,
     _simhash_sigs_for,
     _tfidf_topk_for,
     ann_cosine_topk_q,
+    ann_ivf_incremental_topk_q,
     ann_ivf_topk_q,
     ann_ivfpq_topk_q,
     ann_lsh_topk_q,
@@ -232,6 +235,7 @@ from .section_e_similarity import (  # noqa: F401
 from .section_f_streaming import (  # noqa: F401
     events_windowed_counts_q,
     streaming_near_dedup_twin_q,
+    streaming_near_dedup_verified_twin_q,
 )
 
 
@@ -429,6 +433,7 @@ _WINDOW_ORDER = [
     "dup_key_audit",
     "embedding_doc_dedup",
     # -- rows-only ops (no oracle possible, must never hold a slot) ---
+    "ann_ivf_incremental_topk",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "ann_lsh_topk",
@@ -444,6 +449,7 @@ _WINDOW_ORDER = [
     "sketch_distinct_users",
     "sketch_value_quantiles",
     "streaming_near_dedup_twin",
+    "streaming_near_dedup_verified_twin",
     "unigram_encode_tokens",
     "unigram_vocab_table",
 ]
@@ -494,6 +500,7 @@ ORACLES = {name: ORACLES[name] for name in _WINDOW_ORDER if name in ORACLES}
 # ---------------------------------------------------------------------------
 
 _MEMO_HELPERS = (
+    "_semdedup_for",
     "_shingles_for",
     "_simhash_sigs_for",
     "_jaccard_pairs_for",

@@ -52,3 +52,30 @@ def streaming_near_dedup_twin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_curation.near_dedup_docs(
         docs, watermark=None, sig=_simhash_sigs_for(spark, sf_dir)
     )
+
+
+@query("streaming_near_dedup_verified_twin")  # rows-only: xxhash64 simhash
+def streaming_near_dedup_verified_twin_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of the VERIFIED-state streaming near-dedup stage
+    (streaming/curation.near_dedup_docs_verified): the keep-list where a
+    doc is dropped only on an exact hamming<=3 match against an earlier
+    doc — band candidates verified in state, so chance band collisions
+    never over-drop (closes the banding stage's dense-horizon retention
+    cliff). The streaming form is asserted drain-equal to exactly this
+    plan — plus recall 1.0 AND precision 1.0 vs ground truth on a dense
+    5,000-doc horizon — in tests/test_streaming.py. Rides the shared
+    per-snapshot signature memo."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("doc_id")
+        ).alias("ts"),
+    )
+    from .section_e_similarity import _simhash_sigs_for
+
+    return stream_curation.near_dedup_docs_verified(
+        docs, watermark=None, sig=_simhash_sigs_for(spark, sf_dir)
+    )

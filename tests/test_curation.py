@@ -239,3 +239,47 @@ def test_near_dedup_string_doc_ids_short_docs_all_pass_through(spark):
         for r in scur.near_dedup_docs(docs, watermark=None).collect()
     }
     assert {"doc-a", "doc-b"} <= kept
+
+
+def test_choose_band_bits_rule_and_auto_sizing(spark):
+    from snowflake_to_bq_pipeline_spark.streaming import curation as scur
+    import pytest
+
+    # documented step rule, floored at the default width
+    assert scur.choose_band_bits(100) == scur.NEAR_DEDUP_BAND_BITS
+    assert scur.choose_band_bits(scur.DENSE_HORIZON_DOCS) == 16
+    assert scur.choose_band_bits(scur.DENSE_HORIZON_DOCS + 1) == 32
+
+    # watermark parser backing event-time state timeouts
+    assert scur._horizon_ms("10 minutes") == 600_000
+    assert scur._horizon_ms("30 seconds") == 30_000
+    assert scur._horizon_ms("1 hour") == 3_600_000
+    assert scur._horizon_ms("500 milliseconds") == 500
+
+    # auto sizing is batch-twin only (a stream cannot be counted)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+    with pytest.raises(ValueError, match="auto"):
+        scur.near_dedup_docs(docs, watermark="10 minutes", band_bits="auto")
+    # sparse corpus -> floor width; result identical to explicit 16
+    kept = {
+        r["doc_id"]
+        for r in scur.near_dedup_docs(
+            docs, watermark=None, band_bits="auto"
+        ).collect()
+    }
+    assert kept == {1}
+
+
+def test_near_dedup_verified_rejects_unguaranteed_hamming(spark):
+    import pytest
+
+    from snowflake_to_bq_pipeline_spark.streaming import curation as scur
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+    # 4 bands of 16 bits guarantee hamming <= 3 only
+    with pytest.raises(ValueError, match="pigeonhole"):
+        scur.near_dedup_docs_verified(docs, watermark=None, max_hamming=4)

@@ -602,3 +602,172 @@ def test_streaming_near_dedup_drain_equals_batch_twin(spark, sf_dir, tmp_path):
     for p in pairs:
         later = max(p["doc_a"], p["doc_b"])
         assert later not in got, (p, later)
+
+
+def test_streaming_near_dedup_verified_drain_equals_batch_twin(
+    spark, sf_dir, tmp_path
+):
+    """Verified-state near-dedup: the availableNow drain must keep
+    EXACTLY the docs the batch twin keeps, drop the later doc of every
+    hamming<=3 pair (pigeonhole recall through band state), pass
+    shingle-less docs through, and never drop a doc without a verified
+    match (precision 1.0 by construction)."""
+    from snowflake_to_bq_pipeline_spark.operators import neardup
+    from snowflake_to_bq_pipeline_spark.streaming import curation as scur
+
+    base = 1_700_000_000
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(base) + F.col("doc_id")).alias("ts"),
+    )
+    planted = docs.limit(8).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.regexp_replace("text", r"^(\S+ \S+ \S+) \S+", r"$1 zqzqzq").alias(
+            "text"
+        ),
+        F.timestamp_seconds(
+            F.lit(base) + F.col("doc_id") + F.lit(120)
+        ).alias("ts"),
+    )
+    shorty = spark.range(1).select(
+        F.lit(999_999).cast("long").alias("doc_id"),
+        F.lit("one two").alias("text"),
+        F.timestamp_seconds(F.lit(base + 700)).alias("ts"),
+    )
+    real = docs.unionByName(planted).unionByName(shorty)
+
+    src = str(tmp_path / "nv_src")
+    real.orderBy("ts", "doc_id").coalesce(1).write.mode("overwrite").parquet(
+        src
+    )
+
+    batch_keep = {
+        r["doc_id"]
+        for r in scur.near_dedup_docs_verified(
+            spark.read.parquet(src), watermark=None
+        ).collect()
+    }
+
+    surv = scur.near_dedup_docs_verified(
+        spark.readStream.schema(real.schema).parquet(src)
+    )
+    out = str(tmp_path / "nv_out")
+
+    def _sink(batch_df, _bid):
+        scur.near_dedup_verified_finalize(batch_df).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        surv.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "nv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    assert got == batch_keep
+    assert 999_999 in got  # shingle-less docs pass through
+
+    # Ground truth: every doc with an EARLIER hamming<=3 partner must be
+    # dropped (recall 1.0) and nothing else may be (precision 1.0) —
+    # the verified variant's keep-set is exactly computable.
+    order = {
+        r["doc_id"]: (r["ts"], r["doc_id"]) for r in real.collect()
+    }
+    true_dropped = set()
+    for p in neardup.simhash_pairs(real, max_hamming=7).collect():
+        if p["hamming_distance"] <= 3:
+            a, b = p["doc_a"], p["doc_b"]
+            true_dropped.add(max((order[a], order[b]))[1])
+    all_ids = set(order)
+    assert got == all_ids - true_dropped
+
+
+def test_near_dedup_verified_closes_dense_horizon_cliff(spark, sf_dir, tmp_path):
+    """THE density cliff (r10 measurement: banding keeps ~10% of a
+    5,080-doc horizon at 4x16-bit bands): on a dense horizon of ~5,080
+    DISTINCT docs, the verified variant must (a) drain-equal its batch
+    twin, (b) keep every doc without a true earlier hamming<=3 partner
+    (recall 1.0 AND precision 1.0 vs ground truth), and (c) retain the
+    corpus the banding stage collapses on."""
+    from snowflake_to_bq_pipeline_spark.operators import neardup
+    from snowflake_to_bq_pipeline_spark.streaming import curation as scur
+
+    base = 1_700_000_000
+    docs = load_table(spark, sf_dir, "documents")
+    # 10 replicas, each salting every 20th word with a replica tag:
+    # similar-but-distinct docs whose sign-sum signatures cluster — the
+    # corpus shape that makes 16-bit bands over-collide (measured here:
+    # banding keeps ~37%, while only ~15% of docs have a true earlier
+    # hamming<=3 partner).
+    dense = None
+    for i in range(10):
+        rep = docs.select(
+            (F.col("doc_id") + 100_000 * i).alias("doc_id"),
+            F.regexp_replace(
+                "text", r"((\S+ ){19})\S+", r"$1w" + str(i)
+            ).alias("text"),
+            F.timestamp_seconds(
+                F.lit(base + 30 * i) + F.col("doc_id") % 30
+            ).alias("ts"),
+        )
+        dense = rep if dense is None else dense.unionByName(rep)
+
+    src = str(tmp_path / "dense_src")
+    dense.repartition(8).write.mode("overwrite").parquet(src)
+    dense_r = spark.read.parquet(src)
+    n_docs = dense_r.count()
+    assert n_docs >= 5_000
+
+    # (c) the banding stage's measured collapse on this horizon
+    band_keep = scur.near_dedup_docs(dense_r, watermark=None).count()
+
+    # (a) batch twin and drain must agree — one micro-batch, so the
+    # per-group (ts, doc_id) sort makes the result partitioning-proof
+    batch_keep = {
+        r["doc_id"]
+        for r in scur.near_dedup_docs_verified(
+            dense_r, watermark=None
+        ).collect()
+    }
+
+    surv = scur.near_dedup_docs_verified(
+        spark.readStream.schema(dense_r.schema).parquet(src)
+    )
+    out = str(tmp_path / "dense_out")
+
+    def _sink(batch_df, _bid):
+        scur.near_dedup_verified_finalize(batch_df).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        surv.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "dense_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == batch_keep
+
+    # (b) exact ground truth: recall 1.0 and precision 1.0
+    order = {
+        r["doc_id"]: (r["ts"], r["doc_id"]) for r in dense_r.collect()
+    }
+    true_dropped = set()
+    for p in neardup.simhash_pairs(dense_r, max_hamming=7).collect():
+        if p["hamming_distance"] <= 3:
+            a, b = p["doc_a"], p["doc_b"]
+            true_dropped.add(max((order[a], order[b]))[1])
+    assert got == set(order) - true_dropped
+
+    # (c) the cliff is closed: banding collapsed, verified retains
+    assert band_keep < 0.5 * n_docs, band_keep
+    assert len(got) > 0.8 * n_docs, (len(got), n_docs)
+    assert len(got) > 1.5 * band_keep
