@@ -543,6 +543,73 @@ def ivf_topk(
     )
 
 
+def ivf_incremental_topk(
+    embeddings: DataFrame,
+    increment_pred: Column,
+    query_pred: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    train_iters: int = 3,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN over an INCREMENTED corpus without retraining — daily
+    index maintenance (ref pattern: the reference's daily syncs append
+    into standing tables and never rebuild, `*_sync_daily/main.py`; this
+    is the embedding twin of the incremental near-dedup check).
+
+    The coarse quantizer is trained on the BASE subset only (rows where
+    ``increment_pred`` is false — the standing index's model, normally
+    arriving via ``centroids=`` from a model memo); increment vectors
+    are assigned into the EXISTING inverted lists by the same
+    nearest-centroid rule that placed the base vectors, and queries
+    probe base + increment together. No corpus-sized retrain shuffle —
+    maintenance cost is one stateless broadcast-scored assignment pass
+    over the increment.
+
+    Recall trade documented by test (tests/test_scale_ops.py): list
+    boundaries were drawn for the base distribution, so recall on the
+    incremented corpus can trail a full retrain — the gap is the
+    "retrain now?" signal, and stays small while the increment is drawn
+    from the same distribution (the daily-sync regime).
+    """
+    v = _vectors(embeddings)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids(
+            v.filter(~increment_pred), n_centroids, train_iters
+        )
+    )
+    assigned = _assign(v, cents, "vec_id", "e", 1)
+    probes = _assign(
+        v.filter(query_pred).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        ),
+        cents,
+        "query_id",
+        "qe",
+        n_probe,
+    )
+    scored = (
+        probes.join(assigned, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qe"), F.col("e")).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def kmeans_clusters(
     embeddings: DataFrame,
     n_clusters: int = 16,

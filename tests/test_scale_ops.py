@@ -207,3 +207,47 @@ def test_shard_assignment_balanced_and_complete(spark, sf_dir):
     # Deal-by-rank keeps shards within one largest-doc of ideal; on the
     # synthetic corpus that is a tight band around 1.0.
     assert max(ratios) < 1.2 and min(ratios) > 0.8
+
+
+def test_ivf_incremental_recall_vs_full_retrain(spark, sf_dir):
+    """Incremental IVF maintenance: assigning the daily increment into
+    the base-trained coarse lists must search the WHOLE incremented
+    corpus (increment vectors retrievable) at recall comparable to a
+    full retrain — the gap is the documented 'retrain now?' signal."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 10
+    incr = F.col("vec_id") % 10 == 0
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, pred, k=5).collect()
+    }
+    retrain = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, pred, k=5).collect()
+    }
+    maintained_rows = similarity.ivf_incremental_topk(
+        emb, increment_pred=incr, query_pred=pred, k=5
+    ).collect()
+    maintained = {
+        (r["query_id"], r["neighbor_id"]) for r in maintained_rows
+    }
+
+    recall_retrain = len(retrain & exact) / len(exact)
+    recall_maint = len(maintained & exact) / len(exact)
+    # comparable to the retrain, and above the standing IVF floor
+    assert recall_maint >= 0.8, f"incremental IVF recall collapsed: {recall_maint}"
+    assert recall_maint >= recall_retrain - 0.1, (
+        recall_maint,
+        recall_retrain,
+    )
+    # increment vectors live in the maintained lists: true top-5
+    # neighbors that ARE increment members must be retrievable
+    incr_truth = {
+        (q, n) for (q, n) in exact if n % 10 == 0
+    }
+    if incr_truth:
+        found = len(incr_truth & maintained) / len(incr_truth)
+        assert found >= 0.6, (found, len(incr_truth))
