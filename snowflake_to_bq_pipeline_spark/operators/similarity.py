@@ -610,6 +610,55 @@ def ivf_incremental_topk(
     )
 
 
+def ivf_list_drift(
+    embeddings: DataFrame,
+    increment_pred: Column,
+    centroids: DataFrame,
+) -> DataFrame:
+    """Per-list maintenance report for an incrementally-maintained IVF
+    index — the "retrain now?" observability next to
+    :func:`ivf_incremental_topk`.
+
+    For each coarse list: base vs increment occupancy (a list soaking
+    up a disproportionate share of the increment signals distribution
+    shift) and mean cosine-to-centroid of base vs increment members
+    (increment members sitting systematically farther from their
+    centroid = the quantizer no longer fits the data; ``cos_drift`` is
+    that gap). One stateless broadcast-scored assignment pass + one
+    groupBy on the O(n_centroids) key — no corpus-sized shuffle.
+    """
+    v = _vectors(embeddings)
+    flags = v.select(
+        "vec_id", increment_pred.cast("boolean").alias("__is_incr")
+    )
+    assigned = (
+        _assign(v, centroids, "vec_id", "e", 1)
+        .join(flags, "vec_id")
+        .join(F.broadcast(centroids), "cent_id")
+        .withColumn("__cos", _cosine(F.col("e"), F.col("ce")))
+    )
+    n_base = F.count(F.when(~F.col("__is_incr"), F.lit(1)))
+    n_incr = F.count(F.when(F.col("__is_incr"), F.lit(1)))
+    cos_base = F.avg(F.when(~F.col("__is_incr"), F.col("__cos")))
+    cos_incr = F.avg(F.when(F.col("__is_incr"), F.col("__cos")))
+    return (
+        assigned.groupBy("cent_id")
+        .agg(
+            n_base.alias("n_base"),
+            n_incr.alias("n_incr"),
+            F.round(
+                n_incr.cast("double")
+                / F.greatest(n_base, F.lit(1)).cast("double"),
+                6,
+            ).alias("occupancy_growth"),
+            F.round(cos_base, 6).alias("mean_cos_base"),
+            F.round(cos_incr, 6).alias("mean_cos_incr"),
+            F.round(cos_base - cos_incr, 6).alias("cos_drift"),
+        )
+        .orderBy("cent_id")
+    )
+
+
 def kmeans_clusters(
     embeddings: DataFrame,
     n_clusters: int = 16,

@@ -203,6 +203,7 @@ from .section_e_similarity import (  # noqa: F401
     _tfidf_topk_for,
     ann_cosine_topk_q,
     ann_ivf_incremental_topk_q,
+    ann_ivf_list_drift_q,
     ann_ivf_topk_q,
     ann_ivfpq_topk_q,
     ann_lsh_topk_q,
@@ -223,6 +224,7 @@ from .section_e_similarity import (  # noqa: F401
     incremental_dedup_check_q,
     kmeans_doc_clusters_q,
     minhash_recall_q,
+    near_dup_rate_by_source_q,
     ngram_containment_q,
     ngram_jaccard_dups_q,
     paragraph_dedup_q,
@@ -297,6 +299,7 @@ _WINDOW_ORDER = [
     # check's Bloom prefilter is now data-dependently sized — output
     # identical, plan changed, so it needs a fresh driver hash) ...
     "incremental_dedup_check",
+    "near_dup_rate_by_source",
     # ... then the longest-unchecked cohort: all 30 queries whose last
     # driver verdict is r8-vintage ...
     "embedding_dup_pairs",
@@ -329,8 +332,8 @@ _WINDOW_ORDER = [
     "volume_anomaly",
     "volume_anomaly_dow",
     "work_item_enriched",
-    # ... plus the alphabetically-first 19 of the r9-vintage cohort to
-    # fill slot 50 (embedding_outlier_topk onward stay first in line
+    # ... plus the alphabetically-first 18 of the r9-vintage cohort to
+    # fill slot 50 (embedding_norm_profile onward stay first in line
     # for r12)
     "backfill_progress",
     "bom_per_case_consumption",
@@ -350,8 +353,8 @@ _WINDOW_ORDER = [
     "doc_novelty_profile",
     "dsir_importance_weights",
     "dsir_select_topk",
-    "embedding_norm_profile",
     # -- past the window: remaining r9-checked, then r10-checked ------
+    "embedding_norm_profile",
     "embedding_outlier_topk",
     "event_lateness_profile",
     "event_session_stats",
@@ -434,6 +437,7 @@ _WINDOW_ORDER = [
     "embedding_doc_dedup",
     # -- rows-only ops (no oracle possible, must never hold a slot) ---
     "ann_ivf_incremental_topk",
+    "ann_ivf_list_drift",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "ann_lsh_topk",
@@ -467,10 +471,12 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 #: this set whenever a round touches a query's plan or oracle.
 # r11: incremental_dedup_check's Bloom prefilter is now data-dependently
 # sized (bits_for_keys over the corpus-side shingle count) — output
-# identical (no false negatives at any width), plan changed, so it needs
-# a fresh driver hash verdict.
+# identical (no false negatives at any width), plan changed — and
+# near_dup_rate_by_source is NEW this round; each needs a fresh driver
+# hash verdict.
 _WINDOW_CRITICAL = {
     "incremental_dedup_check",
+    "near_dup_rate_by_source",
 }
 
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (

@@ -249,6 +249,67 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs_for(spark, sf_dir)
 
 
+@query(
+    "near_dup_rate_by_source",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS intersection_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(intersection_size AS DOUBLE)
+            / (sa.sz + sb.sz - intersection_size) >= {_JACCARD_TAU}
+    ),
+    dup_docs AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION
+      SELECT doc_b FROM pairs
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           COUNT(dd.doc_id) AS near_dup_docs,
+           ROUND(CAST(COUNT(dd.doc_id) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS near_dup_frac
+    FROM documents d LEFT JOIN dup_docs dd USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def near_dup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-dup contamination rate — the dedup-QA dashboard
+    number that decides which ingest source gets a cleaning pass (ref
+    pattern: the reference's per-view row-count monitors, applied to dup
+    structure). A doc counts as near-dup if it appears in ANY exact-
+    Jaccard pair; one tiny rollup over the memoized pair table, so the
+    corpus-scale work is shared with the whole dedup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_for(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        docs.join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__dup").alias("near_dup_docs"),
+            F.round(
+                F.count("__dup").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("near_dup_frac"),
+        )
+    )
+
+
 #: Shared 64-bit SimHash signature table (doc_id, simhash) per corpus
 #: snapshot: dedup_simhash and the streaming twin's batch path aggregate
 #: the SAME 16-packed-counter signatures from the shared shingle memo —
@@ -400,6 +461,20 @@ def ann_ivf_incremental_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         centroids=_centroids_for(spark, sf_dir, 16, exclude_mod=10),
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("ann_ivf_list_drift")  # rows-only: floats through the trained model
+def ann_ivf_list_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance observability for the incrementally-maintained IVF
+    index: per-list base vs increment occupancy and cosine-to-centroid
+    drift — the 'retrain now?' report a production index keeps next to
+    its daily assignment pass. Invariants (occupancy sums, drift
+    bounds) asserted in tests/test_scale_ops.py."""
+    return similarity.ivf_list_drift(
+        load_table(spark, sf_dir, "embeddings"),
+        increment_pred=F.col("vec_id") % 10 == 0,
+        centroids=_centroids_for(spark, sf_dir, 16, exclude_mod=10),
+    )
 
 
 @query("ann_pq_topk")  # rows-only: scores rank by the trained PQ model

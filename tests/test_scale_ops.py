@@ -251,3 +251,33 @@ def test_ivf_incremental_recall_vs_full_retrain(spark, sf_dir):
     if incr_truth:
         found = len(incr_truth & maintained) / len(incr_truth)
         assert found >= 0.6, (found, len(incr_truth))
+
+
+def test_ivf_list_drift_report_invariants(spark, sf_dir):
+    """The maintenance report must account for every vector exactly once
+    (occupancy sums = base/increment counts), keep cosines in [-1, 1],
+    and agree with a direct recount of one list."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    incr = F.col("vec_id") % 10 == 0
+    cents = similarity.train_centroids(
+        similarity._vectors(emb).filter(~incr), 16, 3
+    )
+    rows = similarity.ivf_list_drift(emb, incr, cents).collect()
+
+    n = emb.count()
+    n_incr_true = emb.filter(incr).count()
+    assert sum(r["n_base"] + r["n_incr"] for r in rows) == n
+    assert sum(r["n_incr"] for r in rows) == n_incr_true
+    for r in rows:
+        for c in ("mean_cos_base", "mean_cos_incr"):
+            if r[c] is not None:
+                assert -1.0 <= r[c] <= 1.0, (r["cent_id"], c, r[c])
+        if r["mean_cos_base"] is not None and r["mean_cos_incr"] is not None:
+            # drift is rounded from UNROUNDED means, the recount from
+            # rounded ones — they may differ by one ulp of the 6dp grid
+            assert abs(
+                round(r["mean_cos_base"] - r["mean_cos_incr"], 6)
+                - r["cos_drift"]
+            ) <= 2e-6
