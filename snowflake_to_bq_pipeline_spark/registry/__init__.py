@@ -208,8 +208,10 @@ from .section_e_similarity import (  # noqa: F401
     ann_ivfpq_topk_q,
     ann_lsh_topk_q,
     ann_pq_topk_q,
+    boilerplate_phrase_profile_q,
     cross_split_contamination_q,
     decontamination_overlap_q,
+    dedup_cluster_size_histogram_q,
     dedup_clusters_q,
     dedup_exact_q,
     dedup_minhash_lsh_q,
@@ -300,6 +302,8 @@ _WINDOW_ORDER = [
     # identical, plan changed, so it needs a fresh driver hash) ...
     "incremental_dedup_check",
     "near_dup_rate_by_source",
+    "boilerplate_phrase_profile",
+    "dedup_cluster_size_histogram",
     # ... then the longest-unchecked cohort: all 30 queries whose last
     # driver verdict is r8-vintage ...
     "embedding_dup_pairs",
@@ -332,8 +336,8 @@ _WINDOW_ORDER = [
     "volume_anomaly",
     "volume_anomaly_dow",
     "work_item_enriched",
-    # ... plus the alphabetically-first 18 of the r9-vintage cohort to
-    # fill slot 50 (embedding_norm_profile onward stay first in line
+    # ... plus the alphabetically-first 16 of the r9-vintage cohort to
+    # fill slot 50 (dsir_importance_weights onward stay first in line
     # for r12)
     "backfill_progress",
     "bom_per_case_consumption",
@@ -351,9 +355,9 @@ _WINDOW_ORDER = [
     "dedup_token_savings_by_source",
     "distribution_drift_psi",
     "doc_novelty_profile",
+    # -- past the window: remaining r9-checked, then r10-checked ------
     "dsir_importance_weights",
     "dsir_select_topk",
-    # -- past the window: remaining r9-checked, then r10-checked ------
     "embedding_norm_profile",
     "embedding_outlier_topk",
     "event_lateness_profile",
@@ -477,6 +481,8 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 _WINDOW_CRITICAL = {
     "incremental_dedup_check",
     "near_dup_rate_by_source",
+    "boilerplate_phrase_profile",
+    "dedup_cluster_size_histogram",
 }
 
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (

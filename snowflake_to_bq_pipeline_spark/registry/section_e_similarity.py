@@ -250,6 +250,120 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "boilerplate_phrase_profile",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    prof AS (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+      HAVING COUNT(*) >= 2
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT shingle, df,
+             ROW_NUMBER() OVER (ORDER BY df DESC, shingle) AS rank
+      FROM prof
+    )
+    SELECT r.shingle, r.df, r.rank,
+           ROUND(CAST(r.df AS DOUBLE) / CAST(n.n_docs AS DOUBLE), 6)
+             AS doc_frac
+    FROM ranked r CROSS JOIN n WHERE r.rank <= 20
+    """,
+)
+def boilerplate_phrase_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 boilerplate phrases: word-3-gram shingles by document
+    frequency (df >= 2) with corpus share — the stop-phrase shortlist a
+    curation pipeline feeds its boilerplate stripper, and exactly the
+    hot keys the near-dup family's df-cap guard prunes (operators/
+    neardup.py): this query makes that skew VISIBLE before it becomes a
+    join hazard. Top-k via orderBy+limit (distributed TakeOrdered);
+    the rank window runs post-limit over 20 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = neardup.shingles(docs)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    top = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(20)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("df").desc(), "shingle")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "shingle",
+            "df",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(
+                F.col("df").cast("double") / F.col("__n").cast("double"), 6
+            ).alias("doc_frac"),
+        )
+    )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS intersection_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(intersection_size AS DOUBLE)
+            / (sa.sz + sb.sz - intersection_size) >= {_JACCARD_TAU}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    lab AS (SELECT node AS doc_id, MIN(r) AS canonical_id
+            FROM reach GROUP BY node),
+    sized AS (SELECT canonical_id, COUNT(*) AS cluster_size
+              FROM lab GROUP BY canonical_id)
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           cluster_size * COUNT(*) AS docs_covered
+    FROM sized GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster size distribution (clusters of docs joined by exact-
+    Jaccard pairs; singletons have no pair and no row): the shape a
+    corpus owner reads before a dedup pass — a fat tail of large
+    clusters means template content and big token savings, many 2-doc
+    clusters mean mirror noise. One rollup over the memoized cluster
+    labels, sharing all corpus-scale work with dedup_clusters."""
+    labels = graph.dup_clusters(_jaccard_pairs_for(spark, sf_dir))
+    return (
+        labels.filter(F.col("is_canonical"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias(
+                "docs_covered"
+            ),
+        )
+    )
+
+
+@query(
     "near_dup_rate_by_source",
     oracle=f"""
     WITH {_SHINGLE_SQL},
