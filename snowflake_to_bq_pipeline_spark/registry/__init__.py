@@ -167,6 +167,7 @@ from .section_e_text import (  # noqa: F401
     text_quality_score_q,
     text_stats_q,
     token_count_bpe_q,
+    tokenizer_fertility_by_source_q,
     unigram_encode_tokens_q,
     unigram_vocab_table_q,
     vocab_coverage_q,
@@ -458,6 +459,7 @@ _WINDOW_ORDER = [
     "sketch_value_quantiles",
     "streaming_near_dedup_twin",
     "streaming_near_dedup_verified_twin",
+    "tokenizer_fertility_by_source",
     "unigram_encode_tokens",
     "unigram_vocab_table",
 ]

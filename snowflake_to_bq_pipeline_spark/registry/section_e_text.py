@@ -940,6 +940,47 @@ def unigram_encode_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("tokenizer_fertility_by_source")  # rows-only: applies both models
+def tokenizer_fertility_by_source_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer-selection report: per-source fertility (tokens per
+    word) under the learned BPE merges vs the learned unigram-LM vocab,
+    plus their ratio — the side-by-side a team reads before fixing a
+    tokenizer for a corpus (fertility is the standard cross-tokenizer
+    comparison metric). Both encodes reuse the per-corpus model memos;
+    aggregation is exact integer sums, divisions rounded 6dp at the
+    end."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = bpe.bpe_encode_stats(docs, _bpe_merges_for(spark, sf_dir)).select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+    u = unigram.unigram_encode_stats(
+        docs, _unigram_vocab_for(spark, sf_dir)
+    ).select("doc_id", "n_unigram_tokens")
+    joined = (
+        docs.select("doc_id", "source").join(b, "doc_id").join(u, "doc_id")
+    )
+    words = F.sum("n_words")
+    bpe_t = F.sum("n_bpe_tokens")
+    uni_t = F.sum("n_unigram_tokens")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        words.alias("n_words"),
+        bpe_t.alias("n_bpe_tokens"),
+        uni_t.alias("n_unigram_tokens"),
+        F.round(
+            bpe_t.cast("double") / words.cast("double"), 6
+        ).alias("fertility_bpe"),
+        F.round(
+            uni_t.cast("double") / words.cast("double"), 6
+        ).alias("fertility_unigram"),
+        F.round(
+            uni_t.cast("double") / bpe_t.cast("double"), 6
+        ).alias("unigram_vs_bpe"),
+    )
+
+
 _CHARLM_REF = "src1"
 
 

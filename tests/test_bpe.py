@@ -133,3 +133,29 @@ def test_bpe_vocab_cap_semantics(spark, monkeypatch):
     assert uncapped[0][1:3] == ("c", "d")
     assert got[0][1:3] == ("a", "b")
     assert got != uncapped
+
+
+def test_tokenizer_fertility_report_consistency(spark, sf_dir):
+    """The per-source fertility report must re-derive exactly from the
+    two per-doc encode tables it composes (integer sums, 6dp ratios),
+    and both fertilities must be >= 1 (a word is never fewer than one
+    token under either tokenizer)."""
+    from snowflake_to_bq_pipeline_spark import registry
+
+    rows = registry.QUERIES["tokenizer_fertility_by_source"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] > 0
+        assert r["fertility_bpe"] >= 1.0
+        assert r["fertility_unigram"] >= 1.0
+        assert r["fertility_bpe"] == round(
+            r["n_bpe_tokens"] / r["n_words"], 6
+        )
+        assert r["fertility_unigram"] == round(
+            r["n_unigram_tokens"] / r["n_words"], 6
+        )
+        assert r["unigram_vs_bpe"] == round(
+            r["n_unigram_tokens"] / r["n_bpe_tokens"], 6
+        )
