@@ -143,10 +143,35 @@ def bpe_merge_rows(
     return merges
 
 
+def doc_word_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, word, n_occ)`` — the tokenizer-application input table:
+    one regexp/explode pass into a partially-aggregated word-count grain
+    (map-side combine collapses repeated words before the shuffle),
+    lowercased ``WORD_RE`` words, exactly the tokenization both the BPE
+    and unigram learners trained on. Both encoders (and any fertility
+    comparison over them) consume this same table, so the registry
+    memoizes it per corpus snapshot (``_doc_word_for``) — the standing
+    word-frequency asset a production tokenizer pipeline persists."""
+    return (
+        fan_out_docs(documents, text_col)
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(WORD_RE), 0
+                )
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+
+
 def bpe_encode_stats(
     documents: DataFrame,
     merges: DataFrame,
     text_col: str = "text",
+    doc_word: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a learned merge table; per-doc BPE token counts.
 
@@ -170,6 +195,10 @@ def bpe_encode_stats(
     ``F.replace`` calls, no Python in the hot path.
 
     Output: (doc_id, n_words, n_bpe_tokens, tokens_per_word).
+
+    Pass ``doc_word`` (a :func:`doc_word_counts` table, e.g. the
+    registry's per-snapshot memo shared with the unigram encoder) to
+    skip the corpus scan — it is expected to arrive already persisted.
     """
     ordered = sorted(
         (
@@ -177,19 +206,10 @@ def bpe_encode_stats(
             for r in merges.collect()
         ),
     )
-    doc_word = swap_cache(
-        "bpe.doc_word",
-        fan_out_docs(documents, text_col).select(
-            "doc_id",
-            F.explode(
-                F.regexp_extract_all(
-                    F.lower(F.col(text_col)), F.lit(WORD_RE), 0
-                )
-            ).alias("word"),
+    if doc_word is None:
+        doc_word = swap_cache(
+            "bpe.doc_word", doc_word_counts(documents, text_col)
         )
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("n_occ")),
-    )
     vocab = doc_word.select("word").distinct()
     seq = F.concat(
         F.lit(" "),

@@ -54,7 +54,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bpe import VOCAB_CAP, WORD_RE, _word_vocab, fan_out_docs
+from .bpe import VOCAB_CAP, _word_vocab
 
 MAX_PIECE_LEN = 6
 PRUNE_FRAC = 0.25
@@ -224,6 +224,7 @@ def unigram_encode_stats(
     vocab: DataFrame,
     text_col: str = "text",
     max_piece_len: int = MAX_PIECE_LEN,
+    doc_word: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a learned unigram vocabulary; per-doc token counts
     ``(doc_id, n_words, n_unigram_tokens, tokens_per_word)``.
@@ -233,7 +234,10 @@ def unigram_encode_stats(
     the DISTINCT vocabulary only (Zipf-small vs the corpus) with the
     O(vocab) model broadcast into an Arrow-batched pandas UDF (the DP is
     per-word iterative — the sanctioned Python boundary), broadcast-join
-    back, and an ``n_occ``-weighted per-doc sum.
+    back, and an ``n_occ``-weighted per-doc sum. Pass ``doc_word``
+    (a bpe.doc_word_counts table — both tokenizers apply over the SAME
+    lowercased WORD_RE word grain, e.g. the registry's per-snapshot
+    memo) to skip the corpus scan.
     """
     model = {
         r["piece"]: float(r["log_prob"]) for r in vocab.collect()
@@ -251,22 +255,13 @@ def unigram_encode_stats(
             )
             yield pdf
 
-    from ._cache import swap_cache
+    if doc_word is None:
+        from ._cache import swap_cache
+        from .bpe import doc_word_counts
 
-    doc_word = swap_cache(
-        "unigram.doc_word",
-        fan_out_docs(documents, text_col)
-        .select(
-            "doc_id",
-            F.explode(
-                F.regexp_extract_all(
-                    F.lower(F.col(text_col)), F.lit(WORD_RE), 0
-                )
-            ).alias("word"),
+        doc_word = swap_cache(
+            "unigram.doc_word", doc_word_counts(documents, text_col)
         )
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("n_occ")),
-    )
     encoded = (
         doc_word.select("word")
         .distinct()

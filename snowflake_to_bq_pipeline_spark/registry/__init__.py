@@ -121,6 +121,7 @@ from .section_e_text import (  # noqa: F401
     _CHARLM_REF,
     _DSIR_SELECT_FRAC,
     _DSIR_TARGET,
+    _DOC_WORD_CACHE,
     _DSIR_W_CACHE,
     _DSIR_W_SQL,
     _FUNNEL_TOKEN_RE,
@@ -132,6 +133,7 @@ from .section_e_text import (  # noqa: F401
     _TOK_COUNTS_CACHE,
     _UNIGRAM_VOCAB_CACHE,
     _bpe_merges_for,
+    _doc_word_for,
     _dsir_weights_for,
     _tok_counts_for,
     _unigram_vocab_for,
@@ -520,6 +522,7 @@ _MEMO_HELPERS = (
     "_jaccard_pairs_for",
     "_minhash_pairs_for",
     "_tok_counts_for",
+    "_doc_word_for",
     "_centroids_for",
     "_assigned_for",
     "_bpe_merges_for",

@@ -889,15 +889,44 @@ def bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_merges_for(spark, sf_dir)
 
 
+#: Shared (doc_id, word, n_occ) word-count table — the tokenizer-
+#: application input both encoders (BPE replay, unigram Viterbi) consume
+#: over the SAME lowercased WORD_RE grain; one corpus regexp/explode
+#: pass per snapshot instead of one per encoder per call. Same
+#: single-live-handle lifecycle as the shingle memo.
+_DOC_WORD_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_word_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    df = _DOC_WORD_CACHE.get(key)
+    if df is None:
+        for old in _DOC_WORD_CACHE.values():
+            old.unpersist(blocking=False)
+        _DOC_WORD_CACHE.clear()
+        from pyspark.storagelevel import StorageLevel
+
+        df = bpe.doc_word_counts(
+            load_table(spark, sf_dir, "documents")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _DOC_WORD_CACHE[key] = df
+    return df
+
+
 @query("bpe_encode_tokens")  # rows-only: applies the learned (non-SQL) model
 def bpe_encode_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BPE token counts from applying the learned merge table —
     the corpus token-budget view a tokenizer change actually produces
     (learn once per corpus via the shared model cache, then encode:
     merges replay over the distinct word vocab and broadcast-join back;
-    tests/test_bpe.py cross-checks against pure-Python BPE)."""
+    tests/test_bpe.py cross-checks against pure-Python BPE). Rides the
+    shared word-count memo."""
     docs = load_table(spark, sf_dir, "documents")
-    return bpe.bpe_encode_stats(docs, _bpe_merges_for(spark, sf_dir))
+    return bpe.bpe_encode_stats(
+        docs,
+        _bpe_merges_for(spark, sf_dir),
+        doc_word=_doc_word_for(spark, sf_dir),
+    )
 
 
 #: Once-per-corpus unigram-LM vocabulary (SentencePiece-style Viterbi-EM
@@ -936,7 +965,9 @@ def unigram_encode_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmentation against the pure-Python reference)."""
     docs = load_table(spark, sf_dir, "documents")
     return unigram.unigram_encode_stats(
-        docs, _unigram_vocab_for(spark, sf_dir)
+        docs,
+        _unigram_vocab_for(spark, sf_dir),
+        doc_word=_doc_word_for(spark, sf_dir),
     )
 
 
@@ -952,11 +983,12 @@ def tokenizer_fertility_by_source_q(
     aggregation is exact integer sums, divisions rounded 6dp at the
     end."""
     docs = load_table(spark, sf_dir, "documents")
-    b = bpe.bpe_encode_stats(docs, _bpe_merges_for(spark, sf_dir)).select(
-        "doc_id", "n_words", "n_bpe_tokens"
-    )
+    dw = _doc_word_for(spark, sf_dir)
+    b = bpe.bpe_encode_stats(
+        docs, _bpe_merges_for(spark, sf_dir), doc_word=dw
+    ).select("doc_id", "n_words", "n_bpe_tokens")
     u = unigram.unigram_encode_stats(
-        docs, _unigram_vocab_for(spark, sf_dir)
+        docs, _unigram_vocab_for(spark, sf_dir), doc_word=dw
     ).select("doc_id", "n_unigram_tokens")
     joined = (
         docs.select("doc_id", "source").join(b, "doc_id").join(u, "doc_id")

@@ -159,3 +159,25 @@ def test_tokenizer_fertility_report_consistency(spark, sf_dir):
         assert r["unigram_vs_bpe"] == round(
             r["n_unigram_tokens"] / r["n_bpe_tokens"], 6
         )
+
+
+def test_encode_precomputed_doc_word_path_identical(spark, sf_dir):
+    """Both encoders must return identical per-doc stats whether they
+    build the (doc_id, word, n_occ) table themselves or consume a
+    precomputed doc_word_counts table (the registry's shared memo)."""
+    from snowflake_to_bq_pipeline_spark.operators import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    dw = bpe.doc_word_counts(docs)
+    merges = bpe.bpe_merges(docs, n_merges=10)
+    vocab = unigram.unigram_vocab(docs, vocab_size=400)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(bpe.bpe_encode_stats(docs, merges, doc_word=dw)) == rows(
+        bpe.bpe_encode_stats(docs, merges)
+    )
+    assert rows(
+        unigram.unigram_encode_stats(docs, vocab, doc_word=dw)
+    ) == rows(unigram.unigram_encode_stats(docs, vocab))
