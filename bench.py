@@ -21,6 +21,8 @@ import re
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 from snowflake_to_bq_pipeline_spark.registry import (
     MEMO_CONSUMERS,
     QUERIES,
@@ -53,6 +55,19 @@ def calibration_probe(spark, n_rows: int = CALIBRATION_ROWS):
         .sum("h")
         .orderBy("k")
     )
+
+
+def calibration_probe_mc(spark, n_rows: int = CALIBRATION_ROWS):
+    """Second, SHUFFLE-heavy probe: a global sort of ``n_rows`` hashed
+    longs — a full range-partitioned exchange (~160 MB of shuffle write
+    + read across all cores) where the hash-agg probe above collapses to
+    9,973 groups map-side and barely touches the shuffle machinery.
+    Motivation (r9, README): three same-code benches in one day slowed
+    monotonically (93.7 → 111.9s) while the agg probe stayed flat — the
+    drift lives in I/O / multi-core contention the first probe never
+    exercises. Recording both lets bench_diff adjudicate which regime a
+    cross-round delta comes from."""
+    return spark.range(0, n_rows, 1, 32).orderBy(F.xxhash64("id"))
 
 
 def main() -> None:
@@ -90,6 +105,16 @@ def main() -> None:
         calib = dt if calib is None else min(calib, dt)
     calib = round(calib, 3)
     print(f"# vm_calibration: {calib}s", file=sys.stderr)
+    calib_mc = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        calibration_probe_mc(spark).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        calib_mc = dt if calib_mc is None else min(calib_mc, dt)
+    calib_mc = round(calib_mc, 3)
+    print(f"# vm_calibration_mc: {calib_mc}s", file=sys.stderr)
 
     # Memo provenance, computed up front: queries riding a cross-query
     # fingerprint memo record warm-memo bests — the shared build cost
@@ -172,6 +197,9 @@ def main() -> None:
                 # of that query's memo cohort, vs its warm best above
                 "cold_best": cold_bests,
                 "vm_calibration_sec": calib,
+                # shuffle-heavy multi-core probe: adjudicates I/O /
+                # contention drift the CPU probe misses (README r9 note)
+                "vm_calibration_mc_sec": calib_mc,
                 "sf": sf,
             },
             f,
@@ -193,6 +221,7 @@ def main() -> None:
                 "reps": reps,
                 "max_spread_sec": max(spreads.values()) if spreads else 0.0,
                 "vm_calibration_sec": calib,
+                "vm_calibration_mc_sec": calib_mc,
                 "details": "bench_details.json",
             }
         )

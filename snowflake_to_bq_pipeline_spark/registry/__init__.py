@@ -487,6 +487,9 @@ _WINDOW_CRITICAL = {
     "near_dup_rate_by_source",
     "boilerplate_phrase_profile",
     "dedup_cluster_size_histogram",
+    # q1's exact sums moved to the salted two-phase long-micros plan
+    # (values bit-identical; plan changed)
+    "q1_pricing_summary",
 }
 
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (

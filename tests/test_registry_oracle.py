@@ -104,3 +104,14 @@ def test_bench_calibration_probe_runs_and_is_deterministic(spark):
     rows = calibration_probe(spark, n_rows=200_000).collect()
     assert len(rows) == 9973
     assert rows == calibration_probe(spark, n_rows=200_000).collect()
+
+
+def test_bench_mc_probe_runs_and_is_deterministic(spark):
+    """The shuffle-heavy multi-core probe must run (full range-partition
+    sort) and produce a deterministic ordering so it measures the VM's
+    shuffle path, not the data."""
+    from bench import calibration_probe_mc
+
+    rows = calibration_probe_mc(spark, n_rows=100_000).collect()
+    assert len(rows) == 100_000
+    assert rows == calibration_probe_mc(spark, n_rows=100_000).collect()

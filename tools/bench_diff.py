@@ -47,6 +47,12 @@ _TAIL_SINGLE = re.compile(r"# ([\w]+): ([0-9.]+)s\s*$", re.M)
 _TAIL_CALIB = re.compile(
     r'# vm_calibration: ([0-9.]+)s|"vm_calibration_sec": ([0-9.]+)'
 )
+# Shuffle-heavy multi-core probe (added r11): present only in newer
+# artifacts; ratio reported alongside the CPU probe's so drift can be
+# attributed to the right regime (I/O/contention vs raw CPU).
+_TAIL_CALIB_MC = re.compile(
+    r'# vm_calibration_mc: ([0-9.]+)s|"vm_calibration_mc_sec": ([0-9.]+)'
+)
 
 
 def _resolve(arg: str) -> str:
@@ -62,21 +68,33 @@ def _resolve(arg: str) -> str:
 
 def load_bests(
     path: str,
-) -> tuple[dict[str, float], dict[str, list[float]], float | None]:
-    """(best_sec, rep_times, vm_calibration_sec|None) per artifact.
+) -> tuple[dict[str, float], dict[str, list[float]], float | None, float | None]:
+    """(best_sec, rep_times, vm_calibration_sec|None, mc|None) per artifact.
 
     The calibration constant (bench.py's fixed code-independent probe)
     lets cross-round TOTALS be normalized for VM drift — the r7 control
     experiment measured ~30% whole-run swings between benching days on
-    identical code."""
+    identical code. The second constant is the shuffle-heavy multi-core
+    probe (r11; None in older artifacts)."""
     with open(path) as f:
         doc = json.load(f)
     if "rep_times" in doc:  # bench_details.json
-        return doc["queries"], doc["rep_times"], doc.get("vm_calibration_sec")
+        return (
+            doc["queries"],
+            doc["rep_times"],
+            doc.get("vm_calibration_sec"),
+            doc.get("vm_calibration_mc_sec"),
+        )
     tail = doc.get("tail", "")
     calib_m = _TAIL_CALIB.search(tail)
     calib = (
         float(calib_m.group(1) or calib_m.group(2)) if calib_m else None
+    )
+    calib_mc_m = _TAIL_CALIB_MC.search(tail)
+    calib_mc = (
+        float(calib_mc_m.group(1) or calib_mc_m.group(2))
+        if calib_mc_m
+        else None
     )
     bests: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
@@ -88,15 +106,15 @@ def load_bests(
         for m in _TAIL_SINGLE.finditer(tail):
             bests[m.group(1)] = float(m.group(2))
             reps[m.group(1)] = [float(m.group(2))]
-    return bests, reps, calib
+    return bests, reps, calib, calib_mc
 
 
 def main() -> None:
     if len(sys.argv) != 3:
         raise SystemExit(__doc__)
     a_path, b_path = _resolve(sys.argv[1]), _resolve(sys.argv[2])
-    a_best, a_reps, a_cal = load_bests(a_path)
-    b_best, b_reps, b_cal = load_bests(b_path)
+    a_best, a_reps, a_cal, a_mc = load_bests(a_path)
+    b_best, b_reps, b_cal, b_mc = load_bests(b_path)
 
     try:
         from snowflake_to_bq_pipeline_spark.registry import MEMO_CONSUMERS
@@ -161,6 +179,9 @@ def main() -> None:
                 "total_ratio": round(tot_b / tot_a, 3) if tot_a else None,
                 "vm_calibration_ratio": round(cal_ratio, 3)
                 if cal_ratio
+                else None,
+                "vm_calibration_mc_ratio": round(b_mc / a_mc, 3)
+                if (a_mc and b_mc)
                 else None,
                 "total_ratio_vm_normalized": round(
                     tot_b / tot_a / cal_ratio, 3
