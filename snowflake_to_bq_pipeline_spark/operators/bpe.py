@@ -152,7 +152,7 @@ def doc_word_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     comparison over them) consume this same table, so the registry
     memoizes it per corpus snapshot (``_doc_word_for``) — the standing
     word-frequency asset a production tokenizer pipeline persists."""
-    return (
+    counted = (
         fan_out_docs(documents, text_col)
         .select(
             "doc_id",
@@ -165,6 +165,34 @@ def doc_word_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
+    # carry the source column as metadata so consumers that accept a
+    # precomputed table can verify it (same contract device as
+    # neardup.hashed_shingles' shingle_k/text_col metadata)
+    return counted.select(
+        "doc_id",
+        F.col("word").alias("word", metadata={"word_text_col": text_col}),
+        "n_occ",
+    )
+
+
+def _require_doc_word(doc_word: DataFrame, text_col: str, caller: str) -> None:
+    """Fail LOUDLY when a precomputed doc_word table doesn't match the
+    encoder's contract — a silent grain/column mismatch would return
+    wrong token counts (the hashed-shingles guard's rationale, applied
+    to the tokenizer-application input)."""
+    missing = {"doc_id", "word", "n_occ"} - set(doc_word.columns)
+    if missing:
+        raise ValueError(
+            f"{caller}: doc_word table missing columns {sorted(missing)}"
+        )
+    meta = doc_word.schema["word"].metadata or {}
+    built_col = meta.get("word_text_col")
+    if built_col is not None and built_col != text_col:
+        raise ValueError(
+            f"{caller}: doc_word table was built from text_col="
+            f"{built_col!r} but the encoder was asked to apply over "
+            f"text_col={text_col!r}"
+        )
 
 
 def bpe_encode_stats(
@@ -210,6 +238,8 @@ def bpe_encode_stats(
         doc_word = swap_cache(
             "bpe.doc_word", doc_word_counts(documents, text_col)
         )
+    else:
+        _require_doc_word(doc_word, text_col, "bpe_encode_stats")
     vocab = doc_word.select("word").distinct()
     seq = F.concat(
         F.lit(" "),

@@ -262,6 +262,10 @@ def unigram_encode_stats(
         doc_word = swap_cache(
             "unigram.doc_word", doc_word_counts(documents, text_col)
         )
+    else:
+        from .bpe import _require_doc_word
+
+        _require_doc_word(doc_word, text_col, "unigram_encode_stats")
     encoded = (
         doc_word.select("word")
         .distinct()

@@ -379,8 +379,8 @@ def near_dedup_docs_verified(
     row-local signature projection exploded to band rows, grouped by
     the constant-width (band, band_val) key into
     ``applyInPandasWithState``: each group's state is the signature
-    list seen on that band value within the horizon (16 bytes + ts + id
-    per entry — band-bucket-sized, never document text), against which
+    list seen on that band value within the horizon (sig + ts per
+    entry — band-bucket-sized, never document text), against which
     incoming rows are hamming-verified vectorized (numpy xor +
     popcount). Rows emit (ts, doc_id, simhash, band, matched); the
     per-doc keep decision (NO band matched) is batch-local —
@@ -470,6 +470,11 @@ def near_dedup_docs_verified(
         F.lit(False).alias("matched"),
     )
     banded = _banded(proj, ts_col, doc_id_col, band_bits)
+    # doc-id type flows from the input schema (a hardcoded long would
+    # break string doc ids on the STREAMING path only, silently
+    # violating the drain-equality contract with the batch twin — the
+    # same id-type hazard as the banding stage's pass-through keying)
+    id_type = docs.schema[doc_id_col].dataType.simpleString()
     verified = (
         banded.withWatermark(ts_col, watermark)
         .groupBy("band", "band_val")
@@ -478,12 +483,10 @@ def near_dedup_docs_verified(
                 ts_col, doc_id_col, max_hamming, _horizon_ms(watermark)
             ),
             outputStructType=(
-                f"{ts_col} timestamp, {doc_id_col} long, simhash long, "
-                "band int, matched boolean"
+                f"{ts_col} timestamp, {doc_id_col} {id_type}, "
+                "simhash long, band int, matched boolean"
             ),
-            stateStructType=(
-                "sigs array<long>, ts_us array<long>, ids array<long>"
-            ),
+            stateStructType="sigs array<long>, ts_us array<long>",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
@@ -496,7 +499,7 @@ def _make_band_verifier(
 ):
     """Build the per-(band, band_val) stateful verifier.
 
-    State = parallel arrays (sigs, ts_us, ids) of the signatures seen on
+    State = parallel arrays (sigs, ts_us) of the signatures seen on
     this band value within the horizon. Each incoming row is checked
     against state ∪ earlier-in-batch rows with a vectorized
     xor + popcount; its own signature then joins the working set
@@ -516,10 +519,10 @@ def _make_band_verifier(
         if state.hasTimedOut:
             state.remove()
             return
-        sigs, ts_us, ids = (
-            ([*state.get[0]], [*state.get[1]], [*state.get[2]])
+        sigs, ts_us = (
+            ([*state.get[0]], [*state.get[1]])
             if state.exists
-            else ([], [], [])
+            else ([], [])
         )
         parts = [p for p in pdfs if len(p)]  # empty frames poison concat dtypes
         if not parts:
@@ -538,7 +541,6 @@ def _make_band_verifier(
                 out_matched.append(False)
             sigs.append(int(sig))
             ts_us.append(int(pd.Timestamp(ts).value // 1_000))
-            ids.append(0)  # ids kept for debuggability; not load-bearing
         # Horizon eviction mirrors dropDuplicatesWithinWatermark: an
         # entry can no longer match once the watermark passes
         # entry_ts + horizon (any future row has ts >= watermark).
@@ -546,9 +548,8 @@ def _make_band_verifier(
         keep = [i for i, t in enumerate(ts_us) if t + horizon_ms * 1_000 >= wm_us]
         sigs = [sigs[i] for i in keep]
         ts_us = [ts_us[i] for i in keep]
-        ids = [ids[i] for i in keep]
         if sigs:
-            state.update((sigs, ts_us, ids))
+            state.update((sigs, ts_us))
             state.setTimeoutTimestamp(
                 max(ts_us) // 1_000 + horizon_ms + 1
             )

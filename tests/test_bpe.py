@@ -181,3 +181,26 @@ def test_encode_precomputed_doc_word_path_identical(spark, sf_dir):
     assert rows(
         unigram.unigram_encode_stats(docs, vocab, doc_word=dw)
     ) == rows(unigram.unigram_encode_stats(docs, vocab))
+
+
+def test_encode_doc_word_guard_rejects_mismatches(spark, sf_dir):
+    import pytest
+
+    from snowflake_to_bq_pipeline_spark.operators import unigram
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    merges = bpe.bpe_merges(docs, n_merges=3)
+    vocab = unigram.unigram_vocab(docs, vocab_size=100)
+
+    # wrong source column is caught
+    other = bpe.doc_word_counts(
+        docs.withColumn("other", docs.text), text_col="other"
+    )
+    with pytest.raises(ValueError, match="text_col"):
+        bpe.bpe_encode_stats(docs, merges, doc_word=other)
+    with pytest.raises(ValueError, match="text_col"):
+        unigram.unigram_encode_stats(docs, vocab, doc_word=other)
+
+    # shape check: a frame without the contract columns is rejected
+    with pytest.raises(ValueError, match="missing columns"):
+        bpe.bpe_encode_stats(docs, merges, doc_word=docs.select("text"))

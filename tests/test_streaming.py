@@ -771,3 +771,57 @@ def test_near_dedup_verified_closes_dense_horizon_cliff(spark, sf_dir, tmp_path)
     assert band_keep < 0.5 * n_docs, band_keep
     assert len(got) > 0.8 * n_docs, (len(got), n_docs)
     assert len(got) > 1.5 * band_keep
+
+
+def test_near_dedup_verified_string_doc_ids_drain_equal(spark, tmp_path):
+    """The verified variant must handle STRING doc ids end-to-end: the
+    stateful output schema derives the id type from the input (a
+    hardcoded long broke only the streaming side, silently violating
+    drain equality), and short docs pass through."""
+    from snowflake_to_bq_pipeline_spark.streaming import curation as scur
+
+    base = 1_700_000_000
+    docs = spark.createDataFrame(
+        [
+            ("doc-a", "alpha beta gamma delta epsilon zeta eta theta", 0),
+            ("doc-b", "alpha beta gamma delta epsilon zeta eta iota", 1),
+            ("doc-c", "one two", 2),  # < 3 words: pass-through
+            ("doc-d", "totally different words entirely unlike others here now", 3),
+        ],
+        "doc_id string, text string, off long",
+    ).select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(base) + F.col("off")).alias("ts"),
+    )
+    src = str(tmp_path / "sv_src")
+    docs.orderBy("ts", "doc_id").coalesce(1).write.mode("overwrite").parquet(src)
+
+    batch_keep = {
+        r["doc_id"]
+        for r in scur.near_dedup_docs_verified(
+            spark.read.parquet(src), watermark=None
+        ).collect()
+    }
+    assert "doc-c" in batch_keep and "doc-d" in batch_keep
+
+    surv = scur.near_dedup_docs_verified(
+        spark.readStream.schema(docs.schema).parquet(src)
+    )
+    out = str(tmp_path / "sv_out")
+
+    def _sink(batch_df, _bid):
+        scur.near_dedup_verified_finalize(batch_df).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        surv.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "sv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == batch_keep
