@@ -1183,3 +1183,73 @@ def minhash_recall_report(
         safe("n_common", "n_exact").alias("recall"),
         safe("n_common", "n_approx").alias("precision"),
     )
+
+
+def source_ngram_overlap(
+    documents: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """Source-pair shingle-overlap matrix: for every pair of sources,
+    the count of distinct word-k-gram shingles they share plus the
+    source-level Jaccard — the corpus-curation view that surfaces
+    mirrored / scraped-twice feeds BEFORE per-doc pair finding (the
+    reference compares feeds only by row counts; fallback_monitor.py).
+
+    Scale posture: collapses the shared (doc_id, __h) shingle index to
+    (source, __h) DISTINCT first — bounded by |sources| × shingle
+    vocabulary, not by corpus row count — then self-joins on the hashed
+    shingle. Per-shingle fan-out is at most C(|sources|, 2) pairs, so
+    even a boilerplate shingle present in every feed emits a constant
+    number of rows; no all-pairs over docs anywhere. The tiny size
+    table joins back broadcast.
+    """
+    if sh is None:
+        sh = hashed_shingles(documents, text_col, k)
+    else:
+        _require_shingle_table(sh, text_col, k, "source_ngram_overlap")
+    src = documents.select("doc_id", "source")
+    ss = sh.join(src, "doc_id").select("source", "__h").distinct()
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        ss.alias("a")
+        .join(
+            ss.alias("b"),
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    shared = F.col("shared_shingles")
+    union_sz = F.col("size_a") + F.col("size_b") - shared
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"), F.col("sz").alias("size_a")
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"), F.col("sz").alias("size_b")
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            "size_a",
+            "size_b",
+            F.round(shared.cast("double") / union_sz, 6).alias("jaccard"),
+        )
+    )

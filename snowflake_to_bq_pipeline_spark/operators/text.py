@@ -752,3 +752,111 @@ def char_entropy_score(
             F.log(big_n) - F.col("__s").cast("double") / big_n, 6
         ).alias("char_entropy"),
     )
+
+
+def chunk_windows(
+    documents: DataFrame,
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping word-window passages (RAG / context chunking).
+
+    Splits each document's whitespace words into windows of ``size``
+    words starting every ``stride`` words (``size > stride`` ⇒ tail
+    overlap, the standard retrieval-chunking shape), emitting one row
+    per chunk with its ordinal, word offset, width and content hash.
+
+    Scale posture: one projection + one ``explode`` of an arithmetic
+    ``sequence`` — no shuffle at all, no Python; the fan-out factor is
+    n_words/stride per doc, so output stays proportional to corpus
+    size. On a cluster the chunk rows inherit the scan's partitioning
+    (map-only), exactly what a 100-TB chunking pass needs. Reference
+    parity: the reference pipeline ships whole rows (no chunker); this
+    belongs to the mandated LLM-data operator family.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError(f"size/stride must be positive, got {size}/{stride}")
+    w = F.split(F.col(text_col), " ")
+    base = documents.select(
+        "doc_id", w.alias("__w"), F.array_size(w).alias("__nw")
+    ).where(F.col("__nw") > 0)
+    start = F.col("start_word")
+    return (
+        base.select(
+            "doc_id",
+            "__w",
+            "__nw",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__nw") - 1, F.lit(stride))
+            ).alias("start_word"),
+        )
+        .select(
+            "doc_id",
+            (start / stride).cast("long").alias("chunk_idx"),
+            start.cast("long").alias("start_word"),
+            F.least(F.lit(size), F.col("__nw") - start)
+            .cast("long")
+            .alias("n_words"),
+            F.md5(
+                F.array_join(F.slice("__w", start + 1, size), " ")
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def zipf_slope_by_source(
+    documents: DataFrame,
+    tok_counts: DataFrame | None = None,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source Zipf fit: OLS slope of ln(freq) ~ ln(rank) over the
+    top-``top_n`` tokens — natural text tracks ≈ −1; templated or
+    machine-generated sources flatten toward 0, so the slope is a cheap
+    source-quality fingerprint alongside the entropy/coverage views.
+
+    Rides the shared per-(doc, token) count memo when provided
+    (registry._tok_counts_for) and re-aggregates it by source: the wide
+    explode+count scan is paid once across the vocab/tfidf/zipf family.
+    The ranked top-N per source is a window over the (source, token)
+    aggregate — |sources| × vocab rows, never corpus-sized — and the
+    final fit is a five-sum closed form, one row per source. Rank ties
+    break (freq DESC, token ASC): deterministic across engines.
+    """
+    from pyspark.sql import Window
+
+    if tok_counts is None:
+        tok_counts = unigram_tok_counts(documents, text_col)
+    src = documents.select("doc_id", "source")
+    freq = (
+        tok_counts.join(src, "doc_id")
+        .groupBy("source", "token")
+        .agg(F.sum("term_count").alias("freq"))
+    )
+    rk = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("token")
+    )
+    top = freq.withColumn("rnk", F.row_number().over(rk)).where(
+        F.col("rnk") <= top_n
+    )
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    s = top.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.max("freq").alias("top_freq"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    denom = n * F.col("__sxx") - sx * sx
+    slope = F.try_divide(n * F.col("__sxy") - sx * sy, denom)
+    return s.select(
+        "source",
+        F.col("__n").cast("long").alias("n_terms"),
+        "top_freq",
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(F.try_divide(sy - slope * sx, n), 4).alias("zipf_intercept"),
+    )

@@ -300,9 +300,18 @@ def clear_model_caches() -> None:
 
 _WINDOW_ORDER = [
     # -- DRIVER WINDOW (first 50): the driver hash-checks only these --
-    # r11 rotation: CHANGED-this-round queries first (incremental_dedup_
-    # check's Bloom prefilter is now data-dependently sized — output
-    # identical, plan changed, so it needs a fresh driver hash) ...
+    # r11 rotation: CHANGED-this-round queries first — the four NEW
+    # oracle-gated ops need their first driver hash verdict ...
+    "doc_chunk_windows",
+    "zipf_slope_by_source",
+    "cross_source_ngram_overlap",
+    # ... event_session_stats' oracle boundary was CORRECTED this round
+    # (new-session condition >= gap → strictly > gap, matching Spark's
+    # probed inclusive merge), so it needs a fresh driver verdict ...
+    "event_session_stats",
+    # ... then incremental_dedup_check (Bloom prefilter now data-
+    # dependently sized — output identical, plan changed, so it needs a
+    # fresh driver hash) ...
     "incremental_dedup_check",
     "near_dup_rate_by_source",
     "boilerplate_phrase_profile",
@@ -339,8 +348,8 @@ _WINDOW_ORDER = [
     "volume_anomaly",
     "volume_anomaly_dow",
     "work_item_enriched",
-    # ... plus the alphabetically-first 16 of the r9-vintage cohort to
-    # fill slot 50 (dsir_importance_weights onward stay first in line
+    # ... plus the alphabetically-first 12 of the r9-vintage cohort to
+    # fill slot 50 (dedup_savings_report onward stay first in line
     # for r12)
     "backfill_progress",
     "bom_per_case_consumption",
@@ -354,17 +363,16 @@ _WINDOW_ORDER = [
     "dataset_split_assign",
     "dedup_clusters",
     "dedup_latest_record",
+    # -- past the window: remaining r9-checked, then r10-checked ------
     "dedup_savings_report",
     "dedup_token_savings_by_source",
     "distribution_drift_psi",
     "doc_novelty_profile",
-    # -- past the window: remaining r9-checked, then r10-checked ------
     "dsir_importance_weights",
     "dsir_select_topk",
     "embedding_norm_profile",
     "embedding_outlier_topk",
     "event_lateness_profile",
-    "event_session_stats",
     "full_sync_snapshot",
     "funnel_conversion",
     "gopher_quality_rules",
@@ -483,6 +491,12 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 # near_dup_rate_by_source is NEW this round; each needs a fresh driver
 # hash verdict.
 _WINDOW_CRITICAL = {
+    # the three ops NEW this round (first driver verdict pending)
+    "doc_chunk_windows",
+    "zipf_slope_by_source",
+    "cross_source_ngram_overlap",
+    # oracle boundary corrected this round (>= gap → > gap)
+    "event_session_stats",
     "incremental_dedup_check",
     "near_dup_rate_by_source",
     "boilerplate_phrase_profile",

@@ -595,13 +595,18 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "event_session_stats",
     # Islands oracle for native session windows. Spark merges an event
-    # into the open session when ts < prev + gap (the window [ts, ts+gap)
-    # is half-open), so the new-session condition is diff >= gap.
+    # into the open session when ts <= prev + gap INCLUSIVE — probed on
+    # this engine build: two events exactly 30 minutes apart land in ONE
+    # window whose end is last_ts + gap (tests/test_chunk_zipf_overlap.
+    # test_session_window_gap_is_inclusive pins it) — so the new-session
+    # condition is diff STRICTLY > gap. (The previous >= convention could
+    # never mismatch on µs-grain synthetic data, but an exact-boundary
+    # gap would have split a session Spark merges.)
     oracle="""
     WITH m AS (
       SELECT user_id, ts, value,
              CASE WHEN LAG(ts) OVER w IS NULL
-                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -1492,3 +1492,39 @@ def embedding_norm_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "cross_source_ngram_overlap",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    ssrc AS (
+      SELECT DISTINCT d.source, s.shingle
+      FROM sh s JOIN documents d USING (doc_id)
+    ),
+    zz AS (SELECT source, COUNT(*) AS sz FROM ssrc GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS shared_shingles
+      FROM ssrc a JOIN ssrc b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, shared_shingles,
+           za.sz AS size_a, zb.sz AS size_b,
+           ROUND(CAST(shared_shingles AS DOUBLE)
+                 / (za.sz + zb.sz - shared_shingles), 6) AS jaccard
+    FROM inter
+    JOIN zz za ON source_a = za.source
+    JOIN zz zb ON source_b = zb.source
+    """,
+)
+def cross_source_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair shingle-overlap matrix (mirrored/scraped-twice feed
+    detection before per-doc pair finding); consumes the shared hashed-
+    shingle memo — see operators/neardup.source_ngram_overlap for the
+    bounded-fan-out scale posture."""
+    return neardup.source_ngram_overlap(
+        load_table(spark, sf_dir, "documents"),
+        sh=_shingles_for(spark, sf_dir),
+    )

@@ -1461,3 +1461,73 @@ def length_curriculum_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "doc_chunk_windows",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    n AS (SELECT doc_id, words, len(words) AS nw FROM w WHERE len(words) > 0),
+    s AS (
+      SELECT doc_id, words, nw,
+             unnest(generate_series(0, nw - 1, 24)) AS start_word
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(start_word // 24 AS BIGINT) AS chunk_idx,
+           CAST(start_word AS BIGINT) AS start_word,
+           CAST(least(32, nw - start_word) AS BIGINT) AS n_words,
+           md5(array_to_string(
+                 list_slice(words, start_word + 1, least(start_word + 32, nw)),
+                 ' ')) AS chunk_md5
+    FROM s
+    """,
+)
+def doc_chunk_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-word / stride-24 retrieval chunks per document —
+    the RAG/context chunking pass (map-only, no shuffle; see
+    operators/text.chunk_windows for the scale posture)."""
+    return text_ops.chunk_windows(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "zipf_slope_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT source, token, COUNT(*) AS freq FROM tok GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, token, freq,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY freq DESC, token) AS rnk
+      FROM freq
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             MAX(freq) AS top_freq,
+             SUM(ln(rnk)) AS sx, SUM(ln(freq)) AS sy,
+             SUM(ln(rnk) * ln(freq)) AS sxy, SUM(ln(rnk) * ln(rnk)) AS sxx
+      FROM ranked WHERE rnk <= 100 GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_terms,
+           CAST(top_freq AS BIGINT) AS top_freq,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 4)
+             AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0))
+                        * sx) / n, 4) AS zipf_intercept
+    FROM s
+    """,
+)
+def zipf_slope_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf slope/intercept over the top-100 tokens (source
+    quality fingerprint); re-aggregates the shared per-(doc, token)
+    count memo, so the tokenize scan is paid once across the family."""
+    return text_ops.zipf_slope_by_source(
+        load_table(spark, sf_dir, "documents"),
+        tok_counts=_tok_counts_for(spark, sf_dir),
+    )
