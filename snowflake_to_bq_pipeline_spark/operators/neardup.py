@@ -425,6 +425,81 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return base.groupBy("doc_id").agg(*aggs)
 
 
+def _band_explode():
+    """Explode column turning mh_0..mh_{N_PERMS-1} signature columns into
+    N_BANDS (band, band_hash) structs — the single banding definition the
+    pair finder and the band-load profile share (same band hash ⇒ the
+    profile's bucket counts describe exactly the joins the finder runs).
+    """
+    rows_per_band = N_PERMS // N_BANDS
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    ).alias("band_hash"),
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+    ).alias("bh")
+
+
+def lsh_band_load_profile(
+    documents: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """LSH bucket-load histogram: per band, how many buckets hold how
+    many docs, and the candidate-pair volume those buckets imply
+    (n_buckets × C(size, 2)) — the pre-flight skew read a production
+    near-dup run does before paying for the candidate join. A template-
+    heavy corpus shows up here as a fat bucket whose implied pair count
+    dwarfs the rest; that is the signal to strip boilerplate (see
+    boilerplate_phrase_profile) or re-band BEFORE the join blows up —
+    the band-bucket twin of key_skew_profile.
+
+    Scale posture: signatures are one groupBy over the shared shingle
+    index; the profile is two more aggregations on (band, band_hash)
+    grain — output is a histogram (bands × distinct sizes), never
+    corpus-sized, and nothing here joins.
+    """
+    if sh is None:
+        sh = hashed_shingles(documents, text_col, k)
+    else:
+        _require_shingle_table(sh, text_col, k, "lsh_band_load_profile")
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}")
+        for i in range(N_PERMS)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    bands = sigs.select("doc_id", _band_explode()).select(
+        "bh.band", "bh.band_hash"
+    )
+    loads = bands.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    sz = F.col("bucket_size")
+    return (
+        loads.groupBy("band", "bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            "band",
+            "bucket_size",
+            "n_buckets",
+            (F.col("n_buckets") * sz * (sz - 1) / 2)
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     threshold: float,
@@ -454,27 +529,9 @@ def minhash_lsh_pairs(
         for i in range(N_PERMS)
     ]
     sigs = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"), *aggs)
-    rows_per_band = N_PERMS // N_BANDS
-    bands = sigs.select(
-        "doc_id",
-        "sz",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"mh_{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bh"),
-    ).select("doc_id", "sz", "bh.band", "bh.band_hash")
+    bands = sigs.select("doc_id", "sz", _band_explode()).select(
+        "doc_id", "sz", "bh.band", "bh.band_hash"
+    )
 
     left = bands.select(
         F.col("doc_id").alias("doc_a"),

@@ -493,3 +493,56 @@ def status_flap_audit(
         ).alias("churn_ratio"),
         (F.col("n_transitions") > clean * FLAP_FACTOR).alias("is_flappy"),
     )
+
+
+def interarrival_profile(
+    events: DataFrame, type_col: str = "event_type", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-stream inter-arrival cadence: gap statistics between
+    consecutive events of each type — the arrival-rate baseline behind a
+    freshness alert (reference: pipeline_fallback_monitor.py hardcodes
+    "stale after N hours"; this derives what "late" means per stream
+    from its own observed cadence, e.g. alert at p95 × headroom).
+
+    Gaps are computed on integer microseconds (exact longs end to end);
+    only the final per-type statistics divide into seconds, with the
+    same operation order the oracle uses, then round to 6dp. The gap
+    MULTISET is tie-stable: equal timestamps yield zero-gaps wherever
+    the window's tie order places them, so the aggregates are
+    deterministic even though lag() pairing under ties is not.
+
+    Scale: one window function partitioned by stream type (the shuffle
+    key a cadence monitor wants anyway) + one aggregate; percentile()
+    buffers per-group GAP values — bounded by per-stream event counts;
+    for a raw 100 TB firehose swap in the GK sketch twin
+    (sketch_quantiles) per its docstring.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(type_col).orderBy("__us")
+    us = F.unix_micros(F.col(ts_col))
+    gaps = (
+        events.select(type_col, us.alias("__us"))
+        .withColumn("__gap_us", F.col("__us") - F.lag("__us").over(w))
+        .where(F.col("__gap_us").isNotNull())
+    )
+    gap = F.col("__gap_us")
+    sec = F.lit(1_000_000.0)
+    agg = gaps.groupBy(type_col).agg(
+        F.count(gap).alias("n_gaps"),
+        F.sum(gap).alias("__sum_us"),
+        F.min(gap).alias("__min_us"),
+        F.max(gap).alias("__max_us"),
+        F.percentile(gap, F.array(F.lit(0.5), F.lit(0.95))).alias("__p"),
+    )
+    return agg.select(
+        type_col,
+        "n_gaps",
+        F.round(
+            F.col("__sum_us").cast("double") / F.col("n_gaps") / sec, 6
+        ).alias("mean_gap_s"),
+        F.round(F.col("__min_us").cast("double") / sec, 6).alias("min_gap_s"),
+        F.round(F.col("__max_us").cast("double") / sec, 6).alias("max_gap_s"),
+        F.round(F.col("__p")[0] / sec, 6).alias("p50_gap_s"),
+        F.round(F.col("__p")[1] / sec, 6).alias("p95_gap_s"),
+    )

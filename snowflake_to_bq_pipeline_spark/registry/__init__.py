@@ -305,6 +305,7 @@ _WINDOW_ORDER = [
     "doc_chunk_windows",
     "zipf_slope_by_source",
     "cross_source_ngram_overlap",
+    "event_interarrival_profile",
     # ... event_session_stats' oracle boundary was CORRECTED this round
     # (new-session condition >= gap → strictly > gap, matching Spark's
     # probed inclusive merge), so it needs a fresh driver verdict ...
@@ -348,8 +349,8 @@ _WINDOW_ORDER = [
     "volume_anomaly",
     "volume_anomaly_dow",
     "work_item_enriched",
-    # ... plus the alphabetically-first 12 of the r9-vintage cohort to
-    # fill slot 50 (dedup_savings_report onward stay first in line
+    # ... plus the alphabetically-first 11 of the r9-vintage cohort to
+    # fill slot 50 (dedup_latest_record onward stay first in line
     # for r12)
     "backfill_progress",
     "bom_per_case_consumption",
@@ -362,8 +363,8 @@ _WINDOW_ORDER = [
     "customer_revenue_deciles",
     "dataset_split_assign",
     "dedup_clusters",
-    "dedup_latest_record",
     # -- past the window: remaining r9-checked, then r10-checked ------
+    "dedup_latest_record",
     "dedup_savings_report",
     "dedup_token_savings_by_source",
     "distribution_drift_psi",
@@ -462,6 +463,7 @@ _WINDOW_ORDER = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "kmeans_doc_clusters",
+    "lsh_band_load_profile",
     "minhash_recall_report",
     "pq_compression_stats",
     "semdedup_prune",
@@ -491,10 +493,11 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 # near_dup_rate_by_source is NEW this round; each needs a fresh driver
 # hash verdict.
 _WINDOW_CRITICAL = {
-    # the three ops NEW this round (first driver verdict pending)
+    # the oracle-gated ops NEW this round (first driver verdict pending)
     "doc_chunk_windows",
     "zipf_slope_by_source",
     "cross_source_ngram_overlap",
+    "event_interarrival_profile",
     # oracle boundary corrected this round (>= gap → > gap)
     "event_session_stats",
     "incremental_dedup_check",

@@ -753,3 +753,31 @@ def mad_outlier_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.mad_outlier_stats(
         load_table(spark, sf_dir, "events"), "event_type", "value"
     )
+
+
+@query(
+    "event_interarrival_profile",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY event_type ORDER BY ts) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1000000.0, 6)
+             AS mean_gap_s,
+           ROUND(CAST(MIN(gap_us) AS DOUBLE) / 1000000.0, 6) AS min_gap_s,
+           ROUND(CAST(MAX(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s,
+           ROUND(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_gap_s,
+           ROUND(quantile_cont(gap_us, 0.95) / 1000000.0, 6) AS p95_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def event_interarrival_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream inter-arrival cadence statistics (exact integer-micros
+    gaps; the observed-cadence baseline a freshness alert should derive
+    its threshold from instead of a hardcoded N hours)."""
+    return quality.interarrival_profile(load_table(spark, sf_dir, "events"))

@@ -1528,3 +1528,17 @@ def cross_source_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         sh=_shingles_for(spark, sf_dir),
     )
+
+
+@query("lsh_band_load_profile")  # rows-only: xxhash64 band buckets, no SQL twin
+def lsh_band_load_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH bucket-load histogram (per band: bucket-size
+    distribution + implied candidate-pair volume) — the pre-flight skew
+    read before paying for the candidate join; band hashing is shared
+    with dedup_minhash_lsh so the profile describes exactly that join.
+    Rides the memoized shingle index. Bucket-math pinned in
+    tests/test_neardup.py."""
+    return neardup.lsh_band_load_profile(
+        load_table(spark, sf_dir, "documents"),
+        sh=_shingles_for(spark, sf_dir),
+    )

@@ -128,3 +128,56 @@ def test_session_window_gap_is_inclusive(spark):
     assert len(by_user[1]) == 1 and by_user[1][0]["n_events"] == 2
     assert by_user[1][0]["session_end"] == base + gap + gap
     assert len(by_user[2]) == 2
+
+
+def test_interarrival_profile_known_gaps(spark):
+    from snowflake_to_bq_pipeline_spark.operators import quality
+
+    base = dt.datetime(2026, 1, 1)
+    s = dt.timedelta(seconds=1)
+    ev = spark.createDataFrame(
+        [
+            # type a: gaps 10s, 20s (plus a duplicate ts -> 0s gap)
+            ("a", base), ("a", base + 10 * s), ("a", base + 10 * s),
+            ("a", base + 30 * s),
+            # type b: single event -> no gaps, excluded entirely
+            ("b", base),
+        ],
+        "event_type string, ts timestamp",
+    )
+    rows = {r["event_type"]: r for r in quality.interarrival_profile(ev).collect()}
+    assert set(rows) == {"a"}
+    r = rows["a"]
+    assert r["n_gaps"] == 3
+    assert r["min_gap_s"] == 0.0 and r["max_gap_s"] == 20.0
+    assert r["mean_gap_s"] == pytest.approx(10.0)
+    assert r["p50_gap_s"] == pytest.approx(10.0)
+
+
+def test_lsh_band_load_profile_accounting(spark):
+    from snowflake_to_bq_pipeline_spark.operators.neardup import (
+        N_BANDS,
+        lsh_band_load_profile,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = _doc(
+        spark,
+        [(i, text, "s") for i in range(4)]  # 4 identical docs
+        + [(10, "completely different words here for the second corpus", "s")],
+    )
+    prof = lsh_band_load_profile(df).collect()
+    by_band = {}
+    for r in prof:
+        by_band.setdefault(r["band"], []).append(r)
+    assert set(by_band) == set(range(N_BANDS))
+    for band, rows in by_band.items():
+        # every doc lands in exactly one bucket per band
+        assert sum(r["n_buckets"] * r["bucket_size"] for r in rows) == 5
+        # identical docs share identical signatures, hence one 4-doc
+        # bucket per band implying C(4,2)=6 candidate pairs
+        fat = [r for r in rows if r["bucket_size"] == 4]
+        assert len(fat) == 1 and fat[0]["candidate_pairs"] == 6
+        for r in rows:
+            sz = r["bucket_size"]
+            assert r["candidate_pairs"] == r["n_buckets"] * sz * (sz - 1) // 2

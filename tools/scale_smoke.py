@@ -78,6 +78,8 @@ SMOKE_QUERIES = [
     "repetition_filter",
     "charlm_perplexity",
     "sequence_packing",
+    "doc_chunk_windows",
+    "zipf_slope_by_source",
     # dedup / inverted-index family (linear by the word-suffix construction)
     "dedup_exact",
     "ngram_jaccard_dups",
@@ -93,6 +95,10 @@ SMOKE_QUERIES = [
     "ngram_containment_dups",
     "incremental_dedup_check",
     "kmeans_doc_clusters",
+    # bounded-fan-out source matrix: output is C(|sources|,2) rows at any
+    # corpus size; the smoke checks the (source, shingle) distinct +
+    # self-join stays linear in corpus
+    "cross_source_ngram_overlap",
 ]
 LINEAR_RATIO_CEILING = 3.0  # x replicas (see report: ratio_per_replica)
 
