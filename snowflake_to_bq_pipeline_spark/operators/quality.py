@@ -546,3 +546,100 @@ def interarrival_profile(
         F.round(F.col("__p")[0] / sec, 6).alias("p50_gap_s"),
         F.round(F.col("__p")[1] / sec, 6).alias("p95_gap_s"),
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_heavy_hitters(
+    tok_counts: DataFrame,
+    threshold_share: float = 0.002,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-Min-Sketch heavy hitters: tokens whose estimated corpus
+    frequency clears ``threshold_share`` of total token mass — the
+    bounded-memory path to ``vocab_top_k`` (which sorts the FULL
+    (token, freq) aggregate: exact, but vocabulary-sized state and a
+    global ordering). Completes the sketch family next to HLL distinct
+    counts and GK quantiles: CMS answers point-frequency / heavy-hitter
+    questions with depth × width counters total, independent of
+    vocabulary size.
+
+    Two passes, both bounded:
+    1. sketch build — explode each (doc, token) partial count into
+       ``depth`` (row, bucket) cells and groupBy-sum: at most
+       depth × width groups, collected to the driver as O(model) state
+       (4096 longs at the defaults; same posture as the Bloom bitmap
+       and k-means centroids).
+    2. probe — the sketch rides back as ``from_json`` array literals
+       (constant-folded; the Bloom lesson at operators/bloom.py:139),
+       each row's estimate is a JVM-side least-of-element_at, and only
+       survivors reach the token-grain aggregate, so the final shuffle
+       carries heavy-hitter candidates, not the vocabulary.
+
+    CMS never underestimates (every true heavy hitter survives —
+    recall 1.0 by construction); overestimates can admit false
+    positives, so the output carries est vs exact (exact is free on
+    survivors: their partial counts all pass the filter together) and
+    an ``is_true_heavy`` verdict. Deterministic: seeded xxhash64 rows.
+    """
+    import json as _json
+
+    if depth <= 0 or width <= 0:
+        raise ValueError(f"depth/width must be positive, got {depth}/{width}")
+
+    def bucket(d: int):
+        return F.pmod(F.xxhash64(F.lit(d), F.col("token")), F.lit(width))
+
+    cells = tok_counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), bucket(d).alias("b"))
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+        "term_count",
+    )
+    rows = (
+        cells.groupBy("db.d", "db.b")
+        .agg(F.sum("term_count").alias("c"))
+        .collect()
+    )
+    total = tok_counts.agg(F.sum("term_count")).collect()[0][0] or 0
+    tables = [[0] * width for _ in range(depth)]
+    for r in rows:
+        tables[r["d"]][r["b"]] = r["c"]
+    threshold = max(1, int(total * threshold_share))
+
+    est = F.least(
+        *[
+            F.element_at(
+                F.from_json(
+                    F.lit(_json.dumps(tables[d])), "array<bigint>"
+                ),
+                (bucket(d) + 1).cast("int"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        tok_counts.withColumn("__est", est)
+        .where(F.col("__est") >= F.lit(threshold))
+        .groupBy("token")
+        .agg(
+            F.max("__est").alias("est_count"),
+            F.sum("term_count").alias("exact_count"),
+        )
+        .select(
+            "token",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+            (F.col("exact_count") >= F.lit(threshold)).alias("is_true_heavy"),
+            F.lit(threshold).alias("threshold_count"),
+        )
+    )

@@ -474,6 +474,7 @@ _WINDOW_ORDER = [
     "tokenizer_fertility_by_source",
     "unigram_encode_tokens",
     "unigram_vocab_table",
+    "vocab_heavy_hitters_sketch",
 ]
 
 assert set(_WINDOW_ORDER) == set(QUERIES), (

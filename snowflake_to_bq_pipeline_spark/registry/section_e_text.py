@@ -1531,3 +1531,13 @@ def zipf_slope_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         tok_counts=_tok_counts_for(spark, sf_dir),
     )
+
+
+@query("vocab_heavy_hitters_sketch")  # rows-only: seeded-hash sketch, no SQL twin
+def vocab_heavy_hitters_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy-hitter tokens (est vs exact + verdict) —
+    the bounded-memory twin of vocab_top_k, completing the sketch
+    family (HLL distinct, GK quantiles, CMS point frequency); rides the
+    shared token-count memo. Recall-1.0 / overestimate-only properties
+    pinned in tests/test_chunk_zipf_overlap.py."""
+    return quality.cms_heavy_hitters(_tok_counts_for(spark, sf_dir))

@@ -181,3 +181,48 @@ def test_lsh_band_load_profile_accounting(spark):
         for r in rows:
             sz = r["bucket_size"]
             assert r["candidate_pairs"] == r["n_buckets"] * sz * (sz - 1) // 2
+
+
+def test_cms_heavy_hitters_superset_and_overestimate_only(spark):
+    from snowflake_to_bq_pipeline_spark.operators import quality
+
+    # corpus: t1 x 500, t2 x 300, t3 x 40, long tail of 200 singletons;
+    # threshold 2% of 1040+200 = 24.8 -> true heavies {t1, t2, t3}
+    toks = ["t1"] * 500 + ["t2"] * 300 + ["t3"] * 40 + [
+        f"tail{i}" for i in range(200)
+    ]
+    rows = [(i, t) for i, t in enumerate(toks)]
+    tok_counts = spark.createDataFrame(
+        [(d, t, 1) for d, t in rows], "doc_id long, token string, term_count long"
+    )
+    out = {r["token"]: r for r in quality.cms_heavy_hitters(
+        tok_counts, threshold_share=0.02
+    ).collect()}
+    total = len(toks)
+    threshold = int(total * 0.02)
+    # recall 1.0: every true heavy hitter survives (CMS never underestimates)
+    for t, exact in (("t1", 500), ("t2", 300), ("t3", 40)):
+        assert t in out, t
+        r = out[t]
+        assert r["exact_count"] == exact
+        assert r["est_count"] >= exact  # overestimate-only
+        assert r["is_true_heavy"] is True
+        assert r["threshold_count"] == threshold
+    # every output row is overestimate-only and correctly adjudicated
+    for r in out.values():
+        assert r["overestimate"] >= 0
+        assert r["is_true_heavy"] == (r["exact_count"] >= threshold)
+    # the sketch is 4x1024 over ~204 distinct tokens: collisions are few,
+    # so false positives stay a small minority of the output
+    fp = [r for r in out.values() if not r["is_true_heavy"]]
+    assert len(fp) <= len(out) // 2
+
+
+def test_cms_heavy_hitters_rejects_bad_params(spark):
+    from snowflake_to_bq_pipeline_spark.operators import quality
+
+    tok = spark.createDataFrame(
+        [(1, "a", 1)], "doc_id long, token string, term_count long"
+    )
+    with pytest.raises(ValueError):
+        quality.cms_heavy_hitters(tok, depth=0)
