@@ -409,20 +409,38 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """MinHash signature per doc: one groupBy pass, N_PERMS min-aggregates.
+MINHASH_SIG_COLS = ["doc_id", "sz"] + [f"mh_{i}" for i in range(N_PERMS)]
 
-    The variable-length shingle string is hashed ONCE; each permutation
-    re-hashes the resulting fixed-width long with a seed — far cheaper
-    than 32 string hashes, and overflow-free under ANSI mode (an affine
-    a*h+b permutation family would throw on long overflow there).
+
+def minhash_sig_table(sh: DataFrame) -> DataFrame:
+    """(doc_id, sz, mh_0..mh_{N_PERMS-1}) MinHash signature table off the
+    hashed shingle index — the shared asset of the whole MinHash family
+    (pair finder, band-load profile, tuning curve, recall report input),
+    memoized per corpus snapshot by the registry (``_minhash_sigs_for``)
+    exactly like the SimHash signature memo, so a session running
+    several family members pays the 32-min-aggregate groupBy once.
+
+    Each permutation re-hashes the fixed-width shingle hash with a seed
+    — far cheaper than N_PERMS string hashes, and overflow-free under
+    ANSI mode (an affine a*h+b permutation family would throw on long
+    overflow there). ``sz`` (the doc's distinct-shingle count) rides
+    along in the same pass for the verification stage's Jaccard
+    denominator.
     """
-    base = sh.select("doc_id", F.xxhash64("shingle").alias("__h"))
-    aggs = [
+    aggs = [F.count(F.lit(1)).alias("sz")] + [
         F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}")
         for i in range(N_PERMS)
     ]
-    return base.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _require_sig_table(sigs: DataFrame, caller: str) -> None:
+    missing = set(MINHASH_SIG_COLS) - set(sigs.columns)
+    if missing:
+        raise ValueError(
+            f"{caller}: precomputed signature table lacks column(s) "
+            f"{sorted(missing)}; expected minhash_sig_table output"
+        )
 
 
 def _band_explode():
@@ -455,6 +473,7 @@ def lsh_band_load_profile(
     text_col: str = "text",
     k: int = 3,
     sh: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH bucket-load histogram: per band, how many buckets hold how
     many docs, and the candidate-pair volume those buckets imply
@@ -470,15 +489,14 @@ def lsh_band_load_profile(
     grain — output is a histogram (bands × distinct sizes), never
     corpus-sized, and nothing here joins.
     """
-    if sh is None:
-        sh = hashed_shingles(documents, text_col, k)
+    if sigs is None:
+        if sh is None:
+            sh = hashed_shingles(documents, text_col, k)
+        else:
+            _require_shingle_table(sh, text_col, k, "lsh_band_load_profile")
+        sigs = minhash_sig_table(sh)
     else:
-        _require_shingle_table(sh, text_col, k, "lsh_band_load_profile")
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}")
-        for i in range(N_PERMS)
-    ]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
+        _require_sig_table(sigs, "lsh_band_load_profile")
     bands = sigs.select("doc_id", _band_explode()).select(
         "bh.band", "bh.band_hash"
     )
@@ -505,6 +523,8 @@ def minhash_lsh_pairs(
     threshold: float,
     text_col: str = "text",
     k: int = 3,
+    sh: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, exact-Jaccard-verified.
 
@@ -522,13 +542,19 @@ def minhash_lsh_pairs(
     a 64-bit collision would off-by-one an intersection count with
     probability ~n²/2⁶⁴ per doc pair, which the banded-candidate volume
     keeps negligible.
+
+    ``sh``/``sigs`` let the registry hand in its memoized shingle index
+    and signature table (same contract as ngram_jaccard_pairs' ``sh=``)
+    instead of this operator persisting a second copy of each.
     """
-    sh = _swap_cache("minhash", hashed_shingles(documents, text_col, k))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}")
-        for i in range(N_PERMS)
-    ]
-    sigs = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"), *aggs)
+    if sh is None:
+        sh = _swap_cache("minhash", hashed_shingles(documents, text_col, k))
+    else:
+        _require_shingle_table(sh, text_col, k, "minhash_lsh_pairs")
+    if sigs is None:
+        sigs = minhash_sig_table(sh)
+    else:
+        _require_sig_table(sigs, "minhash_lsh_pairs")
     bands = sigs.select("doc_id", "sz", _band_explode()).select(
         "doc_id", "sz", "bh.band", "bh.band_hash"
     )
@@ -1324,4 +1350,111 @@ def source_ngram_overlap(
             "size_b",
             F.round(shared.cast("double") / union_sz, 6).alias("jaccard"),
         )
+    )
+
+
+def pair_similarity_histogram(
+    pairs: DataFrame, n_bins_per_unit: int = 20
+) -> DataFrame:
+    """Similarity histogram over the verified near-dup pair table — the
+    measurement behind the "pick the plan by the similarity regime"
+    rule (README): if the pair mass piles up just above the threshold,
+    the threshold sits in the BULK of the similarity distribution and
+    LSH candidates stop pruning (candidates ≈ all pairs — switch to the
+    structured exact scan); a mass concentrated near 1.0 is the sparse
+    regime where banding wins. One aggregate over the already-tiny pair
+    table; the share column is a window over histogram rows (≤ bins).
+    """
+    b = F.floor(F.col("jaccard") * n_bins_per_unit).cast("long")
+    h = pairs.groupBy(b.alias("bucket_idx")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n_pairs").over(Window.partitionBy())
+    return h.select(
+        "bucket_idx",
+        F.round(
+            F.col("bucket_idx") / F.lit(float(n_bins_per_unit)), 6
+        ).alias("bucket_lo"),
+        "n_pairs",
+        F.round(F.col("n_pairs").cast("double") / total, 6).alias(
+            "pair_share"
+        ),
+    )
+
+
+def lsh_band_tuning_curve(
+    documents: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    sh: DataFrame | None = None,
+    sigs: DataFrame | None = None,
+    band_counts: tuple[int, ...] = (4, 8, 16, 32),
+) -> DataFrame:
+    """LSH parameter-tuning table: for each banding of the SAME
+    ``N_PERMS`` MinHash signature (b bands × r = N_PERMS/b rows), the
+    theoretical S-curve midpoint ``(1/b)^(1/r)`` next to the MEASURED
+    candidate volume on this corpus — the one-look answer to "which
+    (b, r) do I run dedup_minhash_lsh with here". Configs nest (each
+    b=4 band is two b=8 bands, …), so candidate rows are provably
+    nondecreasing in b; the production choice is the smallest b whose
+    S-curve midpoint sits at or below the dedup threshold.
+
+    One explode of Σb per-config band structs off one signature
+    groupBy, then counters on (config, band, hash) grain — bucket
+    counts, never pair enumeration, so the measurement costs the same
+    whether the corpus would generate 10 or 10^9 candidates.
+    """
+    for b in band_counts:
+        if N_PERMS % b != 0:
+            raise ValueError(f"band count {b} does not divide {N_PERMS}")
+    if sigs is None:
+        if sh is None:
+            sh = hashed_shingles(documents, text_col, k)
+        else:
+            _require_shingle_table(sh, text_col, k, "lsh_band_tuning_curve")
+        sigs = minhash_sig_table(sh)
+    else:
+        _require_sig_table(sigs, "lsh_band_tuning_curve")
+    n_docs = sigs.count()
+    structs = []
+    for b in band_counts:
+        r = N_PERMS // b
+        for band in range(b):
+            structs.append(
+                F.struct(
+                    F.lit(b).alias("n_bands"),
+                    F.lit(band).alias("band"),
+                    F.xxhash64(
+                        *[F.col(f"mh_{band * r + i}") for i in range(r)]
+                    ).alias("band_hash"),
+                )
+            )
+    cells = sigs.select(F.explode(F.array(*structs)).alias("c"))
+    loads = cells.groupBy("c.n_bands", "c.band", "c.band_hash").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    sz = F.col("sz")
+    per_cfg = loads.groupBy("n_bands").agg(
+        F.sum(sz * (sz - 1) / 2).cast("long").alias("candidate_pair_rows"),
+        F.sum(F.when(sz > 1, 1).otherwise(0)).alias("n_colliding_buckets"),
+    )
+    all_pairs = n_docs * (n_docs - 1) // 2
+    rows_per_band = (F.lit(N_PERMS) / F.col("n_bands")).cast("long")
+    s_curve = F.pow(
+        F.lit(1.0) / F.col("n_bands"),
+        F.lit(1.0) / rows_per_band.cast("double"),
+    )
+    return per_cfg.select(
+        "n_bands",
+        rows_per_band.alias("rows_per_band"),
+        F.round(s_curve, 6).alias("s_curve_threshold"),
+        "n_colliding_buckets",
+        "candidate_pair_rows",
+        F.round(
+            F.col("candidate_pair_rows").cast("double")
+            / F.lit(float(max(all_pairs, 1))),
+            9,
+        ).alias("candidate_row_rate"),
     )

@@ -187,6 +187,7 @@ from .section_e_similarity import (  # noqa: F401
     _JACCARD_PAIRS_CACHE,
     _JACCARD_TAU,
     _MINHASH_PAIRS_CACHE,
+    _MINHASH_SIGS_CACHE,
     _SHINGLE_CACHE,
     _SEMDEDUP_CACHE,
     _SHINGLE_SQL,
@@ -200,6 +201,7 @@ from .section_e_similarity import (  # noqa: F401
     _incr_bloom_for,
     _jaccard_pairs_for,
     _minhash_pairs_for,
+    _minhash_sigs_for,
     _semdedup_for,
     _shingles_for,
     _simhash_sigs_for,
@@ -306,6 +308,7 @@ _WINDOW_ORDER = [
     "zipf_slope_by_source",
     "cross_source_ngram_overlap",
     "event_interarrival_profile",
+    "dup_pair_similarity_histogram",
     # ... event_session_stats' oracle boundary was CORRECTED this round
     # (new-session condition >= gap → strictly > gap, matching Spark's
     # probed inclusive merge), so it needs a fresh driver verdict ...
@@ -349,9 +352,8 @@ _WINDOW_ORDER = [
     "volume_anomaly",
     "volume_anomaly_dow",
     "work_item_enriched",
-    # ... plus the alphabetically-first 11 of the r9-vintage cohort to
-    # fill slot 50 (dedup_latest_record onward stay first in line
-    # for r12)
+    # ... plus the alphabetically-first 10 of the r9-vintage cohort to
+    # fill slot 50 (dedup_clusters onward stay first in line for r12)
     "backfill_progress",
     "bom_per_case_consumption",
     "char_entropy_score",
@@ -362,8 +364,8 @@ _WINDOW_ORDER = [
     "cross_split_contamination",
     "customer_revenue_deciles",
     "dataset_split_assign",
-    "dedup_clusters",
     # -- past the window: remaining r9-checked, then r10-checked ------
+    "dedup_clusters",
     "dedup_latest_record",
     "dedup_savings_report",
     "dedup_token_savings_by_source",
@@ -464,6 +466,7 @@ _WINDOW_ORDER = [
     "dedup_simhash",
     "kmeans_doc_clusters",
     "lsh_band_load_profile",
+    "lsh_band_tuning_curve",
     "minhash_recall_report",
     "pq_compression_stats",
     "semdedup_prune",
@@ -499,6 +502,7 @@ _WINDOW_CRITICAL = {
     "zipf_slope_by_source",
     "cross_source_ngram_overlap",
     "event_interarrival_profile",
+    "dup_pair_similarity_histogram",
     # oracle boundary corrected this round (>= gap → > gap)
     "event_session_stats",
     "incremental_dedup_check",
@@ -542,6 +546,7 @@ _MEMO_HELPERS = (
     "_simhash_sigs_for",
     "_jaccard_pairs_for",
     "_minhash_pairs_for",
+    "_minhash_sigs_for",
     "_tok_counts_for",
     "_doc_word_for",
     "_centroids_for",

@@ -223,6 +223,29 @@ def minhash_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Memoized MinHash+LSH pair table per sf_dir — the pair view and the
 #: recall report share it (same pattern/lifecycle as _JACCARD_PAIRS_CACHE).
+#: Shared MinHash signature table (doc_id, sz, mh_0..mh_31): the pair
+#: finder, the band-load profile and the band-tuning curve all start
+#: from exactly this table — the MinHash twin of `_simhash_sigs_for`
+#: (r11 ask #3's pattern applied to the other signature family).
+_MINHASH_SIGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _minhash_sigs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    df = _MINHASH_SIGS_CACHE.get(key)
+    if df is None:
+        for old in _MINHASH_SIGS_CACHE.values():
+            old.unpersist(blocking=False)
+        _MINHASH_SIGS_CACHE.clear()
+        from pyspark.storagelevel import StorageLevel
+
+        df = neardup.minhash_sig_table(
+            _shingles_for(spark, sf_dir)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _MINHASH_SIGS_CACHE[key] = df
+    return df
+
+
 _MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -235,8 +258,14 @@ def _minhash_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MINHASH_PAIRS_CACHE.clear()
         from pyspark.storagelevel import StorageLevel
 
+        # sh=/sigs=: consume the shared shingle and signature memos
+        # instead of letting the operator _swap_cache-persist a second
+        # copy of the identical index (the ngram_jaccard_pairs lesson).
         df = neardup.minhash_lsh_pairs(
-            load_table(spark, sf_dir, "documents"), _JACCARD_TAU
+            load_table(spark, sf_dir, "documents"),
+            _JACCARD_TAU,
+            sh=_shingles_for(spark, sf_dir),
+            sigs=_minhash_sigs_for(spark, sf_dir),
         ).persist(StorageLevel.MEMORY_AND_DISK)
         _MINHASH_PAIRS_CACHE[key] = df
     return df
@@ -1536,9 +1565,64 @@ def lsh_band_load_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution + implied candidate-pair volume) — the pre-flight skew
     read before paying for the candidate join; band hashing is shared
     with dedup_minhash_lsh so the profile describes exactly that join.
-    Rides the memoized shingle index. Bucket-math pinned in
-    tests/test_neardup.py."""
+    Rides the shared signature memo. Bucket-math pinned in
+    tests/test_chunk_zipf_overlap.py."""
     return neardup.lsh_band_load_profile(
         load_table(spark, sf_dir, "documents"),
-        sh=_shingles_for(spark, sf_dir),
+        sigs=_minhash_sigs_for(spark, sf_dir),
+    )
+
+
+@query(
+    "dup_pair_similarity_histogram",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS intersection_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pj AS (
+      SELECT CAST(intersection_size AS DOUBLE)
+               / (sa.sz + sb.sz - intersection_size) AS j
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(intersection_size AS DOUBLE)
+            / (sa.sz + sb.sz - intersection_size) >= {_JACCARD_TAU}
+    ),
+    h AS (
+      SELECT CAST(floor(j * 20) AS BIGINT) AS bucket_idx,
+             COUNT(*) AS n_pairs
+      FROM pj GROUP BY 1
+    )
+    SELECT bucket_idx, ROUND(bucket_idx / 20.0, 6) AS bucket_lo, n_pairs,
+           ROUND(CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER (), 6)
+             AS pair_share
+    FROM h
+    """,
+)
+def dup_pair_similarity_histogram_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Similarity histogram over the verified near-dup pairs (0.05-wide
+    Jaccard buckets + pair share): measures which similarity REGIME the
+    dedup threshold sits in — mass piling up at the threshold means LSH
+    candidates stop pruning and the structured exact scan is the honest
+    plan (README "pick the plan by the similarity regime", now a query).
+    Rides the memoized pair table."""
+    return neardup.pair_similarity_histogram(_jaccard_pairs_for(spark, sf_dir))
+
+
+@query("lsh_band_tuning_curve")  # rows-only: xxhash64 signatures, no SQL twin
+def lsh_band_tuning_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter-tuning table: per (b bands × r rows) config of the
+    shared 32-perm signature, the theoretical S-curve midpoint next to
+    the MEASURED candidate volume on this corpus — bucket counters only,
+    no pair enumeration (costs the same at any candidate density).
+    Nesting monotonicity pinned in tests/test_chunk_zipf_overlap.py."""
+    return neardup.lsh_band_tuning_curve(
+        load_table(spark, sf_dir, "documents"),
+        sigs=_minhash_sigs_for(spark, sf_dir),
     )

@@ -226,3 +226,52 @@ def test_cms_heavy_hitters_rejects_bad_params(spark):
     )
     with pytest.raises(ValueError):
         quality.cms_heavy_hitters(tok, depth=0)
+
+
+def test_pair_similarity_histogram_buckets(spark):
+    from snowflake_to_bq_pipeline_spark.operators import neardup as nd
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.62), (3, 4, 0.64), (5, 6, 0.81), (7, 8, 1.0)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    rows = {r["bucket_idx"]: r for r in nd.pair_similarity_histogram(pairs).collect()}
+    # 0.62/0.64 -> bucket 12, 0.81 -> 16, 1.0 -> 20
+    assert {k: rows[k]["n_pairs"] for k in sorted(rows)} == {12: 2, 16: 1, 20: 1}
+    assert rows[12]["bucket_lo"] == 0.6
+    assert rows[12]["pair_share"] == pytest.approx(0.5)
+    assert sum(r["pair_share"] for r in rows.values()) == pytest.approx(1.0)
+
+
+def test_lsh_band_tuning_curve_nesting_monotone(spark):
+    from snowflake_to_bq_pipeline_spark.operators import neardup as nd
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = _doc(
+        spark,
+        [(i, text, "s") for i in range(3)]
+        + [(9, "a wholly different set of words for the control doc", "s")],
+    )
+    rows = {r["n_bands"]: r for r in nd.lsh_band_tuning_curve(df).collect()}
+    assert set(rows) == {4, 8, 16, 32}
+    for b, r in rows.items():
+        assert r["rows_per_band"] == 32 // b
+        expected = (1.0 / b) ** (1.0 / (32 // b))
+        assert r["s_curve_threshold"] == pytest.approx(expected, abs=1e-6)
+        # 3 identical docs collide on every band: C(3,2)=3 rows per band
+        assert r["candidate_pair_rows"] >= 3 * b
+    # configs nest (a coarse-band collision implies collisions in all its
+    # sub-bands), so candidate rows are nondecreasing in band count
+    counts = [rows[b]["candidate_pair_rows"] for b in (4, 8, 16, 32)]
+    assert counts == sorted(counts)
+    # more bands -> lower S-curve midpoint (easier to become a candidate)
+    curve = [rows[b]["s_curve_threshold"] for b in (4, 8, 16, 32)]
+    assert curve == sorted(curve, reverse=True)
+
+
+def test_lsh_band_tuning_curve_rejects_bad_band_count(spark):
+    from snowflake_to_bq_pipeline_spark.operators import neardup as nd
+
+    df = _doc(spark, [(1, "a b c d e", "s")])
+    with pytest.raises(ValueError):
+        nd.lsh_band_tuning_curve(df, band_counts=(5,))
