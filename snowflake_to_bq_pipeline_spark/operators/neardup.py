@@ -1458,3 +1458,44 @@ def lsh_band_tuning_curve(
             9,
         ).alias("candidate_row_rate"),
     )
+
+
+def simhash_hamming_histogram(
+    documents: DataFrame,
+    text_col: str = "text",
+    sh: DataFrame | None = None,
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """Hamming-distance histogram over SimHash band-candidate pairs —
+    the threshold-placement view for the simhash family: the near-dup
+    mass sits in the low-distance buckets, the chance byte-collision
+    noise floor in the high ones, and the right ``max_hamming`` is the
+    gap between them (the simhash twin of dup_pair_similarity_histogram,
+    and of the streaming stage's measured density caveat). Distances
+    ≤ 7 are complete by pigeonhole; above that the histogram profiles
+    exactly the candidate set a wider threshold would have to verify.
+
+    Cost: the band-candidate join (shared shape with simhash_pairs,
+    same memoized signature input) plus a ≤ 65-row aggregate; the
+    cumulative columns are windows over histogram rows, not pairs.
+    """
+    from pyspark.sql import Window
+
+    pairs = simhash_pairs(
+        documents, max_hamming=64, text_col=text_col, sh=sh, sig=sig
+    )
+    h = pairs.groupBy("hamming_distance").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    total = F.sum("n_pairs").over(Window.partitionBy())
+    cum = F.sum("n_pairs").over(
+        Window.orderBy("hamming_distance").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    return h.select(
+        "hamming_distance",
+        "n_pairs",
+        cum.alias("cum_pairs"),
+        F.round(cum / total, 6).alias("cum_share"),
+    )

@@ -959,3 +959,107 @@ def semdedup_prune(
             ).alias("keep"),
         )
     )
+
+
+def ivf_recall_curve(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4, 8, 16),
+    train_iters: int = 3,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF tuning curve: recall@k against brute force for a ladder of
+    ``n_probe`` settings of the SAME trained index — the ANN twin of
+    the LSH band-tuning table, answering "how many lists must I probe
+    here" with a measurement instead of a rule of thumb. Recall is
+    nondecreasing in n_probe by construction (probing more lists only
+    adds candidates) and reaches exactly 1.0 at n_probe = n_centroids
+    (the full scan IS brute force, same tie-break).
+
+    One corpus assignment pass and ONE probe-scored candidate table
+    (persisted; its rows are queries × the probed corpus fraction)
+    serve every ladder step: each step is a prefix filter on the
+    query's centroid rank plus a top-k window, so the ladder costs one
+    ivf_topk, not len(probes) of them. Output is one row per n_probe.
+    """
+    from functools import reduce
+
+    from ._cache import swap_cache
+
+    probes = tuple(sorted(set(probes)))
+    if not probes or probes[0] < 1 or probes[-1] > n_centroids:
+        raise ValueError(
+            f"probes must be within [1, n_centroids={n_centroids}], got {probes}"
+        )
+    v = _vectors(embeddings)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids(v, n_centroids, train_iters)
+    )
+    exact = cosine_topk(embeddings, query_pred, k).select(
+        "query_id", "neighbor_id"
+    )
+    assigned = _assign(v, cents, "vec_id", "e", 1)
+    q = v.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), "cent_id"
+    )
+    probe_lists = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qe",
+            "cent_id",
+            _cosine(F.col("qe"), F.col("ce")).alias("__csim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .where(F.col("probe_rank") <= probes[-1])
+    )
+    scored = swap_cache(
+        "ivf_recall_scored",
+        probe_lists.join(assigned, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "probe_rank",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qe"), F.col("e")).alias("cosine"),
+        ),
+    )
+    totals = exact.agg(
+        F.count(F.lit(1)).alias("possible"),
+        F.countDistinct("query_id").alias("n_queries"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    parts = []
+    for p in probes:
+        topk = (
+            scored.where(F.col("probe_rank") <= p)
+            .withColumn("__rk", F.row_number().over(wk))
+            .where(F.col("__rk") <= k)
+        )
+        hits = topk.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        parts.append(
+            hits.crossJoin(totals).select(
+                F.lit(p).alias("n_probe"),
+                F.round(F.lit(p) / F.lit(float(n_centroids)), 4).alias(
+                    "lists_scanned_share"
+                ),
+                "n_queries",
+                "hits",
+                "possible",
+                F.round(
+                    F.col("hits").cast("double") / F.col("possible"), 6
+                ).alias("recall_at_k"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -456,6 +456,7 @@ _WINDOW_ORDER = [
     # -- rows-only ops (no oracle possible, must never hold a slot) ---
     "ann_ivf_incremental_topk",
     "ann_ivf_list_drift",
+    "ann_ivf_recall_curve",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "ann_lsh_topk",
@@ -470,6 +471,7 @@ _WINDOW_ORDER = [
     "minhash_recall_report",
     "pq_compression_stats",
     "semdedup_prune",
+    "simhash_hamming_histogram",
     "sketch_distinct_users",
     "sketch_value_quantiles",
     "streaming_near_dedup_twin",

@@ -1626,3 +1626,28 @@ def lsh_band_tuning_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         sigs=_minhash_sigs_for(spark, sf_dir),
     )
+
+
+@query("simhash_hamming_histogram")  # rows-only: xxhash64 signatures
+def simhash_hamming_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming histogram over SimHash band candidates (near-dup mass vs
+    chance-collision noise floor — where to place max_hamming); rides
+    the shared per-snapshot SimHash signature memo."""
+    return neardup.simhash_hamming_histogram(
+        load_table(spark, sf_dir, "documents"),
+        sig=_simhash_sigs_for(spark, sf_dir),
+    )
+
+
+@query("ann_ivf_recall_curve")  # rows-only: ranks through Spark-side floats
+def ann_ivf_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF n_probe tuning ladder: recall@5 vs brute force for probe
+    counts 1..16 of the SAME memoized index — one assignment pass and
+    one persisted candidate table serve the whole ladder; recall is
+    nondecreasing and exactly 1.0 at full probe (pytest-pinned)."""
+    return similarity.ivf_recall_curve(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < 10,
+        k=5,
+        centroids=_centroids_for(spark, sf_dir, 16),
+    )

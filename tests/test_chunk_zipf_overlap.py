@@ -275,3 +275,63 @@ def test_lsh_band_tuning_curve_rejects_bad_band_count(spark):
     df = _doc(spark, [(1, "a b c d e", "s")])
     with pytest.raises(ValueError):
         nd.lsh_band_tuning_curve(df, band_counts=(5,))
+
+
+def test_simhash_hamming_histogram_accounting(spark):
+    from snowflake_to_bq_pipeline_spark.operators import neardup as nd
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = _doc(
+        spark,
+        [(1, text, "s"), (2, text, "s"),
+         (3, "a wholly different set of words for the control document", "s")],
+    )
+    rows = sorted(
+        nd.simhash_hamming_histogram(df).collect(),
+        key=lambda r: r["hamming_distance"],
+    )
+    # identical docs 1,2 -> distance-0 bucket exists
+    assert rows[0]["hamming_distance"] == 0 and rows[0]["n_pairs"] >= 1
+    # cumulative columns are monotone and end at share 1.0
+    cums = [r["cum_pairs"] for r in rows]
+    assert cums == sorted(cums)
+    assert rows[-1]["cum_share"] == pytest.approx(1.0)
+    assert all(0 <= r["hamming_distance"] <= 64 for r in rows)
+
+
+def test_ivf_recall_curve_monotone_and_exact_at_full_probe(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {r["n_probe"]: r for r in similarity.ivf_recall_curve(
+        emb, F.col("vec_id") < 10, k=5, n_centroids=8, probes=(1, 2, 4, 8)
+    ).collect()}
+    assert set(rows) == {1, 2, 4, 8}
+    recalls = [rows[p]["recall_at_k"] for p in (1, 2, 4, 8)]
+    assert recalls == sorted(recalls)  # more probes never hurt
+    full = rows[8]
+    assert full["recall_at_k"] == pytest.approx(1.0)  # full probe = brute force
+    assert full["hits"] == full["possible"]
+    assert rows[1]["lists_scanned_share"] == pytest.approx(1 / 8)
+    for r in rows.values():
+        assert r["n_queries"] > 0 and r["possible"] == r["n_queries"] * 5
+
+
+def test_ivf_recall_curve_rejects_bad_probes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError):
+        similarity.ivf_recall_curve(
+            emb, F.col("vec_id") < 10, n_centroids=8, probes=(0, 8)
+        )
+    with pytest.raises(ValueError):
+        similarity.ivf_recall_curve(
+            emb, F.col("vec_id") < 10, n_centroids=8, probes=(16,)
+        )
