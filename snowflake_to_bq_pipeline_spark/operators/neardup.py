@@ -426,20 +426,46 @@ def minhash_sig_table(sh: DataFrame) -> DataFrame:
     overflow there). ``sz`` (the doc's distinct-shingle count) rides
     along in the same pass for the verification stage's Jaccard
     denominator.
+
+    The input shingle table's (k, text_col) provenance metadata is
+    propagated onto ``sz`` so downstream ``sigs=`` consumers enforce
+    the same loud-failure contract as the shingle family — candidates
+    from k=5 signatures verified against k=3 shingles would otherwise
+    return silently wrong pairs.
     """
-    aggs = [F.count(F.lit(1)).alias("sz")] + [
+    meta = dict(sh.schema["__h"].metadata or {})
+    aggs = [F.count(F.lit(1)).alias("sz", metadata=meta)] + [
         F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}")
         for i in range(N_PERMS)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _require_sig_table(sigs: DataFrame, caller: str) -> None:
+def _require_sig_table(
+    sigs: DataFrame, text_col: str, k: int, caller: str
+) -> None:
+    """Shape always enforced; (k, text_col) provenance enforced when the
+    table carries minhash_sig_table's propagated metadata tag (same
+    contract as :func:`_require_shingle_table`)."""
     missing = set(MINHASH_SIG_COLS) - set(sigs.columns)
     if missing:
         raise ValueError(
             f"{caller}: precomputed signature table lacks column(s) "
             f"{sorted(missing)}; expected minhash_sig_table output"
+        )
+    meta = sigs.schema["sz"].metadata or {}
+    got_k = meta.get("shingle_k")
+    got_col = meta.get("shingle_text_col")
+    if got_k is not None and int(got_k) != k:
+        raise ValueError(
+            f"{caller}: precomputed signature table was built over k="
+            f"{got_k} shingles, but the call requests k={k}"
+        )
+    if got_col is not None and got_col != text_col:
+        raise ValueError(
+            f"{caller}: precomputed signature table was built over "
+            f"text_col={got_col!r}, but the call requests "
+            f"text_col={text_col!r}"
         )
 
 
@@ -496,7 +522,7 @@ def lsh_band_load_profile(
             _require_shingle_table(sh, text_col, k, "lsh_band_load_profile")
         sigs = minhash_sig_table(sh)
     else:
-        _require_sig_table(sigs, "lsh_band_load_profile")
+        _require_sig_table(sigs, text_col, k, "lsh_band_load_profile")
     bands = sigs.select("doc_id", _band_explode()).select(
         "bh.band", "bh.band_hash"
     )
@@ -554,7 +580,7 @@ def minhash_lsh_pairs(
     if sigs is None:
         sigs = minhash_sig_table(sh)
     else:
-        _require_sig_table(sigs, "minhash_lsh_pairs")
+        _require_sig_table(sigs, text_col, k, "minhash_lsh_pairs")
     bands = sigs.select("doc_id", "sz", _band_explode()).select(
         "doc_id", "sz", "bh.band", "bh.band_hash"
     )
@@ -1416,8 +1442,7 @@ def lsh_band_tuning_curve(
             _require_shingle_table(sh, text_col, k, "lsh_band_tuning_curve")
         sigs = minhash_sig_table(sh)
     else:
-        _require_sig_table(sigs, "lsh_band_tuning_curve")
-    n_docs = sigs.count()
+        _require_sig_table(sigs, text_col, k, "lsh_band_tuning_curve")
     structs = []
     for b in band_counts:
         r = N_PERMS // b
@@ -1436,11 +1461,17 @@ def lsh_band_tuning_curve(
         F.count(F.lit(1)).alias("sz")
     )
     sz = F.col("sz")
+    # Every doc lands in exactly one bucket per band, so each config's
+    # bucket-size sum is n_docs × n_bands — n_docs falls out of the
+    # aggregate for free (no extra signature-pipeline pass just to
+    # count docs).
     per_cfg = loads.groupBy("n_bands").agg(
         F.sum(sz * (sz - 1) / 2).cast("long").alias("candidate_pair_rows"),
         F.sum(F.when(sz > 1, 1).otherwise(0)).alias("n_colliding_buckets"),
+        (F.sum(sz) / F.col("n_bands")).cast("long").alias("__n_docs"),
     )
-    all_pairs = n_docs * (n_docs - 1) // 2
+    nd = F.col("__n_docs")
+    all_pairs = (nd * (nd - 1) / 2).cast("double")
     rows_per_band = (F.lit(N_PERMS) / F.col("n_bands")).cast("long")
     s_curve = F.pow(
         F.lit(1.0) / F.col("n_bands"),
@@ -1453,8 +1484,9 @@ def lsh_band_tuning_curve(
         "n_colliding_buckets",
         "candidate_pair_rows",
         F.round(
-            F.col("candidate_pair_rows").cast("double")
-            / F.lit(float(max(all_pairs, 1))),
+            F.try_divide(
+                F.col("candidate_pair_rows").cast("double"), all_pairs
+            ),
             9,
         ).alias("candidate_row_rate"),
     )

@@ -609,23 +609,23 @@ def cms_heavy_hitters(
         .agg(F.sum("term_count").alias("c"))
         .collect()
     )
-    total = tok_counts.agg(F.sum("term_count")).collect()[0][0] or 0
     tables = [[0] * width for _ in range(depth)]
     for r in rows:
         tables[r["d"]][r["b"]] = r["c"]
+    # Every term_count lands in exactly one bucket per sketch row, so
+    # row 0's bucket sum IS the total token mass — no second corpus
+    # aggregate needed.
+    total = sum(tables[0])
     threshold = max(1, int(total * threshold_share))
 
-    est = F.least(
-        *[
-            F.element_at(
-                F.from_json(
-                    F.lit(_json.dumps(tables[d])), "array<bigint>"
-                ),
-                (bucket(d) + 1).cast("int"),
-            )
-            for d in range(depth)
-        ]
-    )
+    ests = [
+        F.element_at(
+            F.from_json(F.lit(_json.dumps(tables[d])), "array<bigint>"),
+            (bucket(d) + 1).cast("int"),
+        )
+        for d in range(depth)
+    ]
+    est = ests[0] if depth == 1 else F.least(*ests)
     return (
         tok_counts.withColumn("__est", est)
         .where(F.col("__est") >= F.lit(threshold))

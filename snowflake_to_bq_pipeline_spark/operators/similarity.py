@@ -989,18 +989,28 @@ def ivf_recall_curve(
     from ._cache import swap_cache
 
     probes = tuple(sorted(set(probes)))
-    if not probes or probes[0] < 1 or probes[-1] > n_centroids:
-        raise ValueError(
-            f"probes must be within [1, n_centroids={n_centroids}], got {probes}"
-        )
     v = _vectors(embeddings)
     cents = (
         centroids
         if centroids is not None
         else train_centroids(v, n_centroids, train_iters)
     )
-    exact = cosine_topk(embeddings, query_pred, k).select(
-        "query_id", "neighbor_id"
+    # Validate and report against the ACTUAL list count: a trained model
+    # can legitimately hold fewer centroids than requested (empty
+    # clusters drop), and a caller-supplied table sets its own size.
+    n_lists = cents.count()
+    if not probes or probes[0] < 1 or probes[-1] > n_lists:
+        raise ValueError(
+            f"probes must be within [1, n_lists={n_lists}], got {probes}"
+        )
+    # Persisted like `scored`: the ground truth feeds the totals row and
+    # every ladder step's hit join — unpersisted, the corpus-scale
+    # brute-force scan would re-execute len(probes)+1 times.
+    exact = swap_cache(
+        "ivf_recall_exact",
+        cosine_topk(embeddings, query_pred, k).select(
+            "query_id", "neighbor_id"
+        ),
     )
     assigned = _assign(v, cents, "vec_id", "e", 1)
     q = v.filter(query_pred).select(
@@ -1051,7 +1061,7 @@ def ivf_recall_curve(
         parts.append(
             hits.crossJoin(totals).select(
                 F.lit(p).alias("n_probe"),
-                F.round(F.lit(p) / F.lit(float(n_centroids)), 4).alias(
+                F.round(F.lit(p) / F.lit(float(n_lists)), 4).alias(
                     "lists_scanned_share"
                 ),
                 "n_queries",

@@ -335,3 +335,31 @@ def test_ivf_recall_curve_rejects_bad_probes(spark, sf_dir):
         similarity.ivf_recall_curve(
             emb, F.col("vec_id") < 10, n_centroids=8, probes=(16,)
         )
+
+
+def test_cms_heavy_hitters_depth_one_works(spark):
+    from snowflake_to_bq_pipeline_spark.operators import quality
+
+    tok = spark.createDataFrame(
+        [(1, "big", 100), (2, "small", 1)],
+        "doc_id long, token string, term_count long",
+    )
+    out = {r["token"]: r for r in quality.cms_heavy_hitters(
+        tok, threshold_share=0.5, depth=1
+    ).collect()}
+    assert "big" in out and out["big"]["exact_count"] == 100
+    assert out["big"]["est_count"] >= 100
+
+
+def test_minhash_sig_table_provenance_enforced(spark):
+    from snowflake_to_bq_pipeline_spark.operators import neardup as nd
+
+    df = _doc(spark, [(1, "a b c d e f", "s"), (2, "a b c d e f", "s")])
+    sigs_k5 = nd.minhash_sig_table(nd.hashed_shingles(df, k=5))
+    with pytest.raises(ValueError):
+        nd.minhash_lsh_pairs(df, 0.6, k=3, sigs=sigs_k5)
+    with pytest.raises(ValueError):
+        nd.lsh_band_tuning_curve(df, k=3, sigs=sigs_k5)
+    # matching provenance passes
+    sigs_k3 = nd.minhash_sig_table(nd.hashed_shingles(df, k=3))
+    assert nd.minhash_lsh_pairs(df, 0.6, k=3, sigs=sigs_k3).count() >= 1
