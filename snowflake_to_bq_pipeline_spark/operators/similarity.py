@@ -497,6 +497,7 @@ def ivf_topk(
     n_probe: int = 6,
     train_iters: int = 3,
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: k-means inverted lists; queries probe the ``n_probe``
     nearest lists only.
@@ -506,6 +507,13 @@ def ivf_topk(
     centroids crater recall because list populations are arbitrary.
     Scale: assignment is one broadcast pass; the probe join touches
     ~n_probe/n_centroids of the corpus per query.
+
+    Pass a precomputed ``assigned`` (vec_id, e, cent_id — the
+    :func:`_assign` output for the SAME centroid model, e.g. the
+    registry's persisted per-(snapshot, model) assignment memo) to skip
+    the corpus-scale assignment pass: the inverted-list table is the
+    standing index of a deployed IVF, built once per model, not per
+    query.
     """
     v = _vectors(embeddings)
     cents = (
@@ -514,7 +522,8 @@ def ivf_topk(
         else train_centroids(v, n_centroids, train_iters)
     )
 
-    assigned = _assign(v, cents, "vec_id", "e", 1)
+    if assigned is None:
+        assigned = _assign(v, cents, "vec_id", "e", 1)
     probes = _assign(
         v.filter(query_pred).select(
             F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
@@ -552,6 +561,7 @@ def ivf_incremental_topk(
     n_probe: int = 6,
     train_iters: int = 3,
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN over an INCREMENTED corpus without retraining — daily
     index maintenance (ref pattern: the reference's daily syncs append
@@ -572,6 +582,11 @@ def ivf_incremental_topk(
     incremented corpus can trail a full retrain — the gap is the
     "retrain now?" signal, and stays small while the increment is drawn
     from the same distribution (the daily-sync regime).
+
+    ``assigned`` (vec_id, e, cent_id for the same base-trained model)
+    skips the full-corpus assignment pass — the maintained index IS a
+    standing table, so consumers share one materialization per
+    (snapshot, model) instead of re-deriving it per query.
     """
     v = _vectors(embeddings)
     cents = (
@@ -581,7 +596,8 @@ def ivf_incremental_topk(
             v.filter(~increment_pred), n_centroids, train_iters
         )
     )
-    assigned = _assign(v, cents, "vec_id", "e", 1)
+    if assigned is None:
+        assigned = _assign(v, cents, "vec_id", "e", 1)
     probes = _assign(
         v.filter(query_pred).select(
             F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
@@ -614,6 +630,7 @@ def ivf_list_drift(
     embeddings: DataFrame,
     increment_pred: Column,
     centroids: DataFrame,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Per-list maintenance report for an incrementally-maintained IVF
     index — the "retrain now?" observability next to
@@ -625,15 +642,18 @@ def ivf_list_drift(
     (increment members sitting systematically farther from their
     centroid = the quantizer no longer fits the data; ``cos_drift`` is
     that gap). One stateless broadcast-scored assignment pass + one
-    groupBy on the O(n_centroids) key — no corpus-sized shuffle.
+    groupBy on the O(n_centroids) key — no corpus-sized shuffle; pass
+    ``assigned`` (the same model's standing (vec_id, e, cent_id) table)
+    to skip even that.
     """
     v = _vectors(embeddings)
     flags = v.select(
         "vec_id", increment_pred.cast("boolean").alias("__is_incr")
     )
+    if assigned is None:
+        assigned = _assign(v, centroids, "vec_id", "e", 1)
     assigned = (
-        _assign(v, centroids, "vec_id", "e", 1)
-        .join(flags, "vec_id")
+        assigned.join(flags, "vec_id")
         .join(F.broadcast(centroids), "cent_id")
         .withColumn("__cos", _cosine(F.col("e"), F.col("ce")))
     )
@@ -969,13 +989,15 @@ def ivf_recall_curve(
     probes: tuple[int, ...] = (1, 2, 4, 8, 16),
     train_iters: int = 3,
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """IVF tuning curve: recall@k against brute force for a ladder of
     ``n_probe`` settings of the SAME trained index — the ANN twin of
     the LSH band-tuning table, answering "how many lists must I probe
     here" with a measurement instead of a rule of thumb. Recall is
     nondecreasing in n_probe by construction (probing more lists only
-    adds candidates) and reaches exactly 1.0 at n_probe = n_centroids
+    adds candidates) and reaches exactly 1.0 at n_probe = n_lists
     (the full scan IS brute force, same tie-break).
 
     One corpus assignment pass and ONE probe-scored candidate table
@@ -983,6 +1005,13 @@ def ivf_recall_curve(
     serve every ladder step: each step is a prefix filter on the
     query's centroid rank plus a top-k window, so the ladder costs one
     ivf_topk, not len(probes) of them. Output is one row per n_probe.
+
+    ``assigned`` reuses a standing (vec_id, e, cent_id) table for the
+    same model; ``exact`` reuses a precomputed brute-force
+    (query_id, neighbor_id[, ...]) top-k at the SAME query_pred and k
+    (e.g. the ann_cosine_topk result the registry already memoizes —
+    the ground truth is that query's exact output, so recomputing it
+    here would double the curve's dominant brute-force cost).
     """
     from functools import reduce
 
@@ -998,21 +1027,36 @@ def ivf_recall_curve(
     # Validate and report against the ACTUAL list count: a trained model
     # can legitimately hold fewer centroids than requested (empty
     # clusters drop), and a caller-supplied table sets its own size.
+    # Rungs above n_lists are clamped away — a trained model dropping an
+    # empty cluster must not hard-fail a standing tuning query — with
+    # the full-probe rung (n_probe = n_lists, recall exactly 1.0)
+    # appended in their place; a ladder that is empty or starts below 1
+    # is a caller bug and still raises.
+    if not probes or probes[0] < 1:
+        raise ValueError(f"probes must be >= 1, got {probes}")
     n_lists = cents.count()
-    if not probes or probes[0] < 1 or probes[-1] > n_lists:
-        raise ValueError(
-            f"probes must be within [1, n_lists={n_lists}], got {probes}"
-        )
+    if probes[-1] > n_lists:
+        probes = tuple(p for p in probes if p <= n_lists)
+        if not probes:
+            raise ValueError(
+                f"every probe rung exceeds n_lists={n_lists}"
+            )
+        if probes[-1] < n_lists:
+            probes = probes + (n_lists,)
     # Persisted like `scored`: the ground truth feeds the totals row and
     # every ladder step's hit join — unpersisted, the corpus-scale
     # brute-force scan would re-execute len(probes)+1 times.
-    exact = swap_cache(
-        "ivf_recall_exact",
-        cosine_topk(embeddings, query_pred, k).select(
-            "query_id", "neighbor_id"
-        ),
-    )
-    assigned = _assign(v, cents, "vec_id", "e", 1)
+    if exact is None:
+        exact = swap_cache(
+            "ivf_recall_exact",
+            cosine_topk(embeddings, query_pred, k).select(
+                "query_id", "neighbor_id"
+            ),
+        )
+    else:
+        exact = exact.select("query_id", "neighbor_id")
+    if assigned is None:
+        assigned = _assign(v, cents, "vec_id", "e", 1)
     q = v.filter(query_pred).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )

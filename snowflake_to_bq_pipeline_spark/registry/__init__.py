@@ -178,6 +178,7 @@ from .section_e_text import (  # noqa: F401
 from .section_e_similarity import (  # noqa: F401
     _ANN_DIMS,
     _ASSIGN_CACHE,
+    _BRUTE_TOPK_CACHE,
     _CENTROID_CACHE,
     _CONTAINMENT_TAU,
     _COS_SQL,
@@ -197,6 +198,7 @@ from .section_e_similarity import (  # noqa: F401
     _TFIDF_SIM_TAU,
     _TFIDF_TOPK_CACHE,
     _assigned_for,
+    _brute_topk_for,
     _centroids_for,
     _incr_bloom_for,
     _jaccard_pairs_for,
@@ -553,6 +555,7 @@ _MEMO_HELPERS = (
     "_doc_word_for",
     "_centroids_for",
     "_assigned_for",
+    "_brute_topk_for",
     "_bpe_merges_for",
     "_dsir_weights_for",
     "_unigram_vocab_for",

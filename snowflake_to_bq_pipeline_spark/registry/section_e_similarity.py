@@ -524,11 +524,12 @@ _COS_SQL = (
     """,
 )
 def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 per query vector (exactness baseline)."""
-    df = similarity.cosine_topk(
-        load_table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5
-    )
-    return df.withColumn("rank", F.col("rank").cast("long"))
+    """Brute-force cosine top-5 per query vector (exactness baseline).
+    Persisted via the brute-top-k memo: the same table is every ANN
+    diagnostic's ground truth (ann_ivf_recall_curve joins against it),
+    so the corpus-scale exact scan runs once per snapshot, not once per
+    consumer."""
+    return _brute_topk_for(spark, sf_dir, k=5)
 
 
 @query("ann_lsh_topk")  # rows-only: hyperplanes derive from Spark xxhash64
@@ -578,12 +579,15 @@ def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_topk")  # rows-only: ranking ties through Spark-side floats
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF inverted-list ANN (recall vs brute force asserted in tests)."""
+    """IVF inverted-list ANN (recall vs brute force asserted in tests).
+    Rides the shared per-(snapshot, model) assignment memo — the
+    standing inverted-list index — so no per-query corpus scan."""
     df = similarity.ivf_topk(
         load_table(spark, sf_dir, "embeddings"),
         F.col("vec_id") < 10,
         k=5,
         centroids=_centroids_for(spark, sf_dir, 16),
+        assigned=_assigned_for(spark, sf_dir, 16),
     )
     return df.withColumn("rank", F.col("rank").cast("long"))
 
@@ -603,6 +607,7 @@ def ann_ivf_incremental_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_pred=F.col("vec_id") < 10,
         k=5,
         centroids=_centroids_for(spark, sf_dir, 16, exclude_mod=10),
+        assigned=_assigned_for(spark, sf_dir, 16, exclude_mod=10),
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -617,6 +622,7 @@ def ann_ivf_list_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         increment_pred=F.col("vec_id") % 10 == 0,
         centroids=_centroids_for(spark, sf_dir, 16, exclude_mod=10),
+        assigned=_assigned_for(spark, sf_dir, 16, exclude_mod=10),
     )
 
 
@@ -1171,30 +1177,85 @@ def _centroids_for(
     return spark.createDataFrame(rows, "cent_id long, ce array<double>")
 
 
-#: Shared k=8 assignment pass (vec_id, e, cent_id): kmeans_doc_clusters
-#: and semdedup_prune assign the same embeddings to the same memoized
-#: centroid model, so the mapInPandas scoring pass is materialized once
-#: per corpus snapshot (same single-live-handle lifecycle as
-#: _DSIR_W_CACHE). Deterministic given the model, so sharing is exact.
-_ASSIGN_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+#: Shared per-(snapshot, model) assignment pass (vec_id, e, cent_id):
+#: kmeans_doc_clusters and semdedup_prune share the k=8 table, and the
+#: whole ann_ivf_* family shares the two k=16 tables (full model for
+#: ann_ivf_topk / ann_ivf_recall_curve; exclude_mod=10 base-trained
+#: model for ann_ivf_incremental_topk / ann_ivf_list_drift) — the
+#: standing inverted-list index of a deployed IVF, materialized once
+#: per model instead of re-derived per query.  Eviction is
+#: per-SNAPSHOT (a superseded fingerprint drops every model built on
+#: it) rather than evict-all-on-new-key: one bench run legitimately
+#: holds all three live models at once, and each is corpus-rows ×
+#: 3 columns — bounded like the pair-table memos.
+_ASSIGN_CACHE: dict[tuple[str, str, int, int | None], DataFrame] = {}
 
 
-def _assigned_for(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
-    key = (sf_dir, _corpus_fingerprint(sf_dir, "embeddings"), k)
+def _assigned_for(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    exclude_mod: int | None = None,
+) -> DataFrame:
+    """Persisted full-corpus nearest-centroid assignment under the
+    memoized ``_centroids_for(spark, sf_dir, k, exclude_mod=...)``
+    model.  ``exclude_mod`` picks the BASE-trained model (the standing
+    index of the incremental-maintenance queries); the assignment pass
+    itself always covers the full corpus — incremental consumers filter
+    rows, they don't re-score them."""
+    fp = _corpus_fingerprint(sf_dir, "embeddings")
+    key = (sf_dir, fp, k, exclude_mod)
     df = _ASSIGN_CACHE.get(key)
     if df is None:
-        for old in _ASSIGN_CACHE.values():
-            old.unpersist(blocking=False)
-        _ASSIGN_CACHE.clear()
+        for old_key in [
+            o for o in _ASSIGN_CACHE if o[0] == sf_dir and o[1] != fp
+        ]:
+            _ASSIGN_CACHE.pop(old_key).unpersist(blocking=False)
         from pyspark.storagelevel import StorageLevel
 
         v = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
         df = similarity._assign(
-            v, _centroids_for(spark, sf_dir, k), "vec_id", "e", 1
+            v,
+            _centroids_for(spark, sf_dir, k, exclude_mod=exclude_mod),
+            "vec_id",
+            "e",
+            1,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         _ASSIGN_CACHE[key] = df
+    return df
+
+
+#: Brute-force cosine top-k memo: ann_cosine_topk IS the exactness
+#: baseline every ANN diagnostic compares against, so its result table
+#: (queries × k rows — tiny) is persisted once per snapshot and reused
+#: as ann_ivf_recall_curve's ground truth instead of re-running the
+#: corpus-scale brute-force scan inside the curve.
+_BRUTE_TOPK_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _brute_topk_for(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "embeddings"), k)
+    df = _BRUTE_TOPK_CACHE.get(key)
+    if df is None:
+        for old in _BRUTE_TOPK_CACHE.values():
+            old.unpersist(blocking=False)
+        _BRUTE_TOPK_CACHE.clear()
+        from pyspark.storagelevel import StorageLevel
+
+        df = (
+            similarity.cosine_topk(
+                load_table(spark, sf_dir, "embeddings"),
+                F.col("vec_id") < 10,
+                k=k,
+            )
+            .withColumn("rank", F.col("rank").cast("long"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _BRUTE_TOPK_CACHE[key] = df
     return df
 
 
@@ -1642,12 +1703,17 @@ def simhash_hamming_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_ivf_recall_curve")  # rows-only: ranks through Spark-side floats
 def ann_ivf_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF n_probe tuning ladder: recall@5 vs brute force for probe
-    counts 1..16 of the SAME memoized index — one assignment pass and
-    one persisted candidate table serve the whole ladder; recall is
-    nondecreasing and exactly 1.0 at full probe (pytest-pinned)."""
+    counts 1..16 of the SAME memoized index — the shared assignment
+    memo (no per-query corpus scan), ann_cosine_topk's persisted result
+    as the brute-force ground truth (the dominant cost, computed once
+    per snapshot), and one persisted candidate table serve the whole
+    ladder; recall is nondecreasing and exactly 1.0 at full probe
+    (pytest-pinned)."""
     return similarity.ivf_recall_curve(
         load_table(spark, sf_dir, "embeddings"),
         F.col("vec_id") < 10,
         k=5,
         centroids=_centroids_for(spark, sf_dir, 16),
+        assigned=_assigned_for(spark, sf_dir, 16),
+        exact=_brute_topk_for(spark, sf_dir, k=5),
     )
