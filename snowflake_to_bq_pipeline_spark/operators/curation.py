@@ -476,7 +476,14 @@ def dataset_split(
     the same expression evaluates verbatim in the DuckDB oracle. Per-row
     projection: no shuffle, no sampling state.
     """
-    bucket = sample_bucket(F.col(key_col))
+    return df.withColumn(
+        "split", _split_expr(sample_bucket(F.col(key_col)), fractions)
+    )
+
+
+def _split_expr(bucket: Column, fractions) -> Column:
+    """Cumulative hex-cutoff CASE over a sampling bucket — the one split
+    rule shared by the per-doc and cluster-safe assignments."""
     cum = 0.0
     expr = None
     last_name = fractions[-1][0]
@@ -487,8 +494,49 @@ def dataset_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
             cond, F.lit(name)
         )
-    split = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
-    return df.withColumn("split", split)
+    return F.lit(last_name) if expr is None else expr.otherwise(
+        F.lit(last_name)
+    )
+
+
+def dataset_split_cluster_safe(
+    df: DataFrame,
+    clusters: DataFrame,
+    key_col: str = "doc_id",
+    fractions: tuple[tuple[str, float], ...] = SPLIT_FRACTIONS,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: whole near-dup CLUSTERS — not
+    individual docs — land in one split.
+
+    :func:`dataset_split` hashes each doc's own id, so two near-dup docs
+    can straddle train and test and leak held-out content into training
+    (exactly what ``cross_split_contamination`` measures). The operator a
+    pretraining pipeline runs AFTER dedup hashes the cluster's CANONICAL
+    id instead: every member of a dup cluster shares a split key, so
+    cross-split dup pairs are zero BY CONSTRUCTION, while singleton docs
+    (no dup pair) keep hashing their own id — same fractions, same
+    stability-under-regeneration property, and still a pure function of
+    (key, cluster structure), no seed.
+
+    ``clusters`` is the (doc_id, canonical_id, ...) worklist from
+    ``graph.dup_clusters`` — only docs that appear in a dup pair, so the
+    join is a sparse left join (cluster members are a small corpus
+    fraction after exact dedup); everything else is a per-row
+    projection. No new shuffle beyond the one equi-join.
+    """
+    canon = clusters.select(
+        F.col("doc_id").alias(key_col), "canonical_id"
+    )
+    keyed = (
+        df.join(canon, key_col, "left")
+        .withColumn(
+            "split_key", F.coalesce(F.col("canonical_id"), F.col(key_col))
+        )
+        .drop("canonical_id")
+    )
+    return keyed.withColumn(
+        "split", _split_expr(sample_bucket(F.col("split_key")), fractions)
+    )
 
 
 def cross_split_contamination(
@@ -828,6 +876,132 @@ def dsir_importance_weights(
             (
                 F.coalesce(F.col("__lw"), F.lit(0).cast(_DSIR_DEC)) > 0
             ).alias("target_leaning"),
+        )
+    )
+
+
+#: Held-out modulus for the trained quality classifier: docs with
+#: doc_id % NBQ_HOLDOUT_MOD == 0 are never seen in training and exist to
+#: measure generalization (the separation pytest scores them).
+NBQ_HOLDOUT_MOD = 3
+
+
+def nb_quality_classifier(
+    documents: DataFrame,
+    curated_sources: tuple[str, ...],
+    holdout_mod: int = NBQ_HOLDOUT_MOD,
+    text_col: str = "text",
+) -> DataFrame:
+    """Trained quality classifier (fastText/CCNet-style): hashed-bigram
+    Naive Bayes with weak source labels.
+
+    The supervised counterpart of :func:`dsir_importance_weights`: docs
+    from ``curated_sources`` are weak POSITIVE labels, everything else is
+    the crawl class. The model is per-bucket add-one-smoothed
+    log-likelihood ratios over the same ``DSIR_BUCKETS`` md5 hex-bucket
+    space, trained ONLY on the train slice (doc_id % holdout_mod != 0) —
+    held-out docs are scored by a model that never saw them, which is
+    what makes the separation measurable. Every doc gets
+    ``log_odds = prior + Σ llr(bucket)`` and ``pred_curated``.
+
+    Engine-reproducible like DSIR: buckets are md5 hex prefixes, each
+    gram's log-score rounds to 9 decimals then sums as DECIMAL(28,12)
+    (add-order-independent), the class prior is the same rounded-decimal
+    ln of smoothed train-doc counts — so the DuckDB oracle hash-matches.
+
+    Scale posture: both per-class bucket tables are O(DSIR_BUCKETS) rows
+    broadcast to the corpus-sized gram stream; the doc-count prior is one
+    broadcast row; the only corpus-sized shuffle is the per-doc score
+    aggregation. Nothing model-sized ever leaves the executors.
+    """
+    w = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.array_size(w) >= 2, F.sequence(F.lit(1), F.array_size(w) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    from ..catalog import fan_out
+
+    grams = _swap_cache(
+        "nbq_grams",
+        fan_out(
+            documents.select("doc_id", "source", F.col(text_col))
+        ).select(
+            "doc_id", "source", w.alias("__w"), F.explode(idx).alias("i")
+        ).select(
+            "doc_id",
+            "source",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__w"), F.col("i")),
+                        F.element_at(F.col("__w"), F.col("i") + 1),
+                    ).cast("binary")
+                ),
+                1,
+                3,
+            ).alias("bucket"),
+        ),
+    )
+    is_cur = F.col("source").isin(*curated_sources)
+    is_train = F.col("doc_id") % holdout_mod != 0
+    tg = grams.filter(is_train)
+    tc = (
+        tg.filter(is_cur).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    cc = (
+        tg.filter(~is_cur)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    nt = tg.filter(is_cur).agg(F.count(F.lit(1)).alias("__nt"))
+    nc = tg.filter(~is_cur).agg(F.count(F.lit(1)).alias("__nc"))
+    pr = documents.filter(is_train).agg(
+        F.count(F.when(is_cur, F.lit(1))).alias("__dcur"),
+        F.count(F.when(~is_cur, F.lit(1))).alias("__dcr"),
+    )
+    llr = F.log(
+        (
+            (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+            * (F.col("__nc") + DSIR_BUCKETS).cast("double")
+        )
+        / (
+            (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+            * (F.col("__nt") + DSIR_BUCKETS).cast("double")
+        )
+    )
+    scored = (
+        grams.join(F.broadcast(tc), "bucket", "left")
+        .join(F.broadcast(cc), "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.round(llr, 9).cast(_DSIR_DEC)).alias("__lw"),
+        )
+    )
+    prior = F.round(
+        F.log(
+            (F.col("__dcur") + 1).cast("double")
+            / (F.col("__dcr") + 1).cast("double")
+        ),
+        9,
+    ).cast(_DSIR_DEC)
+    total = prior + F.coalesce(F.col("__lw"), F.lit(0).cast(_DSIR_DEC))
+    return (
+        documents.select("doc_id", "source")
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(pr))
+        .select(
+            "doc_id",
+            "source",
+            is_cur.alias("label_curated"),
+            (~is_train).alias("is_heldout"),
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias(
+                "n_grams"
+            ),
+            F.round(total.cast("double"), 6).alias("log_odds"),
+            (total > 0).alias("pred_curated"),
         )
     )
 

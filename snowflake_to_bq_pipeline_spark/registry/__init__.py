@@ -154,6 +154,7 @@ from .section_e_text import (  # noqa: F401
     pack_fill_summary_q,
     pii_redaction_q,
     priority_sample_docs_q,
+    quality_classifier_scores_q,
     quality_filter_funnel_q,
     repetition_filter_q,
     sequence_packing_q,
@@ -217,6 +218,7 @@ from .section_e_similarity import (  # noqa: F401
     ann_pq_topk_q,
     boilerplate_phrase_profile_q,
     cross_split_contamination_q,
+    dataset_split_assign_cluster_safe_q,
     decontamination_overlap_q,
     dedup_cluster_size_histogram_q,
     dedup_clusters_q,
@@ -304,69 +306,15 @@ def clear_model_caches() -> None:
 
 _WINDOW_ORDER = [
     # -- DRIVER WINDOW (first 50): the driver hash-checks only these --
-    # r11 rotation: CHANGED-this-round queries first — the four NEW
-    # oracle-gated ops need their first driver hash verdict ...
-    "doc_chunk_windows",
-    "zipf_slope_by_source",
-    "cross_source_ngram_overlap",
-    "event_interarrival_profile",
-    "dup_pair_similarity_histogram",
-    # ... event_session_stats' oracle boundary was CORRECTED this round
-    # (new-session condition >= gap → strictly > gap, matching Spark's
-    # probed inclusive merge), so it needs a fresh driver verdict ...
-    "event_session_stats",
-    # ... then incremental_dedup_check (Bloom prefilter now data-
-    # dependently sized — output identical, plan changed, so it needs a
-    # fresh driver hash) ...
-    "incremental_dedup_check",
-    "near_dup_rate_by_source",
-    "boilerplate_phrase_profile",
-    "dedup_cluster_size_histogram",
-    # ... then the longest-unchecked cohort: all 30 queries whose last
-    # driver verdict is r8-vintage ...
-    "embedding_dup_pairs",
-    "error_window_events",
-    "event_sessions",
-    "events_windowed_counts",
-    "freshness_check",
-    "incremental_agg_maintenance",
-    "lang_id",
-    "monthly_hours_pivot",
-    "pii_redaction",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_supplier_volume",
-    "q6_forecast_revenue",
-    "quality_filter_funnel",
-    "reporting_lag_analysis",
-    "row_count_by_day",
-    "row_count_compare",
-    "source_mix_weights",
-    "stratified_sample_mix",
-    "text_quality_score",
-    "text_stats",
-    "tfidf_top_terms",
-    "user_activity_trend",
-    "user_running_totals",
-    "vocab_top_k",
-    "volume_anomaly",
-    "volume_anomaly_dow",
-    "work_item_enriched",
-    # ... plus the alphabetically-first 10 of the r9-vintage cohort to
-    # fill slot 50 (dedup_clusters onward stay first in line for r12)
-    "backfill_progress",
-    "bom_per_case_consumption",
-    "char_entropy_score",
-    "charlm_perplexity",
-    "chunked_backfill_plan",
-    "click_attribution",
-    "column_value_drift",
-    "cross_split_contamination",
-    "customer_revenue_deciles",
-    "dataset_split_assign",
-    # -- past the window: remaining r9-checked, then r10-checked ------
+    # r12 rotation: CHANGED-this-round queries first — the two NEW
+    # oracle-gated ops need their first driver hash verdict, and
+    # ann_cosine_topk's plan changed (result now flows through the
+    # persisted brute-top-k memo shared with ann_ivf_recall_curve) ...
+    "dataset_split_assign_cluster_safe",
+    "quality_classifier_scores",
+    "ann_cosine_topk",
+    # ... then the longest-unchecked cohort: all 38 queries whose last
+    # driver verdict is r9-vintage ...
     "dedup_clusters",
     "dedup_latest_record",
     "dedup_savings_report",
@@ -405,7 +353,8 @@ _WINDOW_ORDER = [
     "source_quality_report",
     "status_flap_audit",
     "vocab_coverage_curve",
-    # ... the r10-checked cohort (freshest verdicts, last in line) ...
+    # ... plus the 9 oldest r10-vintage to fill slot 50
+    # (tfidf_doc_similarity onward stay first in line for r13)
     "pipeline_alerts",
     "alert_digest",
     "budget_vs_actual",
@@ -415,6 +364,7 @@ _WINDOW_ORDER = [
     "client_budget_rollup",
     "utilization_rollup",
     "view_variance_detection",
+    # -- past the window: remaining r10-checked, then r11-checked -----
     "tfidf_doc_similarity",
     "incremental_sync_window",
     "json_props_profile",
@@ -444,7 +394,6 @@ _WINDOW_ORDER = [
     "substring_dup_profile",
     "sync_date_dedup",
     "token_count_bpe",
-    "ann_cosine_topk",
     "asof_join_last_purchase",
     "bloom_filtered_entries",
     "cdc_fold_snapshot",
@@ -455,6 +404,57 @@ _WINDOW_ORDER = [
     "doc_length_histogram",
     "dup_key_audit",
     "embedding_doc_dedup",
+    # ... the r11-checked cohort (freshest verdicts, last in line) ...
+    "doc_chunk_windows",
+    "zipf_slope_by_source",
+    "cross_source_ngram_overlap",
+    "event_interarrival_profile",
+    "dup_pair_similarity_histogram",
+    "event_session_stats",
+    "incremental_dedup_check",
+    "near_dup_rate_by_source",
+    "boilerplate_phrase_profile",
+    "dedup_cluster_size_histogram",
+    "embedding_dup_pairs",
+    "error_window_events",
+    "event_sessions",
+    "events_windowed_counts",
+    "freshness_check",
+    "incremental_agg_maintenance",
+    "lang_id",
+    "monthly_hours_pivot",
+    "pii_redaction",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q6_forecast_revenue",
+    "quality_filter_funnel",
+    "reporting_lag_analysis",
+    "row_count_by_day",
+    "row_count_compare",
+    "source_mix_weights",
+    "stratified_sample_mix",
+    "text_quality_score",
+    "text_stats",
+    "tfidf_top_terms",
+    "user_activity_trend",
+    "user_running_totals",
+    "vocab_top_k",
+    "volume_anomaly",
+    "volume_anomaly_dow",
+    "work_item_enriched",
+    "backfill_progress",
+    "bom_per_case_consumption",
+    "char_entropy_score",
+    "charlm_perplexity",
+    "chunked_backfill_plan",
+    "click_attribution",
+    "column_value_drift",
+    "cross_split_contamination",
+    "customer_revenue_deciles",
+    "dataset_split_assign",
     # -- rows-only ops (no oracle possible, must never hold a slot) ---
     "ann_ivf_incremental_topk",
     "ann_ivf_list_drift",
@@ -495,27 +495,14 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 #: Names whose engine code is new or changed THIS round: each needs a fresh
 #: driver hash verdict, so each must sit inside the 50-slot window.  Update
 #: this set whenever a round touches a query's plan or oracle.
-# r11: incremental_dedup_check's Bloom prefilter is now data-dependently
-# sized (bits_for_keys over the corpus-side shingle count) — output
-# identical (no false negatives at any width), plan changed — and
-# near_dup_rate_by_source is NEW this round; each needs a fresh driver
-# hash verdict.
+# r12: two NEW oracle-gated ops (cluster-safe split assignment, trained
+# NB quality classifier), and ann_cosine_topk's plan changed (its result
+# now materializes through the persisted brute-top-k memo that also
+# serves as ann_ivf_recall_curve's ground truth).
 _WINDOW_CRITICAL = {
-    # the oracle-gated ops NEW this round (first driver verdict pending)
-    "doc_chunk_windows",
-    "zipf_slope_by_source",
-    "cross_source_ngram_overlap",
-    "event_interarrival_profile",
-    "dup_pair_similarity_histogram",
-    # oracle boundary corrected this round (>= gap → > gap)
-    "event_session_stats",
-    "incremental_dedup_check",
-    "near_dup_rate_by_source",
-    "boilerplate_phrase_profile",
-    "dedup_cluster_size_histogram",
-    # q1's exact sums moved to the salted two-phase long-micros plan
-    # (values bit-identical; plan changed)
-    "q1_pricing_summary",
+    "dataset_split_assign_cluster_safe",
+    "quality_classifier_scores",
+    "ann_cosine_topk",
 }
 
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (

@@ -741,10 +741,12 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_SHINGLE_SQL},
+#: Recursive-CTE transitive closure over the exact-Jaccard dup pairs →
+#: lab(doc_id, canonical_id).  Shared by dedup_clusters (which reports
+#: the worklist) and dataset_split_assign_cluster_safe (which hashes the
+#: canonical id as the split key).  Callers prepend
+#: ``WITH RECURSIVE {_SHINGLE_SQL},`` themselves.
+_CLUSTER_LAB_SQL = f"""
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              COUNT(*) AS intersection_size
@@ -771,6 +773,14 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lab AS (SELECT node AS doc_id, MIN(r) AS canonical_id
             FROM reach GROUP BY node)
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_CLUSTER_LAB_SQL}
     SELECT l.doc_id, l.canonical_id, c.cluster_size,
            l.doc_id = l.canonical_id AS is_canonical
     FROM lab l
@@ -786,6 +796,48 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     label propagation (operators/graph.py) — both converge to the exact
     per-component minimum, so values hash-match."""
     return graph.dup_clusters(_jaccard_pairs_for(spark, sf_dir))
+
+
+# Cumulative cutoffs for (train .90, val .05): .90 -> e66, .95 -> f33 —
+# derived from the one source of truth so the oracle can never drift
+# from curation.SPLIT_FRACTIONS.
+_SPLIT_THR_TRAIN = curation.sample_threshold_hex(0.90)
+_SPLIT_THR_VAL = curation.sample_threshold_hex(0.95)
+_SPLIT_KEY_SQL = "COALESCE(l.canonical_id, d.doc_id)"
+
+
+@query(
+    "dataset_split_assign_cluster_safe",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_CLUSTER_LAB_SQL}
+    SELECT d.doc_id, d.source,
+           {_SPLIT_KEY_SQL} AS split_key,
+           CASE
+             WHEN substr(md5(CAST({_SPLIT_KEY_SQL} AS VARCHAR)), 1, 3)
+                  < '{_SPLIT_THR_TRAIN}' THEN 'train'
+             WHEN substr(md5(CAST({_SPLIT_KEY_SQL} AS VARCHAR)), 1, 3)
+                  < '{_SPLIT_THR_VAL}' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents d LEFT JOIN lab l USING (doc_id)
+    """,
+)
+def dataset_split_assign_cluster_safe_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-safe train/val/test split: whole near-dup clusters land in
+    one split (split key = the cluster's canonical id, singletons hash
+    their own id), so cross-split dup pairs are zero BY CONSTRUCTION —
+    the assignment a pretraining pipeline runs after dedup, closing the
+    leak `cross_split_contamination` measures on the per-doc split.
+    Rides the shared Jaccard pair memo; the oracle reuses
+    dedup_clusters' recursive-CTE closure for the same canonical ids.
+    Zero cross-split pairs + measured contamination reduction asserted
+    in tests/test_curation.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clusters = graph.dup_clusters(_jaccard_pairs_for(spark, sf_dir))
+    return curation.dataset_split_cluster_safe(docs, clusters)
 
 
 @query(

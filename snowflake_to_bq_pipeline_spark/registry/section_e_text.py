@@ -1181,6 +1181,85 @@ def dsir_select_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Weak positive labels for the trained quality classifier: treat these
+#: sources as "curated" and everything else as crawl.
+_NBQ_CURATED = ("src0", "src1")
+_NBQ_CUR_SQL = "('src0', 'src1')"
+
+
+@query(
+    "quality_classifier_scores",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             substr(md5(w[i] || ' ' || w[i+1]), 1, 3) AS bucket
+      FROM (
+        SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+        FROM sp WHERE len(w) >= 2
+      )
+    ),
+    tg AS (SELECT * FROM g
+           WHERE doc_id % {curation.NBQ_HOLDOUT_MOD} != 0),
+    tc AS (SELECT bucket, COUNT(*) AS ct FROM tg
+           WHERE source IN {_NBQ_CUR_SQL} GROUP BY bucket),
+    cc AS (SELECT bucket, COUNT(*) AS cr FROM tg
+           WHERE source NOT IN {_NBQ_CUR_SQL} GROUP BY bucket),
+    nt AS (SELECT COUNT(*) AS nt FROM tg WHERE source IN {_NBQ_CUR_SQL}),
+    nc AS (SELECT COUNT(*) AS nc FROM tg
+           WHERE source NOT IN {_NBQ_CUR_SQL}),
+    pr AS (
+      SELECT COUNT(*) FILTER (WHERE source IN {_NBQ_CUR_SQL}) AS dcur,
+             COUNT(*) FILTER (WHERE source NOT IN {_NBQ_CUR_SQL}) AS dcr
+      FROM documents WHERE doc_id % {curation.NBQ_HOLDOUT_MOD} != 0
+    ),
+    scored AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             SUM(CAST(round(ln(
+               (CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+                * CAST(nc.nc + {curation.DSIR_BUCKETS} AS DOUBLE))
+               / (CAST(COALESCE(cc.cr, 0) + 1 AS DOUBLE)
+                  * CAST(nt.nt + {curation.DSIR_BUCKETS} AS DOUBLE))
+             ), 9) AS DECIMAL(28,12))) AS lw
+      FROM g
+      LEFT JOIN tc USING (bucket)
+      LEFT JOIN cc USING (bucket)
+      CROSS JOIN nt CROSS JOIN nc
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, d.source,
+           d.source IN {_NBQ_CUR_SQL} AS label_curated,
+           d.doc_id % {curation.NBQ_HOLDOUT_MOD} = 0 AS is_heldout,
+           COALESCE(s.n_grams, 0) AS n_grams,
+           ROUND(CAST(
+             CAST(round(ln((CAST(pr.dcur AS DOUBLE) + 1)
+                           / (CAST(pr.dcr AS DOUBLE) + 1)), 9)
+                  AS DECIMAL(28,12))
+             + COALESCE(s.lw, 0) AS DOUBLE), 6) AS log_odds,
+           (CAST(round(ln((CAST(pr.dcur AS DOUBLE) + 1)
+                          / (CAST(pr.dcr AS DOUBLE) + 1)), 9)
+                 AS DECIMAL(28,12))
+            + COALESCE(s.lw, 0)) > 0 AS pred_curated
+    FROM documents d
+    LEFT JOIN scored s USING (doc_id)
+    CROSS JOIN pr
+    """,
+)
+def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained (supervised) quality classifier: hashed-bigram Naive
+    Bayes with curated-source weak labels, trained on the train slice
+    only (doc_id % 3 != 0) and scoring EVERY doc — the model-based
+    quality filter next to the heuristic gates (gopher_quality_rules)
+    and the unsupervised cousins (dsir_importance_weights,
+    charlm_perplexity). Held-out separation on a signal-bearing corpus
+    is asserted in tests/test_curation.py."""
+    return curation.nb_quality_classifier(
+        load_table(spark, sf_dir, "documents"), _NBQ_CURATED
+    )
+
+
 @query(
     "source_quality_report",
     oracle=rf"""

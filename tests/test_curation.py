@@ -283,3 +283,91 @@ def test_near_dedup_verified_rejects_unguaranteed_hamming(spark):
     # 4 bands of 16 bits guarantee hamming <= 3 only
     with pytest.raises(ValueError, match="pigeonhole"):
         scur.near_dedup_docs_verified(docs, watermark=None, max_hamming=4)
+
+
+def test_cluster_safe_split_zero_cross_split_dup_pairs(spark, sf_dir):
+    """Verdict r11 ask #3: whole near-dup clusters land in one split, so
+    cross-split dup pairs are zero BY CONSTRUCTION — and measurably fewer
+    than the per-doc split leaks on the same corpus."""
+    from snowflake_to_bq_pipeline_spark.registry import (
+        _jaccard_pairs_for,
+        dataset_split_assign_cluster_safe_q,
+        dataset_split_assign_q,
+    )
+
+    pairs = _jaccard_pairs_for(spark, sf_dir).select("doc_a", "doc_b")
+    assert pairs.count() > 0, "corpus must contain near-dup pairs"
+
+    def cross_split(split_df):
+        s = split_df.select("doc_id", "split")
+        return (
+            pairs.join(
+                s.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("split").alias("split_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                s.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("split").alias("split_b"),
+                ),
+                "doc_b",
+            )
+            .filter(F.col("split_a") != F.col("split_b"))
+            .count()
+        )
+
+    safe = dataset_split_assign_cluster_safe_q(spark, sf_dir)
+    plain = dataset_split_assign_q(spark, sf_dir)
+    leak_safe = cross_split(safe)
+    leak_plain = cross_split(plain)
+    assert leak_safe == 0
+    assert leak_plain > leak_safe, (
+        "per-doc split should measurably leak on a corpus with dup pairs"
+    )
+    # fractions stay sane: every doc is assigned, all three splits exist,
+    # and singletons (split_key == doc_id) hash exactly like the per-doc
+    # split would
+    rows = safe.collect()
+    assert len(rows) == plain.count()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    plain_map = {r["doc_id"]: r["split"] for r in plain.collect()}
+    for r in rows:
+        if r["split_key"] == r["doc_id"]:
+            assert r["split"] == plain_map[r["doc_id"]]
+
+
+def test_nb_quality_classifier_heldout_separation(spark):
+    """Verdict r11 ask #4: a signal-bearing corpus (curated vocabulary vs
+    crawl vocabulary) must separate on HELD-OUT docs — scored by a model
+    trained only on the train slice."""
+    cur_words = "prose essay careful citation archive edit review thesis"
+    crawl_words = "click spam free win offer casino pills viagra"
+
+    def doc(i, words, salt):
+        toks = (words.split() * 4)[salt % 3:][:14]
+        return " ".join(toks[(i + j) % len(toks)] for j in range(12))
+
+    rows = []
+    for i in range(60):
+        rows.append((i * 2, doc(i, cur_words, i), "cur"))
+        rows.append((i * 2 + 1, doc(i, crawl_words, i + 1), "web"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curation.nb_quality_classifier(df, ("cur",)).collect()
+
+    held = [r for r in out if r["is_heldout"]]
+    assert held, "holdout slice must be nonempty"
+    hc = [r["log_odds"] for r in held if r["label_curated"]]
+    hw = [r["log_odds"] for r in held if not r["label_curated"]]
+    assert hc and hw
+    assert min(hc) > max(hw), (
+        "held-out curated docs must outscore held-out crawl docs"
+    )
+    assert all(r["pred_curated"] for r in held if r["label_curated"])
+    assert not any(r["pred_curated"] for r in held if not r["label_curated"])
+    # the label/holdout flags are pure functions of (source, doc_id)
+    for r in out:
+        assert r["label_curated"] == (r["source"] == "cur")
+        assert r["is_heldout"] == (r["doc_id"] % curation.NBQ_HOLDOUT_MOD == 0)
