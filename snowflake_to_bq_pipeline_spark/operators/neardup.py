@@ -1504,8 +1504,11 @@ def simhash_hamming_histogram(
     noise floor in the high ones, and the right ``max_hamming`` is the
     gap between them (the simhash twin of dup_pair_similarity_histogram,
     and of the streaming stage's measured density caveat). Distances
-    ≤ 7 are complete by pigeonhole; above that the histogram profiles
-    exactly the candidate set a wider threshold would have to verify.
+    ≤ SIMHASH_CHUNKS-1 (= 7) are complete by pigeonhole; above that the
+    histogram profiles exactly the candidate set a wider threshold
+    would have to verify — ``is_complete`` carries that boundary IN the
+    data (advice r11: a consumer reading cum_share at distance 20 must
+    see it is a share of band candidates, not of the population).
 
     Cost: the band-candidate join (shared shape with simhash_pairs,
     same memoized signature input) plus a ≤ 65-row aggregate; the
@@ -1530,4 +1533,7 @@ def simhash_hamming_histogram(
         "n_pairs",
         cum.alias("cum_pairs"),
         F.round(cum / total, 6).alias("cum_share"),
+        (F.col("hamming_distance") <= SIMHASH_CHUNKS - 1).alias(
+            "is_complete"
+        ),
     )

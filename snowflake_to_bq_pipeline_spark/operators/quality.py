@@ -550,6 +550,9 @@ def interarrival_profile(
 
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
+#: Upper bound on depth*width: keeps the driver-side sketch and its
+#: constant-folded probe literals within the repo's O(model) posture.
+CMS_MAX_CELLS = 1 << 20
 
 
 def cms_heavy_hitters(
@@ -589,6 +592,18 @@ def cms_heavy_hitters(
 
     if depth <= 0 or width <= 0:
         raise ValueError(f"depth/width must be positive, got {depth}/{width}")
+    # O(model) posture guard (advice r11): the sketch lives driver-side
+    # AND rides back into the probe plan as depth JSON literals of width
+    # longs each — a 1<<22 width would constant-fold multi-hundred-MB
+    # plan strings. 1M cells ≈ 8 MB of counters / ~20 MB of JSON: far
+    # above any useful CMS (error ~ e/width needs width ~ 2.7k for 0.1%)
+    # and still bounded like the Bloom bitmap / centroid models.
+    if depth * width > CMS_MAX_CELLS:
+        raise ValueError(
+            f"depth*width = {depth * width} exceeds CMS_MAX_CELLS = "
+            f"{CMS_MAX_CELLS}; a CMS this wide stops being O(model) "
+            "driver state (use vocab_top_k's exact aggregate instead)"
+        )
 
     def bucket(d: int):
         return F.pmod(F.xxhash64(F.lit(d), F.col("token")), F.lit(width))

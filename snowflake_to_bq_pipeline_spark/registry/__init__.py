@@ -247,6 +247,7 @@ from .section_e_similarity import (  # noqa: F401
 )
 from .section_f_streaming import (  # noqa: F401
     events_windowed_counts_q,
+    streaming_ivf_assign_twin_q,
     streaming_near_dedup_twin_q,
     streaming_near_dedup_verified_twin_q,
 )
@@ -476,6 +477,7 @@ _WINDOW_ORDER = [
     "simhash_hamming_histogram",
     "sketch_distinct_users",
     "sketch_value_quantiles",
+    "streaming_ivf_assign_twin",
     "streaming_near_dedup_twin",
     "streaming_near_dedup_verified_twin",
     "tokenizer_fertility_by_source",

@@ -79,3 +79,23 @@ def streaming_near_dedup_verified_twin_q(
     return stream_curation.near_dedup_docs_verified(
         docs, watermark=None, sig=_simhash_sigs_for(spark, sf_dir)
     )
+
+
+@query("streaming_ivf_assign_twin")  # rows-only: trained float model
+def streaming_ivf_assign_twin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming IVF index-maintenance pass
+    (streaming/ann.maintain_ivf_index): the (vec_id, cent_id)
+    inverted-list membership rows for the daily increment (every 10th
+    vec), assigned into the base-trained standing model WITHOUT retrain.
+    The streaming foreachBatch form is asserted drain-equal to exactly
+    this table — including across a checkpoint restart — in
+    tests/test_streaming.py. Rides the shared per-(snapshot, model)
+    assignment memo, so it's a filter over the standing index, not a new
+    corpus scan."""
+    from .section_e_similarity import _assigned_for
+
+    return (
+        _assigned_for(spark, sf_dir, 16, exclude_mod=10)
+        .filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "cent_id")
+    )

@@ -297,6 +297,13 @@ def test_simhash_hamming_histogram_accounting(spark):
     assert cums == sorted(cums)
     assert rows[-1]["cum_share"] == pytest.approx(1.0)
     assert all(0 <= r["hamming_distance"] <= 64 for r in rows)
+    # the pigeonhole-completeness boundary travels WITH the data
+    # (advice r11): rows at distance <= SIMHASH_CHUNKS-1 are population-
+    # complete, the rest profile band candidates only
+    for r in rows:
+        assert r["is_complete"] == (
+            r["hamming_distance"] <= nd.SIMHASH_CHUNKS - 1
+        )
 
 
 def test_ivf_recall_curve_monotone_and_exact_at_full_probe(spark, sf_dir):
@@ -335,6 +342,39 @@ def test_ivf_recall_curve_rejects_bad_probes(spark, sf_dir):
         similarity.ivf_recall_curve(
             emb, F.col("vec_id") < 10, n_centroids=8, probes=(16,)
         )
+
+
+def test_ivf_recall_curve_clamps_overtall_ladder(spark, sf_dir):
+    """Advice r11: rungs above the trained list count are clamped away
+    (a model that dropped an empty cluster must not hard-fail a standing
+    tuning query), with the full-probe rung appended so the recall-1.0
+    row survives."""
+    from pyspark.sql import functions as F
+
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.ivf_recall_curve(
+        emb, F.col("vec_id") < 10, k=5, n_centroids=8, probes=(1, 2, 32)
+    ).collect()
+    ns = sorted(r["n_probe"] for r in rows)
+    assert 32 not in ns and ns[:2] == [1, 2]
+    full = max(rows, key=lambda r: r["n_probe"])
+    assert full["recall_at_k"] == pytest.approx(1.0)
+    assert full["lists_scanned_share"] == pytest.approx(1.0)
+
+
+def test_cms_heavy_hitters_rejects_unbounded_sketch(spark):
+    """Advice r11: depth*width is capped so the driver-side sketch and
+    its constant-folded probe literals stay O(model)."""
+    from snowflake_to_bq_pipeline_spark.operators import quality
+
+    tok = spark.createDataFrame(
+        [(1, "big", 100)], "doc_id long, token string, term_count long"
+    )
+    with pytest.raises(ValueError, match="CMS_MAX_CELLS"):
+        quality.cms_heavy_hitters(tok, depth=4, width=1 << 22)
 
 
 def test_cms_heavy_hitters_depth_one_works(spark):

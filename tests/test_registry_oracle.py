@@ -45,6 +45,22 @@ def test_memo_consumers_introspection_is_complete():
         "dedup_savings_report": {"_jaccard_pairs_for", "_shingles_for"},
         "kmeans_doc_clusters": {"_assigned_for", "_centroids_for"},
         "semdedup_prune": {"_assigned_for", "_centroids_for"},
+        # r12: the IVF family rides the shared assignment memo (and the
+        # recall curve additionally the brute-top-k ground-truth memo)
+        "ann_cosine_topk": {"_brute_topk_for"},
+        "ann_ivf_topk": {"_assigned_for", "_centroids_for"},
+        "ann_ivf_incremental_topk": {"_assigned_for", "_centroids_for"},
+        "ann_ivf_list_drift": {"_assigned_for", "_centroids_for"},
+        "ann_ivf_recall_curve": {
+            "_assigned_for",
+            "_brute_topk_for",
+            "_centroids_for",
+        },
+        "streaming_ivf_assign_twin": {"_assigned_for", "_centroids_for"},
+        "dataset_split_assign_cluster_safe": {
+            "_jaccard_pairs_for",
+            "_shingles_for",
+        },
         "dsir_importance_weights": {"_dsir_weights_for"},
         "dsir_select_topk": {"_dsir_weights_for"},
         "bpe_merge_table": {"_bpe_merges_for"},

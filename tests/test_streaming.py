@@ -825,3 +825,88 @@ def test_near_dedup_verified_string_doc_ids_drain_equal(spark, tmp_path):
     assert q.exception() is None
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == batch_keep
+
+
+def test_streaming_ivf_assign_drain_equals_batch_twin(spark, sf_dir, tmp_path):
+    """Verdict r11 ask #6: the foreachBatch IVF maintenance pass
+    (streaming/ann.maintain_ivf_index) over the daily increment must
+    append EXACTLY the (vec_id, cent_id) rows the batch incremental
+    assignment produces for the same vectors under the same standing
+    model — regardless of micro-batch boundaries."""
+    from snowflake_to_bq_pipeline_spark.registry import _centroids_for
+    from snowflake_to_bq_pipeline_spark.streaming import ann as sann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    incr = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    cents = _centroids_for(spark, sf_dir, 16, exclude_mod=10)
+
+    batch_rows = {
+        (r["vec_id"], r["cent_id"])
+        for r in sann.assign_vectors_batch(incr, cents).collect()
+    }
+    assert batch_rows, "increment slice must be nonempty"
+
+    src = str(tmp_path / "ivf_src")
+    # several files -> several micro-batches under maxFilesPerTrigger
+    incr.repartition(8).write.mode("overwrite").parquet(src)
+
+    sink = str(tmp_path / "ivf_sink")
+    q = sann.maintain_ivf_index(
+        sann.read_vectors_stream(spark, src),
+        cents,
+        sink,
+        str(tmp_path / "ivf_ckpt"),
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    got = {
+        (r["vec_id"], r["cent_id"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == batch_rows
+
+
+def test_streaming_ivf_assign_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Index maintenance across a restart: drain half the files, stop,
+    add the rest, restart with the SAME checkpoint — the sink must hold
+    each increment row exactly once (idempotent append, no re-assign of
+    already-committed batches)."""
+    from snowflake_to_bq_pipeline_spark.registry import _centroids_for
+    from snowflake_to_bq_pipeline_spark.streaming import ann as sann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    incr = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    cents = _centroids_for(spark, sf_dir, 16, exclude_mod=10)
+    first = incr.filter(F.col("vec_id") % 20 == 0)
+    second = incr.filter(F.col("vec_id") % 20 != 0)
+
+    src = str(tmp_path / "ivf_src")
+    sink = str(tmp_path / "ivf_sink")
+    ckpt = str(tmp_path / "ivf_ckpt")
+    first.repartition(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q1 = sann.maintain_ivf_index(
+        sann.read_vectors_stream(spark, src, schema), cents, sink, ckpt
+    )
+    q1.awaitTermination(180)
+    assert q1.exception() is None
+
+    second.repartition(2).write.mode("append").parquet(src)
+    q2 = sann.maintain_ivf_index(
+        sann.read_vectors_stream(spark, src, schema), cents, sink, ckpt
+    )
+    q2.awaitTermination(180)
+    assert q2.exception() is None
+
+    got = [
+        (r["vec_id"], r["cent_id"])
+        for r in spark.read.parquet(sink).collect()
+    ]
+    batch_rows = {
+        (r["vec_id"], r["cent_id"])
+        for r in sann.assign_vectors_batch(incr, cents).collect()
+    }
+    assert len(got) == len(set(got)), "restart must not duplicate rows"
+    assert set(got) == batch_rows

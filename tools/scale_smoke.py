@@ -99,6 +99,12 @@ SMOKE_QUERIES = [
     # corpus size; the smoke checks the (source, shingle) distinct +
     # self-join stays linear in corpus
     "cross_source_ngram_overlap",
+    # r12 additions: the cluster-safe split (pair memo + CC + sparse left
+    # join) and the trained NB classifier (corpus-scale gram stream vs
+    # broadcast O(buckets) model) — both linear by construction, enrolled
+    # so the claim is measured, not asserted
+    "dataset_split_assign_cluster_safe",
+    "quality_classifier_scores",
 ]
 LINEAR_RATIO_CEILING = 3.0  # x replicas (see report: ratio_per_replica)
 

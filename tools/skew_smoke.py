@@ -66,6 +66,9 @@ SMOKE_QUERIES = [
     "ngram_jaccard_dups",          # shingle self-join (hot stop-phrase)
     "ngram_containment_dups",      # same index, asymmetric measure
     "incremental_dedup_check",     # probe-vs-index join (hot stop-phrase)
+    "quality_classifier_scores",   # hot bigram bucket vs broadcast model
+    "dataset_split_assign_cluster_safe",  # hot phrase fattens the pair
+                                   # memo + cluster join (r12)
 ]
 
 HOT_ORDER_FRAC = 0.3   # orders moved to custkey 1
