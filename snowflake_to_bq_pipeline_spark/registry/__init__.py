@@ -127,6 +127,7 @@ from .section_e_text import (  # noqa: F401
     _FUNNEL_TOKEN_RE,
     _GOPHER_STOP_SQL,
     _MIX_RATES,
+    _NBQ_SCORES_CACHE,
     _PII_AUG_SPARK,
     _PII_AUG_SQL,
     _SHARD_RANK_SQL,
@@ -135,6 +136,7 @@ from .section_e_text import (  # noqa: F401
     _bpe_merges_for,
     _doc_word_for,
     _dsir_weights_for,
+    _nbq_scores_for,
     _tok_counts_for,
     _unigram_vocab_for,
     bpe_encode_tokens_q,
@@ -154,6 +156,7 @@ from .section_e_text import (  # noqa: F401
     pack_fill_summary_q,
     pii_redaction_q,
     priority_sample_docs_q,
+    quality_classifier_report_q,
     quality_classifier_scores_q,
     quality_filter_funnel_q,
     repetition_filter_q,
@@ -241,6 +244,7 @@ from .section_e_similarity import (  # noqa: F401
     paragraph_dedup_q,
     pq_compression_stats_q,
     semdedup_prune_q,
+    split_leakage_compare_q,
     substring_dup_profile_q,
     tfidf_doc_similarity_q,
     tfidf_top_terms_q,
@@ -312,7 +316,9 @@ _WINDOW_ORDER = [
     # ann_cosine_topk's plan changed (result now flows through the
     # persisted brute-top-k memo shared with ann_ivf_recall_curve) ...
     "dataset_split_assign_cluster_safe",
+    "split_leakage_compare",
     "quality_classifier_scores",
+    "quality_classifier_report",
     "ann_cosine_topk",
     # ... then the longest-unchecked cohort: all 38 queries whose last
     # driver verdict is r9-vintage ...
@@ -354,18 +360,18 @@ _WINDOW_ORDER = [
     "source_quality_report",
     "status_flap_audit",
     "vocab_coverage_curve",
-    # ... plus the 9 oldest r10-vintage to fill slot 50
-    # (tfidf_doc_similarity onward stay first in line for r13)
+    # ... plus the 7 oldest r10-vintage to fill slot 50
+    # (client_budget_rollup onward stay first in line for r13)
     "pipeline_alerts",
     "alert_digest",
     "budget_vs_actual",
     "individual_budget_tracking",
     "budget_fallback_allocation",
     "contributor_utilization_rollup",
-    "client_budget_rollup",
     "utilization_rollup",
-    "view_variance_detection",
     # -- past the window: remaining r10-checked, then r11-checked -----
+    "client_budget_rollup",
+    "view_variance_detection",
     "tfidf_doc_similarity",
     "incremental_sync_window",
     "json_props_profile",
@@ -503,7 +509,9 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 # serves as ann_ivf_recall_curve's ground truth).
 _WINDOW_CRITICAL = {
     "dataset_split_assign_cluster_safe",
+    "split_leakage_compare",
     "quality_classifier_scores",
+    "quality_classifier_report",
     "ann_cosine_topk",
 }
 
@@ -542,6 +550,7 @@ _MEMO_HELPERS = (
     "_minhash_sigs_for",
     "_tok_counts_for",
     "_doc_word_for",
+    "_nbq_scores_for",
     "_centroids_for",
     "_assigned_for",
     "_brute_topk_for",

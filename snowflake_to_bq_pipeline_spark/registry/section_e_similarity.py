@@ -840,6 +840,113 @@ def dataset_split_assign_cluster_safe_q(
     return curation.dataset_split_cluster_safe(docs, clusters)
 
 
+_SPLIT_DOC_CASE = f"""CASE
+             WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3)
+                  < '{_SPLIT_THR_TRAIN}' THEN 'train'
+             WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3)
+                  < '{_SPLIT_THR_VAL}' THEN 'val'
+             ELSE 'test'
+           END"""
+_SPLIT_SAFE_CASE = f"""CASE
+             WHEN substr(md5(CAST({_SPLIT_KEY_SQL} AS VARCHAR)), 1, 3)
+                  < '{_SPLIT_THR_TRAIN}' THEN 'train'
+             WHEN substr(md5(CAST({_SPLIT_KEY_SQL} AS VARCHAR)), 1, 3)
+                  < '{_SPLIT_THR_VAL}' THEN 'val'
+             ELSE 'test'
+           END"""
+
+
+@query(
+    "split_leakage_compare",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_CLUSTER_LAB_SQL},
+    spl AS (
+      SELECT d.doc_id,
+             {_SPLIT_DOC_CASE} AS split_doc,
+             {_SPLIT_SAFE_CASE} AS split_safe
+      FROM documents d LEFT JOIN lab l USING (doc_id)
+    ),
+    pe AS (
+      SELECT a.split_doc AS da, b.split_doc AS db,
+             a.split_safe AS sa, b.split_safe AS sb
+      FROM pairs p
+      JOIN spl a ON p.doc_a = a.doc_id
+      JOIN spl b ON p.doc_b = b.doc_id
+    )
+    SELECT 'per_doc' AS strategy,
+           COUNT(*) FILTER (WHERE da != db) AS cross_split_pairs,
+           COUNT(*) AS total_pairs,
+           ROUND(CAST(COUNT(*) FILTER (WHERE da != db) AS DOUBLE)
+                 / COUNT(*), 6) AS leak_share
+    FROM pe
+    UNION ALL
+    SELECT 'cluster_safe',
+           COUNT(*) FILTER (WHERE sa != sb),
+           COUNT(*),
+           ROUND(CAST(COUNT(*) FILTER (WHERE sa != sb) AS DOUBLE)
+                 / COUNT(*), 6)
+    FROM pe
+    """,
+)
+def split_leakage_compare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured contamination-reduction view behind the cluster-safe
+    split: for BOTH split strategies, how many verified near-dup pairs
+    straddle two splits (held-out leakage) out of all pairs. per_doc
+    leaks ~2·frac·(1-frac) of pairs by hash independence;
+    cluster_safe is 0 by construction — this is the one-look report a
+    pipeline keeps next to the split decision. One pair-memo join + two
+    tiny aggregates; pairs are the memoized exact-Jaccard table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clusters = graph.dup_clusters(_jaccard_pairs_for(spark, sf_dir))
+    safe = curation.dataset_split_cluster_safe(docs, clusters).select(
+        "doc_id", F.col("split").alias("split_safe")
+    )
+    plain = curation.dataset_split(docs, "doc_id").select(
+        "doc_id", F.col("split").alias("split_doc")
+    )
+    sp = plain.join(safe, "doc_id")
+    pe = (
+        _jaccard_pairs_for(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split_doc").alias("da"),
+                F.col("split_safe").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split_doc").alias("db"),
+                F.col("split_safe").alias("sb"),
+            ),
+            "doc_b",
+        )
+    )
+
+    def _report(tag: str, a: str, b: str) -> DataFrame:
+        cross = F.count(F.when(F.col(a) != F.col(b), F.lit(1)))
+        return pe.agg(
+            cross.alias("cross_split_pairs"),
+            F.count(F.lit(1)).alias("total_pairs"),
+            F.round(
+                cross.cast("double") / F.count(F.lit(1)), 6
+            ).alias("leak_share"),
+        ).select(
+            F.lit(tag).alias("strategy"),
+            "cross_split_pairs",
+            "total_pairs",
+            "leak_share",
+        )
+
+    return _report("per_doc", "da", "db").unionByName(
+        _report("cluster_safe", "sa", "sb")
+    )
+
+
 @query(
     "dedup_savings_report",
     oracle=f"""

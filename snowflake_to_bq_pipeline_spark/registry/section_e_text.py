@@ -1187,6 +1187,29 @@ _NBQ_CURATED = ("src0", "src1")
 _NBQ_CUR_SQL = "('src0', 'src1')"
 
 
+#: Per-snapshot NB classifier score table: the scores view and the
+#: per-source calibration report consume the same per-doc verdicts, so
+#: the gram-stream aggregation runs once per corpus (same
+#: shared-intermediate posture as _DSIR_W_CACHE).
+_NBQ_SCORES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _nbq_scores_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    df = _NBQ_SCORES_CACHE.get(key)
+    if df is None:
+        for old in _NBQ_SCORES_CACHE.values():
+            old.unpersist(blocking=False)
+        _NBQ_SCORES_CACHE.clear()
+        from pyspark.storagelevel import StorageLevel
+
+        df = curation.nb_quality_classifier(
+            load_table(spark, sf_dir, "documents"), _NBQ_CURATED
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _NBQ_SCORES_CACHE[key] = df
+    return df
+
+
 @query(
     "quality_classifier_scores",
     oracle=f"""
@@ -1255,8 +1278,107 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the unsupervised cousins (dsir_importance_weights,
     charlm_perplexity). Held-out separation on a signal-bearing corpus
     is asserted in tests/test_curation.py."""
-    return curation.nb_quality_classifier(
-        load_table(spark, sf_dir, "documents"), _NBQ_CURATED
+    return _nbq_scores_for(spark, sf_dir)
+
+
+@query(
+    "quality_classifier_report",
+    # Counts-only rollup (plus one rounded ratio of counts): averaging the
+    # per-doc rounded-double log_odds would be add-order-dependent and
+    # break the hash gate, so the calibration view reports prediction
+    # COUNTS per (source, train/heldout cell) — the numbers a
+    # threshold-picking pass reads anyway.
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             substr(md5(w[i] || ' ' || w[i+1]), 1, 3) AS bucket
+      FROM (
+        SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+        FROM sp WHERE len(w) >= 2
+      )
+    ),
+    tg AS (SELECT * FROM g
+           WHERE doc_id % {curation.NBQ_HOLDOUT_MOD} != 0),
+    tc AS (SELECT bucket, COUNT(*) AS ct FROM tg
+           WHERE source IN {_NBQ_CUR_SQL} GROUP BY bucket),
+    cc AS (SELECT bucket, COUNT(*) AS cr FROM tg
+           WHERE source NOT IN {_NBQ_CUR_SQL} GROUP BY bucket),
+    nt AS (SELECT COUNT(*) AS nt FROM tg WHERE source IN {_NBQ_CUR_SQL}),
+    nc AS (SELECT COUNT(*) AS nc FROM tg
+           WHERE source NOT IN {_NBQ_CUR_SQL}),
+    pr AS (
+      SELECT COUNT(*) FILTER (WHERE source IN {_NBQ_CUR_SQL}) AS dcur,
+             COUNT(*) FILTER (WHERE source NOT IN {_NBQ_CUR_SQL}) AS dcr
+      FROM documents WHERE doc_id % {curation.NBQ_HOLDOUT_MOD} != 0
+    ),
+    scored AS (
+      SELECT g.doc_id,
+             SUM(CAST(round(ln(
+               (CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+                * CAST(nc.nc + {curation.DSIR_BUCKETS} AS DOUBLE))
+               / (CAST(COALESCE(cc.cr, 0) + 1 AS DOUBLE)
+                  * CAST(nt.nt + {curation.DSIR_BUCKETS} AS DOUBLE))
+             ), 9) AS DECIMAL(28,12))) AS lw
+      FROM g
+      LEFT JOIN tc USING (bucket)
+      LEFT JOIN cc USING (bucket)
+      CROSS JOIN nt CROSS JOIN nc
+      GROUP BY g.doc_id
+    ),
+    docscores AS (
+      SELECT d.doc_id, d.source,
+             d.source IN {_NBQ_CUR_SQL} AS label_curated,
+             d.doc_id % {curation.NBQ_HOLDOUT_MOD} = 0 AS is_heldout,
+             (CAST(round(ln((CAST(pr.dcur AS DOUBLE) + 1)
+                            / (CAST(pr.dcr AS DOUBLE) + 1)), 9)
+                   AS DECIMAL(28,12))
+              + COALESCE(s.lw, 0)) > 0 AS pred_curated
+      FROM documents d
+      LEFT JOIN scored s USING (doc_id)
+      CROSS JOIN pr
+    )
+    SELECT source, label_curated,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE is_heldout) AS n_heldout,
+           COUNT(*) FILTER (WHERE pred_curated) AS n_pred_curated,
+           COUNT(*) FILTER (WHERE is_heldout AND pred_curated)
+             AS n_heldout_pred_curated,
+           CASE WHEN COUNT(*) FILTER (WHERE is_heldout) > 0 THEN
+             ROUND(CAST(COUNT(*) FILTER (WHERE is_heldout AND pred_curated)
+                        AS DOUBLE)
+                   / COUNT(*) FILTER (WHERE is_heldout), 6)
+           END AS heldout_pred_share
+    FROM docscores
+    GROUP BY source, label_curated
+    """,
+)
+def quality_classifier_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source calibration rollup of the trained quality classifier:
+    doc counts, held-out counts, and predicted-curated counts per cell —
+    the view that says whether the weak-label model generalizes (held-out
+    curated sources should lead the predicted-curated shares) before its
+    verdicts gate a mix plan. Counts-only (one rounded count ratio), so
+    the rollup is hash-exact on any engine/partitioning. Rides the
+    per-snapshot score memo shared with quality_classifier_scores."""
+    scores = _nbq_scores_for(spark, sf_dir)
+    heldout_pred = F.count(
+        F.when(F.col("is_heldout") & F.col("pred_curated"), F.lit(1))
+    )
+    n_heldout = F.count(F.when(F.col("is_heldout"), F.lit(1)))
+    return scores.groupBy("source", "label_curated").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_heldout.alias("n_heldout"),
+        F.count(F.when(F.col("pred_curated"), F.lit(1))).alias(
+            "n_pred_curated"
+        ),
+        heldout_pred.alias("n_heldout_pred_curated"),
+        F.when(
+            n_heldout > 0,
+            F.round(heldout_pred.cast("double") / n_heldout, 6),
+        ).alias("heldout_pred_share"),
     )
 
 
