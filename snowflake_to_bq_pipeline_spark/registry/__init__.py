@@ -186,6 +186,7 @@ from .section_e_similarity import (  # noqa: F401
     _CENTROID_CACHE,
     _CONTAINMENT_TAU,
     _COS_SQL,
+    _DUP_CLUSTERS_CACHE,
     _DUP_COS_TAU,
     _EVAL_SOURCE,
     _INCR_BLOOM_CACHE,
@@ -204,6 +205,7 @@ from .section_e_similarity import (  # noqa: F401
     _assigned_for,
     _brute_topk_for,
     _centroids_for,
+    _dup_clusters_for,
     _incr_bloom_for,
     _jaccard_pairs_for,
     _minhash_pairs_for,
@@ -546,6 +548,7 @@ _MEMO_HELPERS = (
     "_shingles_for",
     "_simhash_sigs_for",
     "_jaccard_pairs_for",
+    "_dup_clusters_for",
     "_minhash_pairs_for",
     "_minhash_sigs_for",
     "_tok_counts_for",

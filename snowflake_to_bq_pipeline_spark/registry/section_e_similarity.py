@@ -119,6 +119,31 @@ def _jaccard_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: Per-snapshot dup-cluster worklist (doc_id, canonical_id, cluster_size,
+#: is_canonical): the CC pointer-jumping resolve runs count actions at
+#: PLAN-BUILD time (the semdedup r11 lesson), so its four consumers
+#: (dedup_clusters, the size histogram, the cluster-safe split, the
+#: leakage compare) must share one materialization per corpus instead of
+#: re-resolving the same fixed point per query.
+_DUP_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _dup_clusters_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    df = _DUP_CLUSTERS_CACHE.get(key)
+    if df is None:
+        for old in _DUP_CLUSTERS_CACHE.values():
+            old.unpersist(blocking=False)
+        _DUP_CLUSTERS_CACHE.clear()
+        from pyspark.storagelevel import StorageLevel
+
+        df = graph.dup_clusters(_jaccard_pairs_for(spark, sf_dir)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _DUP_CLUSTERS_CACHE[key] = df
+    return df
+
+
 @query(
     "ngram_jaccard_dups",
     oracle=f"""
@@ -377,7 +402,7 @@ def dedup_cluster_size_histogram_q(spark: SparkSession, sf_dir: str) -> DataFram
     clusters means template content and big token savings, many 2-doc
     clusters mean mirror noise. One rollup over the memoized cluster
     labels, sharing all corpus-scale work with dedup_clusters."""
-    labels = graph.dup_clusters(_jaccard_pairs_for(spark, sf_dir))
+    labels = _dup_clusters_for(spark, sf_dir)
     return (
         labels.filter(F.col("is_canonical"))
         .groupBy("cluster_size")
@@ -795,14 +820,18 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same closure with a recursive CTE; Spark uses pointer-jumping
     label propagation (operators/graph.py) — both converge to the exact
     per-component minimum, so values hash-match."""
-    return graph.dup_clusters(_jaccard_pairs_for(spark, sf_dir))
+    return _dup_clusters_for(spark, sf_dir)
 
 
 # Cumulative cutoffs for (train .90, val .05): .90 -> e66, .95 -> f33 —
 # derived from the one source of truth so the oracle can never drift
 # from curation.SPLIT_FRACTIONS.
-_SPLIT_THR_TRAIN = curation.sample_threshold_hex(0.90)
-_SPLIT_THR_VAL = curation.sample_threshold_hex(0.95)
+_SPLIT_THR_TRAIN = curation.sample_threshold_hex(
+    curation.SPLIT_FRACTIONS[0][1]
+)
+_SPLIT_THR_VAL = curation.sample_threshold_hex(
+    curation.SPLIT_FRACTIONS[0][1] + curation.SPLIT_FRACTIONS[1][1]
+)
 _SPLIT_KEY_SQL = "COALESCE(l.canonical_id, d.doc_id)"
 
 
@@ -836,7 +865,7 @@ def dataset_split_assign_cluster_safe_q(
     Zero cross-split pairs + measured contamination reduction asserted
     in tests/test_curation.py."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    clusters = graph.dup_clusters(_jaccard_pairs_for(spark, sf_dir))
+    clusters = _dup_clusters_for(spark, sf_dir)
     return curation.dataset_split_cluster_safe(docs, clusters)
 
 
@@ -898,7 +927,7 @@ def split_leakage_compare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline keeps next to the split decision. One pair-memo join + two
     tiny aggregates; pairs are the memoized exact-Jaccard table."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    clusters = graph.dup_clusters(_jaccard_pairs_for(spark, sf_dir))
+    clusters = _dup_clusters_for(spark, sf_dir)
     safe = curation.dataset_split_cluster_safe(docs, clusters).select(
         "doc_id", F.col("split").alias("split_safe")
     )

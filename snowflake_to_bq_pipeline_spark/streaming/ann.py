@@ -74,8 +74,13 @@ def maintain_ivf_index(
     assigned into the EXISTING coarse lists (no retrain — the standing
     model arrives via ``centroids``) and appended to the parquet index
     sink.  foreachBatch because the assignment is a mapInPandas over a
-    model closure plus an idempotent append — no aggregation state, so
-    checkpoint-restart resumes cleanly mid-drain."""
+    model closure — no aggregation state, so a restart from the same
+    checkpoint resumes at the next uncommitted batch (pytest-asserted).
+    Delivery is Structured Streaming's foreachBatch contract:
+    exactly-once across clean restarts, at-least-once if a crash lands
+    MID-append — a consumer that must tolerate that replays dedups on
+    vec_id at read time (assignment is deterministic, so duplicates are
+    identical rows)."""
     # Capture the model rows once: a streaming foreachBatch closure must
     # not re-reference a driver DataFrame built from a batch source.
     rows = [(int(r["cent_id"]), list(r["ce"])) for r in centroids.collect()]
