@@ -87,6 +87,12 @@ LEXICAL_QUERIES = {
     "ngram_jaccard_dups",
     "ngram_containment_dups",
     "incremental_dedup_check",
+    # rides the SAME lexical pair memo (plus the CC resolve over the
+    # hot-phrase-fattened pair graph), so its skew premium is the pair
+    # family's — measured 3.05x in r12 right next to ngram_jaccard_dups'
+    # 3.27x, while the crossover section proves the guarded pair build
+    # stays linear in corpus size
+    "dataset_split_assign_cluster_safe",
 }
 # The hazard this ceiling exists to catch is the hot bucket going
 # QUADRATIC — at sf0.1 that lands the skew side at minutes (ratio 40+),
