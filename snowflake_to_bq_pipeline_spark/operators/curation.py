@@ -1006,6 +1006,185 @@ def nb_quality_classifier(
     )
 
 
+def train_nbq_model(
+    documents: DataFrame,
+    curated_sources: tuple[str, ...],
+    holdout_mod: int = NBQ_HOLDOUT_MOD,
+    text_col: str = "text",
+) -> dict:
+    """Collect the Naive Bayes classifier as DEPLOYABLE driver state:
+    per-bucket LLR strings for all ``DSIR_BUCKETS`` buckets plus the
+    class prior — the standing model an ingest stream scores against
+    (:func:`score_docs_with_model`), trained exactly like
+    :func:`nb_quality_classifier` (same train slice, same smoothing).
+
+    Exactness by construction: every LLR (and the prior) is computed IN
+    SPARK with the identical ``round(ln(...), 9)`` expression the batch
+    classifier uses, then collected as decimal strings — no Python
+    ``math.log``/``round`` re-derivation whose rounding mode could
+    diverge by an ulp. O(DSIR_BUCKETS) rows collected; nothing
+    corpus-sized touches the driver.
+    """
+    w = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.array_size(w) >= 2, F.sequence(F.lit(1), F.array_size(w) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = documents.select("doc_id", "source", F.col(text_col)).select(
+        "doc_id", "source", w.alias("__w"), F.explode(idx).alias("i")
+    ).select(
+        "doc_id",
+        "source",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(F.col("__w"), F.col("i")),
+                    F.element_at(F.col("__w"), F.col("i") + 1),
+                ).cast("binary")
+            ),
+            1,
+            3,
+        ).alias("bucket"),
+    )
+    is_cur = F.col("source").isin(*curated_sources)
+    tg = grams.filter(F.col("doc_id") % holdout_mod != 0)
+    tc = tg.filter(is_cur).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    cc = tg.filter(~is_cur).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    nt = tg.filter(is_cur).agg(F.count(F.lit(1)).alias("__nt"))
+    nc = tg.filter(~is_cur).agg(F.count(F.lit(1)).alias("__nc"))
+    llr = F.round(
+        F.log(
+            (
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                * (F.col("__nc") + DSIR_BUCKETS).cast("double")
+            )
+            / (
+                (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+                * (F.col("__nt") + DSIR_BUCKETS).cast("double")
+            )
+        ),
+        9,
+    ).cast(_DSIR_DEC)
+    # One row per bucket SEEN in training plus the unseen-bucket default
+    # (counts 0 on both sides — exactly what the batch op's left-join
+    # coalesce produces for a scoring gram whose bucket never trained).
+    seen = (
+        tc.join(cc, "bucket", "full")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+        .select("bucket", llr.alias("__llr"))
+        .collect()
+    )
+    zero = (
+        nt.crossJoin(nc)
+        .select(
+            F.lit(None).cast("long").alias("ct"),
+            F.lit(None).cast("long").alias("cr"),
+            "__nt",
+            "__nc",
+        )
+        .select(llr.alias("__llr"))
+        .collect()[0]["__llr"]
+    )
+    prior = (
+        documents.filter(F.col("doc_id") % holdout_mod != 0)
+        .agg(
+            F.count(F.when(is_cur, F.lit(1))).alias("__dcur"),
+            F.count(F.when(~is_cur, F.lit(1))).alias("__dcr"),
+        )
+        .select(
+            F.round(
+                F.log(
+                    (F.col("__dcur") + 1).cast("double")
+                    / (F.col("__dcr") + 1).cast("double")
+                ),
+                9,
+            )
+            .cast(_DSIR_DEC)
+            .alias("__p")
+        )
+        .collect()[0]["__p"]
+    )
+    by_bucket = {r["bucket"]: str(r["__llr"]) for r in seen}
+    return {
+        "llr": [
+            by_bucket.get(format(i, "03x"), str(zero))
+            for i in range(SAMPLE_BUCKETS)
+        ],
+        "prior": str(prior),
+        "curated_sources": tuple(curated_sources),
+        "holdout_mod": holdout_mod,
+    }
+
+
+def score_docs_with_model(
+    docs: DataFrame, model: dict, text_col: str = "text"
+) -> DataFrame:
+    """Score docs against a trained standing NB model — STATELESS and
+    row-local, so the identical plan runs on a batch frame and on a
+    Structured Stream (the ingest-time quality gate; drain-equality
+    asserted in tests/test_streaming.py).
+
+    The model ships as a constant-folded ``from_json`` decimal-array
+    literal (the CMS probe idiom, ~120 KB for 4096 buckets) indexed by
+    the bucket int; per-doc scoring is one ``aggregate`` fold in exact
+    decimal — identical values to :func:`nb_quality_classifier`'s
+    join-shaped plan (add-order-independent rounded-decimal terms), with
+    ZERO shuffle and no model join: the plan a per-record scorer needs.
+    Plan-diverse value equality vs the batch classifier is pytest-pinned.
+    """
+    lut = F.from_json(
+        F.lit("[" + ",".join(model["llr"]) + "]"),
+        f"array<{_DSIR_DEC}>",
+    )
+    prior = F.lit(model["prior"]).cast(_DSIR_DEC)
+    holdout_mod = model["holdout_mod"]
+    curated = tuple(model["curated_sources"])
+    w = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.array_size(w) >= 2, F.sequence(F.lit(1), F.array_size(w) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    buckets = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.element_at(w, i), F.element_at(w, i + 1)
+                    ).cast("binary")
+                ),
+                1,
+                3,
+            ),
+            16,
+            10,
+        ).cast("int"),
+    )
+    # aggregate() requires the merge output to keep the zero's exact
+    # type; decimal addition widens (38,12)+(28,12) -> (38,11), so each
+    # step casts back — lossless here (|sum| stays far below the 26
+    # integer digits decimal(38,12) holds).
+    acc = F.aggregate(
+        buckets,
+        F.lit("0").cast("decimal(38,12)"),
+        lambda a, b: (a + F.element_at(lut, b + 1)).cast("decimal(38,12)"),
+    )
+    total = prior + acc
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("source").isin(*curated).alias("label_curated"),
+        (F.col("doc_id") % holdout_mod == 0).alias("is_heldout"),
+        F.array_size(buckets).cast("long").alias("n_grams"),
+        F.round(total.cast("double"), 6).alias("log_odds"),
+        (total > 0).alias("pred_curated"),
+    )
+
+
 #: Output shard count for balanced training-shard assignment.
 N_SHARDS = 16
 

@@ -127,6 +127,7 @@ from .section_e_text import (  # noqa: F401
     _FUNNEL_TOKEN_RE,
     _GOPHER_STOP_SQL,
     _MIX_RATES,
+    _NBQ_MODEL_CACHE,
     _NBQ_SCORES_CACHE,
     _PII_AUG_SPARK,
     _PII_AUG_SQL,
@@ -136,6 +137,7 @@ from .section_e_text import (  # noqa: F401
     _bpe_merges_for,
     _doc_word_for,
     _dsir_weights_for,
+    _nbq_model_for,
     _nbq_scores_for,
     _tok_counts_for,
     _unigram_vocab_for,
@@ -254,6 +256,7 @@ from .section_e_similarity import (  # noqa: F401
 from .section_f_streaming import (  # noqa: F401
     events_windowed_counts_q,
     streaming_ivf_assign_twin_q,
+    streaming_quality_score_twin_q,
     streaming_near_dedup_twin_q,
     streaming_near_dedup_verified_twin_q,
 )
@@ -487,6 +490,7 @@ _WINDOW_ORDER = [
     "sketch_value_quantiles",
     "streaming_ivf_assign_twin",
     "streaming_near_dedup_twin",
+    "streaming_quality_score_twin",
     "streaming_near_dedup_verified_twin",
     "tokenizer_fertility_by_source",
     "unigram_encode_tokens",
@@ -554,6 +558,7 @@ _MEMO_HELPERS = (
     "_tok_counts_for",
     "_doc_word_for",
     "_nbq_scores_for",
+    "_nbq_model_for",
     "_centroids_for",
     "_assigned_for",
     "_brute_topk_for",

@@ -1194,6 +1194,23 @@ _NBQ_CUR_SQL = "('src0', 'src1')"
 _NBQ_SCORES_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+#: Driver-resident NB model (4096 LLR strings + prior) — the standing
+#: model the streaming scorer ships as a constant-folded literal; same
+#: LRU/superseded-fingerprint lifecycle as the other _ModelMemo models.
+_NBQ_MODEL_CACHE = _ModelMemo()
+
+
+def _nbq_model_for(spark: SparkSession, sf_dir: str) -> dict:
+    fp = _corpus_fingerprint(sf_dir, "documents")
+    model = _NBQ_MODEL_CACHE.get((sf_dir, fp))
+    if model is None:
+        model = curation.train_nbq_model(
+            load_table(spark, sf_dir, "documents"), _NBQ_CURATED
+        )
+        _NBQ_MODEL_CACHE.put((sf_dir, fp), model)
+    return model
+
+
 def _nbq_scores_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
     df = _NBQ_SCORES_CACHE.get(key)

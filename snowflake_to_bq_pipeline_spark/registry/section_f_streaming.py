@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import load_table
+from ..operators import curation
 from ..streaming import curation as stream_curation, incremental
 from ._core import query
 
@@ -78,6 +79,27 @@ def streaming_near_dedup_verified_twin_q(
 
     return stream_curation.near_dedup_docs_verified(
         docs, watermark=None, sig=_simhash_sigs_for(spark, sf_dir)
+    )
+
+
+@query("streaming_quality_score_twin")  # rows-only: literal-model plan
+def streaming_quality_score_twin_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of the STREAMING quality-classifier scorer
+    (operators/curation.score_docs_with_model): every doc scored
+    row-locally against the standing NB model shipped as a
+    constant-folded decimal-array literal — zero shuffle, no model
+    join, the plan an ingest-time quality gate runs per record. Values
+    are pytest-pinned bit-equal to the join-shaped
+    quality_classifier_scores (plan-diverse equality), and the
+    streaming form is asserted drain-equal in tests/test_streaming.py.
+    Rides the driver-resident model memo (O(4096) strings)."""
+    from .section_e_text import _nbq_model_for
+
+    return curation.score_docs_with_model(
+        load_table(spark, sf_dir, "documents"),
+        _nbq_model_for(spark, sf_dir),
     )
 
 

@@ -371,3 +371,25 @@ def test_nb_quality_classifier_heldout_separation(spark):
     for r in out:
         assert r["label_curated"] == (r["source"] == "cur")
         assert r["is_heldout"] == (r["doc_id"] % curation.NBQ_HOLDOUT_MOD == 0)
+
+
+def test_nbq_literal_model_scorer_equals_join_classifier(spark, sf_dir):
+    """Plan-diverse value equality: the constant-folded LUT fold
+    (score_docs_with_model — zero shuffle, the per-record ingest plan)
+    must reproduce the join-shaped classifier bit-for-bit, because both
+    sum the SAME round-9 decimal terms and decimal addition is
+    add-order-independent."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    batch = {
+        r["doc_id"]: tuple(r)
+        for r in curation.nb_quality_classifier(docs, ("src0", "src1")).collect()
+    }
+    model = curation.train_nbq_model(docs, ("src0", "src1"))
+    assert len(model["llr"]) == curation.SAMPLE_BUCKETS
+    lit = {
+        r["doc_id"]: tuple(r)
+        for r in curation.score_docs_with_model(docs, model).collect()
+    }
+    assert lit == batch

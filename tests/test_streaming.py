@@ -910,3 +910,67 @@ def test_streaming_ivf_assign_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     }
     assert len(got) == len(set(got)), "restart must not duplicate rows"
     assert set(got) == batch_rows
+
+
+def test_streaming_quality_score_drain_equals_batch_classifier(
+    spark, sf_dir, tmp_path
+):
+    """Ingest-time quality gate: the stateless literal-model scorer
+    (operators/curation.score_docs_with_model) must produce — on a
+    Structured Stream drain — exactly the rows the join-shaped batch
+    classifier produces for the same docs (plan-diverse value equality:
+    same rounded-decimal sums via constant-folded LUT fold vs broadcast
+    join + groupBy)."""
+    from snowflake_to_bq_pipeline_spark.operators import curation as cur
+    from snowflake_to_bq_pipeline_spark.registry import _nbq_model_for
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    batch = {
+        r["doc_id"]: tuple(r)
+        for r in cur.nb_quality_classifier(docs, ("src0", "src1")).collect()
+    }
+    model = _nbq_model_for(spark, sf_dir)
+
+    src = str(tmp_path / "nbq_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    out = str(tmp_path / "nbq_out")
+
+    def _sink(batch_df, _bid):
+        cur.score_docs_with_model(batch_df, model).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "nbq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    got = {
+        r["doc_id"]: tuple(r) for r in spark.read.parquet(out).collect()
+    }
+    assert got == batch
+
+    # scoring is STATELESS, so the literal-model plan also runs the
+    # stream directly (no foreachBatch needed) — schema sanity only
+    direct = cur.score_docs_with_model(stream, model)
+    assert direct.isStreaming
+    assert [f.name for f in direct.schema.fields] == [
+        "doc_id",
+        "source",
+        "label_curated",
+        "is_heldout",
+        "n_grams",
+        "log_odds",
+        "pred_curated",
+    ]
