@@ -224,6 +224,7 @@ from .section_e_similarity import (  # noqa: F401
     ann_lsh_topk_q,
     ann_pq_topk_q,
     boilerplate_phrase_profile_q,
+    cluster_quality_report_q,
     cross_split_contamination_q,
     dataset_split_assign_cluster_safe_q,
     decontamination_overlap_q,
@@ -477,6 +478,7 @@ _WINDOW_ORDER = [
     "ann_pq_topk",
     "bpe_encode_tokens",
     "bpe_merge_table",
+    "cluster_quality_report",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "kmeans_doc_clusters",

@@ -1665,6 +1665,37 @@ def _semdedup_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+@query("cluster_quality_report")  # rows-only: k-means float cluster ids
+def cluster_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TOPICAL-cluster quality triage: the k=8 k-means assignment
+    (shared standing memo, doc_id = vec_id) joined to each doc's
+    heuristic quality score — which semantic clusters carry low-quality
+    mass is the read a SemDeDup-style curation pass acts on (prune or
+    downweight whole clusters, not scattered docs). One sparse join +
+    an 8-row aggregate; nothing new at corpus scale. Invariants
+    (doc-count conservation, share bounds) in tests/test_similarity.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_ops.quality_score(docs)
+    assigned = _assigned_for(spark, sf_dir, 8).select(
+        F.col("vec_id").alias("doc_id"), "cent_id"
+    )
+    low = F.count(F.when(F.col("quality_bucket") == "low", F.lit(1)))
+    return (
+        assigned.join(q, "doc_id")
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+            low.alias("n_low"),
+            F.round(low.cast("double") / F.count(F.lit(1)), 6).alias(
+                "low_share"
+            ),
+        )
+        .orderBy("cent_id")
+    )
+
+
 @query("semdedup_prune")  # rows-only: k-means model + float clustering
 def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (Abbas et al. 2023): within-k-means-cluster

@@ -189,3 +189,24 @@ def test_semdedup_equal_across_cell_sizes(spark, sf_dir):
     b = similarity.semdedup_prune(emb, n_clusters=4).collect()
     key = lambda t: t[0]
     assert sorted(map(tuple, a), key=key) == sorted(map(tuple, b), key=key)
+
+
+def test_cluster_quality_report_invariants(spark, sf_dir):
+    """Doc-count conservation (every embedded doc lands in exactly one
+    cluster row), share bounds, and low-count consistency."""
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.registry import (
+        cluster_quality_report_q,
+    )
+
+    rows = cluster_quality_report_q(spark, sf_dir).collect()
+    assert rows, "report must be nonempty"
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_docs"] for r in rows) == n_emb
+    for r in rows:
+        assert 0 <= r["n_low"] <= r["n_docs"]
+        assert 0.0 <= r["low_share"] <= 1.0
+        assert 0.0 <= r["mean_quality"] <= 1.0
+        assert r["tokens_total"] >= 0
+    cents = [r["cent_id"] for r in rows]
+    assert cents == sorted(cents) and len(set(cents)) == len(cents)
