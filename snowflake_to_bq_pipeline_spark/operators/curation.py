@@ -1129,19 +1129,36 @@ def score_docs_with_model(
     Structured Stream (the ingest-time quality gate; drain-equality
     asserted in tests/test_streaming.py).
 
-    The model ships as a constant-folded ``from_json`` decimal-array
-    literal (the CMS probe idiom, ~120 KB for 4096 buckets) indexed by
-    the bucket int; per-doc scoring is one ``aggregate`` fold in exact
-    decimal — identical values to :func:`nb_quality_classifier`'s
-    join-shaped plan (add-order-independent rounded-decimal terms), with
-    ZERO shuffle and no model join: the plan a per-record scorer needs.
-    Plan-diverse value equality vs the batch classifier is pytest-pinned.
+    Shape and its honest trade: the model crosses the Python/JVM
+    boundary as ONE ``from_json`` string on a one-row broadcast frame
+    and reaches the scan as an array COLUMN (the Bloom bitmap lesson,
+    operators/bloom.py — a 4096-element folded literal blows the 64 KB
+    codegen method limit), and the per-doc fold runs on LONG
+    nano-units: every LLR is an exact multiple of 1e-9 by the round-9
+    contract, so summing scaled longs is the same exact arithmetic as
+    the decimal sum (measured 2× over a decimal-typed fold — Spark's
+    higher-order ``aggregate``/``transform`` are CodegenFallback, and
+    interpreted decimal adds dominate). What remains interpreted is the
+    per-bigram md5 inside the lambda — the price of the SHUFFLE-FREE
+    per-record plan: this scorer optimizes ingest-latency shape (pure
+    row-local, runs unchanged on a Structured Stream), while bulk
+    corpus scoring stays with :func:`nb_quality_classifier`'s
+    join-shaped plan whose explode-side md5 is whole-stage-codegen'd.
+    Values are identical (plan-diverse equality pytest-pinned):
+    long-nanos → double division reproduces decimal → double casting
+    bit-for-bit because both are correctly-rounded conversions of the
+    same rational.
     """
-    lut = F.from_json(
-        F.lit("[" + ",".join(model["llr"]) + "]"),
-        f"array<{_DSIR_DEC}>",
+    from decimal import Decimal as _D
+
+    nanos = [str(int(_D(v) * 10**9)) for v in model["llr"]]
+    lut_df = docs.sparkSession.range(1).select(
+        F.from_json(
+            F.lit("[" + ",".join(nanos) + "]"), "array<long>"
+        ).alias("__lut")
     )
-    prior = F.lit(model["prior"]).cast(_DSIR_DEC)
+    lut = F.col("__lut")
+    prior = F.lit(int(_D(model["prior"]) * 10**9))
     holdout_mod = model["holdout_mod"]
     curated = tuple(model["curated_sources"])
     w = F.split(F.col(text_col), " ")
@@ -1164,23 +1181,25 @@ def score_docs_with_model(
             10,
         ).cast("int"),
     )
-    # aggregate() requires the merge output to keep the zero's exact
-    # type; decimal addition widens (38,12)+(28,12) -> (38,11), so each
-    # step casts back — lossless here (|sum| stays far below the 26
-    # integer digits decimal(38,12) holds).
+    # long-nanos fold: |per-gram| <= ~2e10 nanos x <= ~1e4 grams/doc
+    # stays far below 2^53, so the double division below is exact-input
+    # correctly-rounded — bit-identical to the decimal path.
+    joined = docs.crossJoin(F.broadcast(lut_df)).withColumn(
+        "__b", buckets
+    )
     acc = F.aggregate(
-        buckets,
-        F.lit("0").cast("decimal(38,12)"),
-        lambda a, b: (a + F.element_at(lut, b + 1)).cast("decimal(38,12)"),
+        F.col("__b"),
+        F.lit(0).cast("long"),
+        lambda a, b: a + F.element_at(lut, b + 1),
     )
     total = prior + acc
-    return docs.select(
+    return joined.select(
         "doc_id",
         "source",
         F.col("source").isin(*curated).alias("label_curated"),
         (F.col("doc_id") % holdout_mod == 0).alias("is_heldout"),
-        F.array_size(buckets).cast("long").alias("n_grams"),
-        F.round(total.cast("double"), 6).alias("log_odds"),
+        F.array_size(F.col("__b")).cast("long").alias("n_grams"),
+        F.round(total.cast("double") / F.lit(1e9), 6).alias("log_odds"),
         (total > 0).alias("pred_curated"),
     )
 
