@@ -210,3 +210,98 @@ def test_cms_heavy_hitters_guarantees(spark, counts, share):
             assert r["exact_count"] == c
             assert r["est_count"] >= c  # overestimate-only
             assert r["is_true_heavy"] == (c >= threshold)
+
+
+@given(
+    # an edge list over doc ids 0..n-1: random near-dup pair structure
+    n=st.integers(min_value=2, max_value=30),
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=29),
+            st.integers(min_value=0, max_value=29),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_cluster_safe_split_zero_leak_on_random_graphs(spark, n, edges):
+    """For ANY pair structure: every dup pair lands in one split, the
+    split is a pure function of (doc_id, cluster structure), and
+    singleton docs keep the per-doc assignment exactly."""
+    from snowflake_to_bq_pipeline_spark.operators import curation, graph
+    from pyspark.sql import functions as F
+
+    pairs = [
+        (min(a % n, b % n), max(a % n, b % n))
+        for a, b in edges
+        if a % n != b % n
+    ]
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(n)], "doc_id long, source string"
+    )
+    if pairs:
+        pdf = spark.createDataFrame(
+            sorted(set(pairs)), "doc_a long, doc_b long"
+        )
+        clusters = graph.dup_clusters(pdf)
+    else:
+        clusters = spark.createDataFrame(
+            [],
+            "doc_id long, canonical_id long, cluster_size long, "
+            "is_canonical boolean",
+        )
+    out = {
+        r["doc_id"]: r
+        for r in curation.dataset_split_cluster_safe(docs, clusters).collect()
+    }
+    assert set(out) == set(range(n))
+    # zero cross-split dup pairs, by construction
+    for a, b in pairs:
+        assert out[a]["split"] == out[b]["split"], (a, b)
+    # cluster members share the canonical split key; singletons keep
+    # their own id and therefore the per-doc assignment
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in curation.dataset_split(docs, "doc_id").collect()
+    }
+    clustered = {d for p in pairs for d in p}
+    for i in range(n):
+        if i not in clustered:
+            assert out[i]["split_key"] == i
+            assert out[i]["split"] == plain[i]
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.text(
+                alphabet="ab cdef ", min_size=0, max_size=60
+            ),
+            st.sampled_from(["cur", "web", "other"]),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_nbq_literal_scorer_equals_join_classifier_on_random_text(
+    spark, docs
+):
+    """Plan-diverse equality holds for ANY corpus, not just testdata:
+    the long-nanos broadcast-LUT fold reproduces the join-shaped
+    classifier bit-for-bit (same round-9 terms, order-free sums)."""
+    from snowflake_to_bq_pipeline_spark.operators import curation
+
+    rows = [(i, t, s) for i, (t, s) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    batch = {
+        r["doc_id"]: tuple(r)
+        for r in curation.nb_quality_classifier(df, ("cur",)).collect()
+    }
+    model = curation.train_nbq_model(df, ("cur",))
+    lit = {
+        r["doc_id"]: tuple(r)
+        for r in curation.score_docs_with_model(df, model).collect()
+    }
+    assert lit == batch
