@@ -129,3 +129,61 @@ def test_clear_model_caches_resets(spark, tmp_path):
     registry.clear_model_caches()
     assert not registry._JACCARD_PAIRS_CACHE
     assert registry._jaccard_pairs_for(spark, d) is not first
+
+
+def _write_embeddings(spark, path, n, dims=4):
+    spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 - 2) + 0.5 for j in range(dims)]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+
+def test_assign_cache_holds_all_live_models_per_snapshot(spark, tmp_path):
+    """r12: the assignment memo must hold EVERY (k, exclude_mod) model
+    of the live snapshot simultaneously (the k=8 cluster model and both
+    k=16 IVF models coexist within one bench run — evict-all-on-new-key
+    would thrash), and a snapshot rewrite must drop all of them."""
+    d = str(tmp_path)
+    _write_embeddings(spark, d, 40)
+    a8 = registry._assigned_for(spark, d, 8)
+    a16 = registry._assigned_for(spark, d, 16)
+    a16x = registry._assigned_for(spark, d, 16, exclude_mod=10)
+    # warm hits: same live handles, all three coexist
+    assert registry._assigned_for(spark, d, 8) is a8
+    assert registry._assigned_for(spark, d, 16) is a16
+    assert registry._assigned_for(spark, d, 16, exclude_mod=10) is a16x
+    assert len(registry._ASSIGN_CACHE) >= 3
+    # full-corpus coverage regardless of the model's training slice
+    n = spark.read.parquet(f"{d}/embeddings.parquet").count()
+    assert a16x.count() == n
+
+    # rewrite at the SAME path: every model of the old snapshot evicted
+    _write_embeddings(spark, d, 25)
+    b8 = registry._assigned_for(spark, d, 8)
+    assert b8 is not a8
+    assert all(k[1] == registry._corpus_fingerprint(d, "embeddings")
+               for k in registry._ASSIGN_CACHE)
+    assert b8.count() == 25
+
+
+def test_brute_topk_memo_single_materialization(spark, tmp_path):
+    """ann_cosine_topk's result IS ann_ivf_recall_curve's ground truth:
+    both consumers must receive the same persisted handle."""
+    d = str(tmp_path)
+    _write_embeddings(spark, d, 30)
+    first = registry._brute_topk_for(spark, d, k=5)
+    assert registry._brute_topk_for(spark, d, k=5) is first
+    assert first.count() > 0
+    _write_embeddings(spark, d, 20)
+    assert registry._brute_topk_for(spark, d, k=5) is not first
+
+
+def test_dup_clusters_memo_single_materialization(spark, tmp_path):
+    """The CC worklist resolve (count actions at plan-BUILD time) must
+    run once per snapshot across its four consumers."""
+    d = str(tmp_path)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    _write_docs(spark, d, [(1, base), (2, base), (3, "other words here live in this doc")])
+    first = registry._dup_clusters_for(spark, d)
+    assert registry._dup_clusters_for(spark, d) is first
+    assert first.count() == 2  # docs 1-2 form one cluster
