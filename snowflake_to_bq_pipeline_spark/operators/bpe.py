@@ -195,11 +195,37 @@ def _require_doc_word(doc_word: DataFrame, text_col: str, caller: str) -> None:
         )
 
 
+def bpe_word_tokens(words: DataFrame, merges: DataFrame) -> DataFrame:
+    """Apply a learned merge table to a DISTINCT-word frame →
+    (word, word_tokens). The model-application half factored out so its
+    result can be memoized per (snapshot, model): merges are O(n_merges)
+    driver state replayed as a fixed chain of JVM ``F.replace`` calls —
+    no Python in the hot path, no shuffle (per-row projection)."""
+    ordered = sorted(
+        (
+            (int(r["merge_rank"]), r["left_sym"], r["right_sym"], r["merged_sym"])
+            for r in merges.collect()
+        ),
+    )
+    seq = F.concat(
+        F.lit(" "),
+        F.concat_ws(" ", F.split(F.col("word"), "")),
+        F.lit(" "),
+    )
+    for _, left, right, merged in ordered:
+        seq = F.replace(seq, F.lit(f" {left} {right} "), F.lit(f" {merged} "))
+    return words.select(
+        "word",
+        F.array_size(F.split(F.trim(seq), " ")).alias("word_tokens"),
+    )
+
+
 def bpe_encode_stats(
     documents: DataFrame,
     merges: DataFrame,
     text_col: str = "text",
     doc_word: DataFrame | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a learned merge table; per-doc BPE token counts.
 
@@ -227,31 +253,19 @@ def bpe_encode_stats(
     Pass ``doc_word`` (a :func:`doc_word_counts` table, e.g. the
     registry's per-snapshot memo shared with the unigram encoder) to
     skip the corpus scan — it is expected to arrive already persisted.
+    Pass ``encoded`` (a :func:`bpe_word_tokens` table for the SAME
+    model, e.g. the registry's per-(snapshot, tokenizer) memo) to skip
+    the merge replay entirely — the encoded vocabulary is standing
+    model-application state shared by every consumer of this tokenizer.
     """
-    ordered = sorted(
-        (
-            (int(r["merge_rank"]), r["left_sym"], r["right_sym"], r["merged_sym"])
-            for r in merges.collect()
-        ),
-    )
     if doc_word is None:
         doc_word = swap_cache(
             "bpe.doc_word", doc_word_counts(documents, text_col)
         )
     else:
         _require_doc_word(doc_word, text_col, "bpe_encode_stats")
-    vocab = doc_word.select("word").distinct()
-    seq = F.concat(
-        F.lit(" "),
-        F.concat_ws(" ", F.split(F.col("word"), "")),
-        F.lit(" "),
-    )
-    for _, left, right, merged in ordered:
-        seq = F.replace(seq, F.lit(f" {left} {right} "), F.lit(f" {merged} "))
-    encoded = vocab.select(
-        "word",
-        F.array_size(F.split(F.trim(seq), " ")).alias("word_tokens"),
-    )
+    if encoded is None:
+        encoded = bpe_word_tokens(doc_word.select("word").distinct(), merges)
     return (
         doc_word.join(F.broadcast(encoded), "word")
         .groupBy("doc_id")

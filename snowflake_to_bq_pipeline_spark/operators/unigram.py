@@ -219,12 +219,38 @@ def unigram_vocab(
     )
 
 
+def unigram_word_tokens(
+    words: DataFrame, vocab: DataFrame, max_piece_len: int = MAX_PIECE_LEN
+) -> DataFrame:
+    """Viterbi-encode a DISTINCT-word frame under a learned unigram
+    vocabulary → (word, word_tokens). Factored out of the per-doc stats
+    so the result memoizes per (snapshot, model): the O(vocab) model
+    broadcasts into an Arrow-batched pandas UDF (the per-word DP is the
+    sanctioned Python boundary), and the encoded vocabulary is standing
+    model-application state every consumer shares."""
+    model = {r["piece"]: float(r["log_prob"]) for r in vocab.collect()}
+    bc = words.sparkSession.sparkContext.broadcast(model)
+
+    def _encode_batches(batches):
+        lp = bc.value
+        for pdf in batches:
+            pdf["word_tokens"] = pdf["word"].map(
+                lambda w: len(_viterbi_segment(w, lp, max_piece_len))
+            )
+            yield pdf
+
+    return words.mapInPandas(
+        _encode_batches, "word string, word_tokens int"
+    )
+
+
 def unigram_encode_stats(
     documents: DataFrame,
     vocab: DataFrame,
     text_col: str = "text",
     max_piece_len: int = MAX_PIECE_LEN,
     doc_word: DataFrame | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a learned unigram vocabulary; per-doc token counts
     ``(doc_id, n_words, n_unigram_tokens, tokens_per_word)``.
@@ -237,24 +263,10 @@ def unigram_encode_stats(
     back, and an ``n_occ``-weighted per-doc sum. Pass ``doc_word``
     (a bpe.doc_word_counts table — both tokenizers apply over the SAME
     lowercased WORD_RE word grain, e.g. the registry's per-snapshot
-    memo) to skip the corpus scan.
+    memo) to skip the corpus scan, and ``encoded`` (a
+    :func:`unigram_word_tokens` table for the SAME model, e.g. the
+    registry's per-(snapshot, tokenizer) memo) to skip the Viterbi pass.
     """
-    model = {
-        r["piece"]: float(r["log_prob"]) for r in vocab.collect()
-    }
-    bc = documents.sparkSession.sparkContext.broadcast(model)
-
-    def _encode_batches(batches):
-        # mapInPandas (not a typed pandas_udf: this module uses
-        # `from __future__ import annotations`, which stringifies the
-        # type hints pandas_udf's eval-type inference needs)
-        lp = bc.value
-        for pdf in batches:
-            pdf["word_tokens"] = pdf["word"].map(
-                lambda w: len(_viterbi_segment(w, lp, max_piece_len))
-            )
-            yield pdf
-
     if doc_word is None:
         from ._cache import swap_cache
         from .bpe import doc_word_counts
@@ -266,11 +278,10 @@ def unigram_encode_stats(
         from .bpe import _require_doc_word
 
         _require_doc_word(doc_word, text_col, "unigram_encode_stats")
-    encoded = (
-        doc_word.select("word")
-        .distinct()
-        .mapInPandas(_encode_batches, "word string, word_tokens int")
-    )
+    if encoded is None:
+        encoded = unigram_word_tokens(
+            doc_word.select("word").distinct(), vocab, max_piece_len
+        )
     return (
         doc_word.join(F.broadcast(encoded), "word")
         .groupBy("doc_id")

@@ -134,6 +134,7 @@ from .section_e_text import (  # noqa: F401
     _SHARD_RANK_SQL,
     _TOK_COUNTS_CACHE,
     _UNIGRAM_VOCAB_CACHE,
+    _WORD_TOKENS_CACHE,
     _bpe_merges_for,
     _doc_word_for,
     _dsir_weights_for,
@@ -141,6 +142,7 @@ from .section_e_text import (  # noqa: F401
     _nbq_scores_for,
     _tok_counts_for,
     _unigram_vocab_for,
+    _word_tokens_for,
     bpe_encode_tokens_q,
     bpe_merge_table_q,
     char_entropy_q,
@@ -561,6 +563,7 @@ _MEMO_HELPERS = (
     "_doc_word_for",
     "_nbq_scores_for",
     "_nbq_model_for",
+    "_word_tokens_for",
     "_centroids_for",
     "_assigned_for",
     "_brute_topk_for",
