@@ -885,6 +885,16 @@ def dsir_importance_weights(
 #: measure generalization (the separation pytest scores them).
 NBQ_HOLDOUT_MOD = 3
 
+#: Exactness contract for the long-nanos scorer fold
+#: (:func:`score_docs_with_model`): per-gram |llr| is < ~21 (the ln of the
+#: most extreme add-one-smoothed ratio at any feasible corpus size), i.e.
+#: < 2.1e10 nano-units, so a doc with at most this many grams keeps the
+#: long accumulator's |total| < 8.5e15 < 2^53 — the range where the
+#: double division is bit-identical to the decimal path. Docs past the
+#: cap fail LOUDLY (raise_error) instead of silently degrading the
+#: pytest-pinned plan-diverse equality.
+NBQ_MAX_GRAMS_PER_DOC = 400_000
+
 
 def nb_quality_classifier(
     documents: DataFrame,
@@ -1024,12 +1034,24 @@ def train_nbq_model(
     ``math.log``/``round`` re-derivation whose rounding mode could
     diverge by an ulp. O(DSIR_BUCKETS) rows collected; nothing
     corpus-sized touches the driver.
+
+    Training costs ONE corpus gram scan: the per-bucket train counts
+    collect once (O(DSIR_BUCKETS) long rows), the class totals derive
+    from those rows in exact Python integer arithmetic (every train gram
+    lands in exactly one bucket, so the sums ARE the totals), and all
+    LLRs — including the unseen-bucket default — are then evaluated in
+    Spark over a tiny local bucket-count frame. The prior's doc counts
+    never touch the gram stream (one narrow scan of (doc_id, source)).
     """
     w = F.split(F.col(text_col), " ")
     idx = F.when(
         F.array_size(w) >= 2, F.sequence(F.lit(1), F.array_size(w) - 1)
     ).otherwise(F.array().cast("array<int>"))
-    grams = documents.select("doc_id", "source", F.col(text_col)).select(
+    from ..catalog import fan_out
+
+    grams = fan_out(
+        documents.select("doc_id", "source", F.col(text_col))
+    ).select(
         "doc_id", "source", w.alias("__w"), F.explode(idx).alias("i")
     ).select(
         "doc_id",
@@ -1047,24 +1069,26 @@ def train_nbq_model(
         ).alias("bucket"),
     )
     is_cur = F.col("source").isin(*curated_sources)
-    tg = grams.filter(F.col("doc_id") % holdout_mod != 0)
-    tc = tg.filter(is_cur).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("ct")
+    counts = (
+        grams.filter(F.col("doc_id") % holdout_mod != 0)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.when(is_cur, F.lit(1))).alias("ct"),
+            F.count(F.when(~is_cur, F.lit(1))).alias("cr"),
+        )
+        .collect()
     )
-    cc = tg.filter(~is_cur).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr")
-    )
-    nt = tg.filter(is_cur).agg(F.count(F.lit(1)).alias("__nt"))
-    nc = tg.filter(~is_cur).agg(F.count(F.lit(1)).alias("__nc"))
+    n_t = sum(r["ct"] for r in counts)
+    n_c = sum(r["cr"] for r in counts)
     llr = F.round(
         F.log(
             (
-                (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                * (F.col("__nc") + DSIR_BUCKETS).cast("double")
+                (F.col("ct") + 1).cast("double")
+                * F.lit(n_c + DSIR_BUCKETS).cast("double")
             )
             / (
-                (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
-                * (F.col("__nt") + DSIR_BUCKETS).cast("double")
+                (F.col("cr") + 1).cast("double")
+                * F.lit(n_t + DSIR_BUCKETS).cast("double")
             )
         ),
         9,
@@ -1072,24 +1096,14 @@ def train_nbq_model(
     # One row per bucket SEEN in training plus the unseen-bucket default
     # (counts 0 on both sides — exactly what the batch op's left-join
     # coalesce produces for a scoring gram whose bucket never trained).
-    seen = (
-        tc.join(cc, "bucket", "full")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nc))
-        .select("bucket", llr.alias("__llr"))
-        .collect()
+    local = documents.sparkSession.createDataFrame(
+        [(r["bucket"], r["ct"], r["cr"]) for r in counts]
+        + [(None, 0, 0)],
+        "bucket string, ct long, cr long",
     )
-    zero = (
-        nt.crossJoin(nc)
-        .select(
-            F.lit(None).cast("long").alias("ct"),
-            F.lit(None).cast("long").alias("cr"),
-            "__nt",
-            "__nc",
-        )
-        .select(llr.alias("__llr"))
-        .collect()[0]["__llr"]
-    )
+    rows = local.select("bucket", llr.alias("__llr")).collect()
+    seen = [r for r in rows if r["bucket"] is not None]
+    zero = next(r["__llr"] for r in rows if r["bucket"] is None)
     prior = (
         documents.filter(F.col("doc_id") % holdout_mod != 0)
         .agg(
@@ -1113,7 +1127,7 @@ def train_nbq_model(
     return {
         "llr": [
             by_bucket.get(format(i, "03x"), str(zero))
-            for i in range(SAMPLE_BUCKETS)
+            for i in range(DSIR_BUCKETS)
         ],
         "prior": str(prior),
         "curated_sources": tuple(curated_sources),
@@ -1151,6 +1165,11 @@ def score_docs_with_model(
     """
     from decimal import Decimal as _D
 
+    assert len(model["llr"]) == DSIR_BUCKETS, (
+        f"model LUT covers {len(model['llr'])} buckets, "
+        f"expected DSIR_BUCKETS={DSIR_BUCKETS} — element_at past the LUT "
+        "end would silently null log_odds"
+    )
     nanos = [str(int(_D(v) * 10**9)) for v in model["llr"]]
     lut_df = docs.sparkSession.range(1).select(
         F.from_json(
@@ -1181,9 +1200,11 @@ def score_docs_with_model(
             10,
         ).cast("int"),
     )
-    # long-nanos fold: |per-gram| <= ~2e10 nanos x <= ~1e4 grams/doc
-    # stays far below 2^53, so the double division below is exact-input
-    # correctly-rounded — bit-identical to the decimal path.
+    # long-nanos fold: |per-gram| < 2.1e10 nanos × <= NBQ_MAX_GRAMS_PER_DOC
+    # grams/doc stays below 2^53, so the double division below is
+    # exact-input correctly-rounded — bit-identical to the decimal path.
+    # The bound is ENFORCED: a doc past the cap raises instead of
+    # silently leaving the exact range.
     joined = docs.crossJoin(F.broadcast(lut_df)).withColumn(
         "__b", buckets
     )
@@ -1191,6 +1212,19 @@ def score_docs_with_model(
         F.col("__b"),
         F.lit(0).cast("long"),
         lambda a, b: a + F.element_at(lut, b + 1),
+    )
+    acc = F.when(
+        F.array_size(F.col("__b")) <= NBQ_MAX_GRAMS_PER_DOC, acc
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "score_docs_with_model: doc %s has %s grams, past "
+                f"NBQ_MAX_GRAMS_PER_DOC={NBQ_MAX_GRAMS_PER_DOC} — the "
+                "long-nanos exactness bound no longer holds",
+                F.col("doc_id").cast("string"),
+                F.array_size(F.col("__b")).cast("string"),
+            )
+        ).cast("long")
     )
     total = prior + acc
     return joined.select(

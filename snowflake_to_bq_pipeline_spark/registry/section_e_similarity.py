@@ -1395,8 +1395,13 @@ def _assigned_for(
     key = (sf_dir, fp, k, exclude_mod)
     df = _ASSIGN_CACHE.get(key)
     if df is None:
+        # Single-live-SNAPSHOT lifecycle: all models of the CURRENT
+        # (sf_dir, fingerprint) stay live together (one bench run holds
+        # three), but entries for superseded fingerprints AND for other
+        # snapshot directories are evicted — a multi-sf_dir session
+        # (scale/skew smokes) stays bounded without clear_model_caches.
         for old_key in [
-            o for o in _ASSIGN_CACHE if o[0] == sf_dir and o[1] != fp
+            o for o in _ASSIGN_CACHE if (o[0], o[1]) != (sf_dir, fp)
         ]:
             _ASSIGN_CACHE.pop(old_key).unpersist(blocking=False)
         from pyspark.storagelevel import StorageLevel

@@ -928,8 +928,12 @@ def _word_tokens_for(
     key = (sf_dir, fp, kind)
     df = _WORD_TOKENS_CACHE.get(key)
     if df is None:
+        # Single-live-SNAPSHOT lifecycle: both tokenizers of the CURRENT
+        # (sf_dir, fingerprint) stay live together, but superseded
+        # fingerprints AND other snapshot directories are evicted — a
+        # multi-sf_dir session (scale/skew smokes) stays bounded.
         for old_key in [
-            o for o in _WORD_TOKENS_CACHE if o[0] == sf_dir and o[1] != fp
+            o for o in _WORD_TOKENS_CACHE if (o[0], o[1]) != (sf_dir, fp)
         ]:
             _WORD_TOKENS_CACHE.pop(old_key).unpersist(blocking=False)
         from pyspark.storagelevel import StorageLevel

@@ -187,3 +187,35 @@ def test_dup_clusters_memo_single_materialization(spark, tmp_path):
     first = registry._dup_clusters_for(spark, d)
     assert registry._dup_clusters_for(spark, d) is first
     assert first.count() == 2  # docs 1-2 form one cluster
+
+
+def test_assign_cache_bounded_across_snapshot_dirs(spark, tmp_path):
+    """r13 ADVICE: a multi-sf_dir session (the scale/skew smokes visit
+    several snapshot directories) must not accumulate persisted
+    corpus-sized assignment tables for every directory it touches —
+    entering a NEW snapshot directory evicts the previous one's entries,
+    the same single-live-snapshot lifecycle as every other DataFrame
+    memo."""
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    _write_embeddings(spark, d1, 30)
+    _write_embeddings(spark, d2, 20)
+    a = registry._assigned_for(spark, d1, 8)
+    registry._assigned_for(spark, d2, 8)
+    assert all(k[0] == d2 for k in registry._ASSIGN_CACHE), (
+        "stale snapshot-dir entries survived the memo fill"
+    )
+    assert registry._assigned_for(spark, d1, 8) is not a
+
+
+def test_word_tokens_cache_bounded_across_snapshot_dirs(spark, tmp_path):
+    """Same cross-sf_dir bound for the encoded-vocabulary memo."""
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    _write_docs(spark, d1, [(1, base), (2, base + " extra words")])
+    _write_docs(spark, d2, [(1, base), (2, "short doc")])
+    from snowflake_to_bq_pipeline_spark.registry import section_e_text as t
+
+    a = t._word_tokens_for(spark, d1, "bpe")
+    t._word_tokens_for(spark, d2, "bpe")
+    assert all(k[0] == d2 for k in t._WORD_TOKENS_CACHE)
+    assert t._word_tokens_for(spark, d1, "bpe") is not a

@@ -387,9 +387,43 @@ def test_nbq_literal_model_scorer_equals_join_classifier(spark, sf_dir):
         for r in curation.nb_quality_classifier(docs, ("src0", "src1")).collect()
     }
     model = curation.train_nbq_model(docs, ("src0", "src1"))
-    assert len(model["llr"]) == curation.SAMPLE_BUCKETS
+    assert len(model["llr"]) == curation.DSIR_BUCKETS
     lit = {
         r["doc_id"]: tuple(r)
         for r in curation.score_docs_with_model(docs, model).collect()
     }
     assert lit == batch
+
+
+def test_score_docs_with_model_enforces_gram_bound(spark, monkeypatch):
+    """The long-nanos exactness contract is ENFORCED, not assumed: a doc
+    whose gram count exceeds NBQ_MAX_GRAMS_PER_DOC must raise loudly
+    (the bound is where |total| could leave the 2^53 exact-double range)
+    instead of silently degrading the plan-diverse equality."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "cur", "a b c d e f g h"), (2, "raw", "a b")],
+        "doc_id long, source string, text string",
+    )
+    model = curation.train_nbq_model(docs, ("cur",), holdout_mod=100)
+    # sane inputs score fine under the real bound
+    assert curation.score_docs_with_model(docs, model).count() == 2
+    monkeypatch.setattr(curation, "NBQ_MAX_GRAMS_PER_DOC", 3)
+    with pytest.raises(Exception, match="NBQ_MAX_GRAMS_PER_DOC"):
+        curation.score_docs_with_model(docs, model).collect()
+
+
+def test_score_docs_with_model_rejects_short_lut(spark):
+    """A model whose LUT does not cover the full DSIR_BUCKETS space must
+    be rejected up front — element_at past the LUT end would silently
+    null every log_odds (r12 ADVICE)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "cur", "a b c")], "doc_id long, source string, text string"
+    )
+    model = curation.train_nbq_model(docs, ("cur",), holdout_mod=100)
+    bad = dict(model, llr=model["llr"][:100])
+    with pytest.raises(AssertionError, match="DSIR_BUCKETS"):
+        curation.score_docs_with_model(docs, bad)
