@@ -1537,3 +1537,165 @@ def simhash_hamming_histogram(
             "is_complete"
         ),
     )
+
+
+#: Seed-and-extend span discovery parameters: anchor window width, the
+#: winnowing band (one anchor guaranteed selected per BAND consecutive
+#: window positions), and the resulting detection guarantee — every
+#: maximal duplicated span of at least SPAN_MIN_LEN chars is found with
+#: EXACT boundaries (Schleimer et al. 2003 winnowing theorem:
+#: t = w + band - 1).
+SPAN_WINDOW = 20
+SPAN_BAND = 21
+SPAN_MIN_LEN = SPAN_WINDOW + SPAN_BAND - 1
+
+
+def substring_dup_spans(
+    documents: DataFrame,
+    window: int = SPAN_WINDOW,
+    band: int = SPAN_BAND,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT maximal duplicated spans across document pairs, seed-and-
+    extend (Lee et al. 2021 ExactSubstr semantics, winnowing-anchored).
+
+    :func:`substring_dup_profile` is the cheap PROFILE: stride-grid
+    windows flag duplication mass but (a) only see grid-ALIGNED repeats
+    and (b) report window coverage, not span boundaries. This operator
+    reports the spans themselves: one row per (doc_a, doc_b, maximal
+    span) with exact 1-indexed starts and length — the table a curation
+    pass cuts spans from (the reference deletes whole duplicate rows,
+    snowflake_bq_deduplication_sync.py:214; Lee et al. cut the span).
+
+    Guarantee (not heuristic): anchors are winnowing-selected window
+    hashes — position p is selected iff it is the rightmost minimum of
+    some ``band``-length run of window hashes. Selection inside a shared
+    span depends only on hashes inside the span, so any common span of
+    length >= ``window + band - 1`` selects at least one anchor at the
+    SAME relative offset in both docs (alignment-free, unlike the stride
+    grid). Each anchor pair is verified by character comparison (hash
+    collisions die here) and extended left/right to its maximal run;
+    spans shorter than the guarantee are dropped so the output is
+    deterministic: exactly the set a quadratic per-diagonal scan
+    produces (equality pytest in tests/test_neardup.py).
+
+    Scale posture: the position explode is row-local and linear
+    (one row per char position; ~len-w+1 per doc); winnowing is one
+    per-doc window pass (partitioned by doc_id — parallel across docs);
+    anchors are ~2/(band+1) of positions; the candidate join is
+    anchor-hash bucketed — never all-pairs — and the extension is an
+    Arrow-batched mapInPandas over candidate rows only, each touching
+    just the two texts it extends. Work scales with true duplication
+    (anchors per shared span ~ span_len/band), not corpus²; enrolled in
+    SCALE_SMOKE.
+    """
+    from pyspark.sql import Window as W
+
+    from ..catalog import fan_out
+
+    docs = documents.select(
+        "doc_id", F.col(text_col).alias("__t")
+    ).filter(F.length("__t") >= window)
+    pos = fan_out(docs).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("__t") - window + 1)
+        ).alias("i"),
+        F.col("__t"),
+    ).select(
+        "doc_id",
+        "i",
+        F.xxhash64(
+            F.col("__t").substr(F.col("i"), F.lit(window))
+        ).alias("__h"),
+    )
+    # Rightmost-min winnowing: min(struct(h, -i)) over each band-length
+    # frame IS that frame's rightmost minimal hash; a position selected
+    # by any frame fully inside a shared span is selected identically in
+    # both docs. Tail frames (< band positions) select extra anchors —
+    # a harmless superset (everything verifies downstream).
+    frame = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, band - 1)
+    sel = F.min(F.struct(F.col("__h"), (-F.col("i")).alias("ni"))).over(
+        frame
+    )
+    anchors = (
+        pos.select("doc_id", sel.alias("__sel"))
+        .select(
+            "doc_id",
+            (-F.col("__sel.ni")).alias("i"),
+            F.col("__sel.__h").alias("__h"),
+        )
+        .distinct()
+    )
+    cand = (
+        anchors.select(
+            F.col("doc_id").alias("doc_a"), F.col("i").alias("sa"), "__h"
+        )
+        .join(
+            anchors.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("i").alias("sb"),
+                "__h",
+            ),
+            "__h",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sa", "doc_b", "sb")
+    )
+    withtexts = cand.join(
+        docs.select(F.col("doc_id").alias("doc_a"), F.col("__t").alias("__ta")),
+        "doc_a",
+    ).join(
+        docs.select(F.col("doc_id").alias("doc_b"), F.col("__t").alias("__tb")),
+        "doc_b",
+    )
+    w_len, min_len = int(window), int(window) + int(band) - 1
+
+    def _extend(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            da_o, db_o, sa_o, sb_o, ln_o = [], [], [], [], []
+            for da, db, sa, sb, ta, tb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["sa"], pdf["sb"],
+                pdf["__ta"], pdf["__tb"],
+            ):
+                i, j = int(sa) - 1, int(sb) - 1
+                if ta[i : i + w_len] != tb[j : j + w_len]:
+                    continue  # xxhash64 collision — exact verify kills it
+                left = 0
+                while (
+                    i - left - 1 >= 0
+                    and j - left - 1 >= 0
+                    and ta[i - left - 1] == tb[j - left - 1]
+                ):
+                    left += 1
+                right = 0
+                while (
+                    i + w_len + right < len(ta)
+                    and j + w_len + right < len(tb)
+                    and ta[i + w_len + right] == tb[j + w_len + right]
+                ):
+                    right += 1
+                span = w_len + left + right
+                if span >= min_len:
+                    da_o.append(da)
+                    db_o.append(db)
+                    sa_o.append(i - left + 1)
+                    sb_o.append(j - left + 1)
+                    ln_o.append(span)
+            yield pd.DataFrame(
+                {
+                    "doc_a": pd.Series(da_o, dtype="int64"),
+                    "doc_b": pd.Series(db_o, dtype="int64"),
+                    "start_a": pd.Series(sa_o, dtype="int64"),
+                    "start_b": pd.Series(sb_o, dtype="int64"),
+                    "span_len": pd.Series(ln_o, dtype="int64"),
+                }
+            )
+
+    return withtexts.mapInPandas(
+        _extend,
+        schema="doc_a long, doc_b long, start_a long, start_b long, "
+        "span_len long",
+    ).distinct()

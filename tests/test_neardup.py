@@ -423,3 +423,98 @@ def test_simhash_pairs_precomputed_signature_path_identical(spark, sf_dir):
     assert key(neardup.simhash_pairs(docs, sig=sig)) == key(
         neardup.simhash_pairs(docs)
     )
+
+
+def _naive_maximal_spans(texts: dict[int, str], min_len: int) -> set[tuple]:
+    """Quadratic per-diagonal reference for substring_dup_spans: for each
+    ordered doc pair and each alignment offset, scan maximal runs of
+    matching characters; report runs >= min_len with 1-indexed starts."""
+    out = set()
+    ids = sorted(texts)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ta, tb = texts[a], texts[b]
+            for diag in range(-(len(tb) - 1), len(ta)):
+                lo = max(0, diag)
+                hi = min(len(ta), len(tb) + diag)
+                run, start = 0, None
+                for i in range(lo, hi):
+                    if ta[i] == tb[i - diag]:
+                        if run == 0:
+                            start = i
+                        run += 1
+                    else:
+                        if run >= min_len:
+                            out.add((a, b, start + 1, start - diag + 1, run))
+                        run = 0
+                if run >= min_len:
+                    out.add((a, b, start + 1, start - diag + 1, run))
+    return out
+
+
+def _span_rows(df) -> set[tuple]:
+    return {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_len)
+        for r in df.collect()
+    }
+
+
+def test_substring_dup_spans_equals_naive_reference(spark):
+    """Seed-and-extend must reproduce the quadratic per-diagonal scan
+    EXACTLY for spans at/above the winnowing guarantee — including
+    repeats NOT aligned to any stride grid (the case the windowed
+    profile structurally misses)."""
+    import random
+
+    rng = random.Random(13)
+    shared1 = "".join(rng.choice("abcdefg ") for _ in range(65))
+    shared2 = "".join(rng.choice("hijklmn ") for _ in range(48))
+    def noise(n):
+        return "".join(rng.choice("opqrstuvwxyz") for _ in range(n))
+
+    texts = {
+        # shared1 at misaligned offsets (7 vs 30), shared2 at (88 vs 3)
+        1: noise(7) + shared1 + noise(16) + shared2 + noise(12),
+        2: noise(30) + shared1 + noise(5),
+        3: noise(3) + shared2 + noise(40),
+        4: noise(120),                       # no dup content
+    }
+    texts[5] = texts[2]                      # exact dup of doc 2
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = _span_rows(neardup.substring_dup_spans(docs))
+    want = _naive_maximal_spans(texts, neardup.SPAN_MIN_LEN)
+    assert want, "test corpus must contain guaranteed-length spans"
+    assert got == want
+    # the full-length exact-dup span (docs 2-5) must be present
+    assert (2, 5, 1, 1, len(texts[2])) in got
+
+
+def test_substring_dup_spans_random_corpus_equals_naive(spark):
+    """Property-style sweep on a seeded random corpus with planted
+    substrings at arbitrary offsets and periodic content (the
+    multiple-anchors-per-span and same-diagonal-twice cases)."""
+    import random
+
+    rng = random.Random(99)
+    motifs = [
+        "".join(rng.choice("abcd efgh") for _ in range(55)),
+        "xy" * 30,  # periodic: many self-similar anchors
+    ]
+    texts = {}
+    for d in range(12):
+        t = "".join(rng.choice("qrstuvwz") for _ in range(rng.randint(30, 90)))
+        for m in motifs:
+            if rng.random() < 0.5:
+                cut = rng.randint(0, len(t))
+                t = t[:cut] + m + t[cut:]
+        texts[d] = t
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = _span_rows(neardup.substring_dup_spans(docs))
+    want = _naive_maximal_spans(texts, neardup.SPAN_MIN_LEN)
+    assert got == want
+    assert want, "planted motifs must produce spans"
