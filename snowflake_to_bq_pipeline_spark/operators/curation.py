@@ -1518,3 +1518,64 @@ def source_quality_report(
         F.count(F.when(F.col("__bucket") == "medium", 1)).alias("n_medium"),
         F.count(F.when(F.col("__bucket") == "low", 1)).alias("n_low"),
     )
+
+
+#: Mutually-exclusive dedup verdict reason codes, in PRECEDENCE order:
+#: a doc flagged by several dedup families gets the strongest (cheapest
+#: to re-verify) reason — exact content hash beats lexical cluster beats
+#: semantic group; 'kept' only when no family drops it.
+DEDUP_REASONS = ("exact_dup", "near_dup", "semantic_dup", "kept")
+
+
+def dedup_provenance(
+    documents: DataFrame,
+    exact: DataFrame,
+    clusters: DataFrame,
+    semantic: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc dedup PROVENANCE verdict: one row per document with a
+    keep/drop decision and a single mutually-exclusive reason code — the
+    audit table a curation run ships next to the corpus so every dropped
+    doc is attributable to the family (and hence the re-verification
+    procedure) that dropped it. Engine form of the reference's
+    keep-one-per-key delete sweep (snowflake_bq_deduplication_sync.py:214),
+    generalized to the three dedup families the engine runs.
+
+    Inputs are the families' existing verdict tables:
+    - ``exact``: :func:`operators.neardup.exact_dedup` rows
+      (``is_duplicate`` = non-canonical member of a content-hash group);
+    - ``clusters``: :func:`operators.graph.dup_clusters` worklist over
+      the lexical Jaccard pairs (``is_canonical``) — sparse (only docs
+      in a dup pair);
+    - ``semantic``: a (doc_id, is_canonical) verdict over semantic
+      groups — sparse or full; e.g. transitive embedding-cosine groups
+      or the kmeans-scoped SemDeDup verdict (vec_id → doc_id,
+      ``keep`` → ``is_canonical``).
+
+    Precedence ``exact > near_dup > semantic_dup > kept`` makes reasons
+    mutually exclusive and the verdict total-conserving (every doc
+    exactly one row — pytest-pinned). Three sparse left joins on the
+    already-materialized family tables; no new corpus-scale shuffle.
+    """
+    ex = exact.select(id_col, F.col("is_duplicate").alias("__ex"))
+    nd = clusters.select(
+        id_col, (~F.col("is_canonical")).alias("__nd")
+    )
+    sem = semantic.select(
+        id_col, (~F.col("is_canonical")).alias("__sem")
+    )
+    reason = (
+        F.when(F.coalesce(F.col("__ex"), F.lit(False)), "exact_dup")
+        .when(F.coalesce(F.col("__nd"), F.lit(False)), "near_dup")
+        .when(F.coalesce(F.col("__sem"), F.lit(False)), "semantic_dup")
+        .otherwise("kept")
+    )
+    return (
+        documents.join(ex, id_col, "left")
+        .join(nd, id_col, "left")
+        .join(sem, id_col, "left")
+        .withColumn("reason", reason)
+        .withColumn("keep", F.col("reason") == "kept")
+        .drop("__ex", "__nd", "__sem")
+    )

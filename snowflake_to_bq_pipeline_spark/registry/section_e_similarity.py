@@ -710,18 +710,83 @@ def embedding_doc_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition. At realistic dedup thresholds (τ ≥ 0.9) switch
     method='lsh', which prunes and keeps full recall (recall-tested).
     Ref posture: snowflake_bq_deduplication_sync.py done at corpus scale.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.join(docs, emb.vec_id == docs.doc_id, "left_semi")
-    pairs = similarity.dup_pairs(vecs, _DUP_COS_TAU, method="blocked").select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "cosine"
+    r13: the pair table now rides a per-snapshot memo shared with the
+    dedup provenance rollup (its semantic verdict resolves transitive
+    groups over exactly these pairs)."""
+    return _embdoc_pairs_for(spark, sf_dir)
+
+
+#: Memoized embedding-cosine DOC pair table (doc_a, doc_b, lang_a,
+#: lang_b, cosine): the pair view (embedding_doc_dedup) and the
+#: semantic side of the provenance rollup consume the same blocked
+#: BLAS scan — near-dup-pair sized, single live handle.
+_EMBDOC_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _embdoc_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (
+        sf_dir,
+        _corpus_fingerprint(sf_dir, "documents", "embeddings"),
     )
-    la = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
-    lb = docs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
-    return pairs.join(la, "doc_a").join(lb, "doc_b").select(
-        "doc_a", "doc_b", "lang_a", "lang_b", "cosine"
+    df = _EMBDOC_PAIRS_CACHE.get(key)
+    if df is None:
+        for old in _EMBDOC_PAIRS_CACHE.values():
+            old.unpersist(blocking=False)
+        _EMBDOC_PAIRS_CACHE.clear()
+        from pyspark.storagelevel import StorageLevel
+
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        vecs = emb.join(docs, emb.vec_id == docs.doc_id, "left_semi")
+        pairs = similarity.dup_pairs(
+            vecs, _DUP_COS_TAU, method="blocked"
+        ).select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            "cosine",
+        )
+        la = docs.select(
+            F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
+        )
+        lb = docs.select(
+            F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
+        )
+        df = (
+            pairs.join(la, "doc_a")
+            .join(lb, "doc_b")
+            .select("doc_a", "doc_b", "lang_a", "lang_b", "cosine")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _EMBDOC_PAIRS_CACHE[key] = df
+    return df
+
+
+#: Memoized SEMANTIC dup-group worklist: transitive closure (pointer-
+#: jumping CC) over the embedding-cosine doc pairs — SemDeDup's exact
+#: reference semantics (transitive cosine groups, keep = min-id member;
+#: the kmeans scoping in semdedup_prune is the scale APPROXIMATION of
+#: exactly this rule). CC resolves count actions at plan-BUILD time, so
+#: the worklist materializes once per snapshot like _DUP_CLUSTERS_CACHE.
+_SEM_GROUPS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _sem_groups_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (
+        sf_dir,
+        _corpus_fingerprint(sf_dir, "documents", "embeddings"),
     )
+    df = _SEM_GROUPS_CACHE.get(key)
+    if df is None:
+        for old in _SEM_GROUPS_CACHE.values():
+            old.unpersist(blocking=False)
+        _SEM_GROUPS_CACHE.clear()
+        from pyspark.storagelevel import StorageLevel
+
+        df = graph.dup_clusters(
+            _embdoc_pairs_for(spark, sf_dir)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _SEM_GROUPS_CACHE[key] = df
+    return df
 
 
 @query(
@@ -1637,6 +1702,128 @@ def substring_dup_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup sweep (snowflake_bq_deduplication_sync.py:214)."""
     return neardup.substring_dup_profile(
         load_table(spark, sf_dir, "documents"), _SUBSTR_W, _SUBSTR_S
+    )
+
+
+@query(
+    "dedup_provenance_rollup",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_CLUSTER_LAB_SQL},
+    exh AS (SELECT doc_id, md5(text) AS ch FROM documents),
+    exg AS (SELECT ch, MIN(doc_id) AS cid FROM exh GROUP BY ch),
+    exv AS (
+      SELECT exh.doc_id, exh.doc_id != exg.cid AS ex_dup
+      FROM exh JOIN exg USING (ch)
+    ),
+    v AS (
+      SELECT d.doc_id, CAST(e.embedding AS DOUBLE[]) AS e
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    sp2 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM v a JOIN v b ON a.doc_id < b.doc_id
+      WHERE ROUND({_COS_SQL.format(d=_ANN_DIMS + 1, a='a', b='b')}, 6)
+            >= {_DUP_COS_TAU}
+    ),
+    sedges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM sp2
+      UNION SELECT doc_b, doc_a FROM sp2
+    ),
+    sreach(node, r) AS (
+      SELECT src, src FROM sedges
+      UNION
+      SELECT e.src, r.r FROM sedges e JOIN sreach r ON e.dst = r.node
+    ),
+    slab AS (SELECT node AS doc_id, MIN(r) AS cid
+             FROM sreach GROUP BY node),
+    per AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             CASE
+               WHEN exv.ex_dup THEN 'exact_dup'
+               WHEN l.doc_id IS NOT NULL AND l.doc_id != l.canonical_id
+                 THEN 'near_dup'
+               WHEN s.doc_id IS NOT NULL AND s.doc_id != s.cid
+                 THEN 'semantic_dup'
+               ELSE 'kept'
+             END AS reason
+      FROM documents d
+      JOIN exv USING (doc_id)
+      LEFT JOIN lab l USING (doc_id)
+      LEFT JOIN slab s USING (doc_id)
+    ),
+    tot AS (SELECT source, COUNT(*) AS n_src FROM per GROUP BY source)
+    SELECT per.source, per.reason,
+           COUNT(*) AS n_docs,
+           CAST(SUM(per.n_tokens) AS BIGINT) AS tokens_total,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n_src, 6) AS doc_share
+    FROM per JOIN tot ON per.source = tot.source
+    GROUP BY per.source, per.reason, tot.n_src
+    """,
+)
+def dedup_provenance_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, reason) rollup of the per-doc dedup PROVENANCE
+    verdict (operators/curation.dedup_provenance): every doc gets
+    exactly one mutually-exclusive reason by precedence exact_dup >
+    near_dup > semantic_dup > kept — the audit table a curation run
+    ships next to the corpus (engine form of the reference's
+    keep-one-per-key delete sweep,
+    snowflake_bq_deduplication_sync.py:270, with attribution). The
+    semantic verdict is SemDeDup's exact reference semantics —
+    transitive embedding-cosine groups, keep = min id — resolved over
+    the memoized embedding-doc pair table (the kmeans-scoped
+    semdedup_prune is the scale approximation of the same rule).
+    Counts + exact token sums + one rounded count ratio, so the rollup
+    is hash-exact on any engine. Rides the lexical cluster memo, the
+    embedding pair memo, and the semantic group memo; the only new work
+    is the constant-width exact-hash groupBy. Conservation (every doc
+    exactly one verdict; precedence exclusivity) pytest-pinned in
+    tests/test_curation.py."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_size(F.split(F.col("text"), " "))
+        .cast("long")
+        .alias("n_tokens"),
+        "text",
+    )
+    per = curation.dedup_provenance(
+        docs.select("doc_id", "source", "n_tokens"),
+        neardup.exact_dedup(docs),
+        _dup_clusters_for(spark, sf_dir),
+        _sem_groups_for(spark, sf_dir),
+    )
+    agg = per.groupBy("source", "reason").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_total"),
+    )
+    tot = per.groupBy("source").agg(F.count(F.lit(1)).alias("__n_src"))
+    return agg.join(F.broadcast(tot), "source").select(
+        "source",
+        "reason",
+        "n_docs",
+        "tokens_total",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("__n_src"), 6
+        ).alias("doc_share"),
+    )
+
+
+@query("substring_dup_spans")  # rows-only: winnowing anchors via xxhash64
+def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT maximal duplicated spans across doc pairs (Lee et al. 2021
+    ExactSubstr semantics; sub-document generalization of the
+    reference's row-level dedup sweep,
+    snowflake_bq_deduplication_sync.py:214): winnowing-selected window
+    anchors (alignment-free, unlike substring_dup_profile's stride
+    grid), each anchor pair verified by character comparison and
+    extended to its maximal run. Every span of length >=
+    window+band-1 is found with exact boundaries — pinned equal to a
+    naive per-diagonal quadratic reference in tests/test_neardup.py;
+    linearity enrolled in SCALE_SMOKE."""
+    return neardup.substring_dup_spans(
+        load_table(spark, sf_dir, "documents")
     )
 
 

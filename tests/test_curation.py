@@ -427,3 +427,172 @@ def test_score_docs_with_model_rejects_short_lut(spark):
     bad = dict(model, llr=model["llr"][:100])
     with pytest.raises(AssertionError, match="DSIR_BUCKETS"):
         curation.score_docs_with_model(docs, bad)
+
+
+def test_dedup_provenance_conservation_and_precedence(spark, sf_dir):
+    """Every doc gets EXACTLY one verdict row and one reason; reasons are
+    mutually exclusive by precedence (exact beats lexical beats
+    semantic), and keep <=> reason == 'kept'."""
+    from snowflake_to_bq_pipeline_spark.operators import neardup
+    from snowflake_to_bq_pipeline_spark.registry import (
+        section_e_similarity as S,
+    )
+
+    full = load_table(spark, sf_dir, "documents")
+    docs = full.select("doc_id", "source")
+    exact = neardup.exact_dedup(full)
+    per = curation.dedup_provenance(
+        docs,
+        exact,
+        S._dup_clusters_for(spark, sf_dir),
+        S._sem_groups_for(spark, sf_dir),
+    )
+    rows = per.collect()
+    n_docs = docs.count()
+    assert len(rows) == n_docs, "verdict table must conserve doc count"
+    assert len({r.doc_id for r in rows}) == n_docs, "one row per doc"
+    assert all(r.reason in curation.DEDUP_REASONS for r in rows)
+    assert all(r.keep == (r.reason == "kept") for r in rows)
+    by_doc = {r.doc_id: r.reason for r in rows}
+    ex = {r.doc_id for r in exact.collect() if r.is_duplicate}
+    assert all(by_doc[d] == "exact_dup" for d in ex), (
+        "exact precedence: exact-hash dups must never be attributed to a "
+        "weaker family"
+    )
+    nd = {
+        r.doc_id
+        for r in S._dup_clusters_for(spark, sf_dir).collect()
+        if not r.is_canonical
+    }
+    assert nd - ex, "corpus contains non-exact lexical near-dups"
+    assert all(by_doc[d] in ("exact_dup", "near_dup") for d in nd)
+    sem = {
+        r.doc_id
+        for r in S._sem_groups_for(spark, sf_dir).collect()
+        if not r.is_canonical
+    }
+    assert all(
+        by_doc[d] in ("exact_dup", "near_dup", "semantic_dup") for d in sem
+    )
+    # everything NOT flagged by any family is kept
+    flagged = ex | nd | sem
+    assert all(
+        by_doc[d] == "kept"
+        for d in by_doc
+        if d not in flagged
+    )
+
+
+def test_dedup_provenance_precedence_on_overlapping_verdicts(spark):
+    """A doc flagged by SEVERAL families carries the strongest reason
+    only — crafted corpus where one doc is simultaneously an exact dup,
+    a lexical cluster member, and a semantic group member."""
+    docs = spark.createDataFrame(
+        [(1, "s"), (2, "s"), (3, "s"), (4, "s"), (5, "s")],
+        "doc_id long, source string",
+    )
+    exact = spark.createDataFrame(
+        # doc 2 = exact copy of 1; others unique
+        [(1, False), (2, True), (3, False), (4, False), (5, False)],
+        "doc_id long, is_duplicate boolean",
+    )
+    clusters = spark.createDataFrame(
+        # lexical cluster {1, 2, 3}: canonical 1 — doc 2 overlaps exact
+        [(1, True), (2, False), (3, False)],
+        "doc_id long, is_canonical boolean",
+    )
+    semantic = spark.createDataFrame(
+        # semantic group {1, 2, 3, 4}: doc 4 only reachable semantically
+        [(1, True), (2, False), (3, False), (4, False)],
+        "doc_id long, is_canonical boolean",
+    )
+    out = {
+        r.doc_id: (r.reason, r.keep)
+        for r in curation.dedup_provenance(
+            docs, exact, clusters, semantic
+        ).collect()
+    }
+    assert out == {
+        1: ("kept", True),
+        2: ("exact_dup", False),      # beats near_dup AND semantic_dup
+        3: ("near_dup", False),       # beats semantic_dup
+        4: ("semantic_dup", False),
+        5: ("kept", True),
+    }
+
+
+def test_dedup_provenance_accepts_semdedup_verdicts(spark, sf_dir):
+    """The kmeans-scoped SemDeDup verdict table (semdedup_prune) plugs
+    into the same combiner: vec_id -> doc_id, keep -> is_canonical —
+    so a pipeline can ship provenance under either semantic rule."""
+    from pyspark.sql import functions as F
+    from snowflake_to_bq_pipeline_spark.operators import neardup
+    from snowflake_to_bq_pipeline_spark.registry import (
+        section_e_similarity as S,
+    )
+
+    full = load_table(spark, sf_dir, "documents")
+    docs = full.select("doc_id", "source")
+    sem = S._semdedup_for(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("keep").alias("is_canonical"),
+    )
+    per = curation.dedup_provenance(
+        docs,
+        neardup.exact_dedup(full),
+        S._dup_clusters_for(spark, sf_dir),
+        sem,
+    )
+    rows = per.collect()
+    assert len(rows) == docs.count()
+    dropped = {r["doc_id"] for r in sem.collect() if not r["is_canonical"]}
+    assert dropped, "semdedup drops something on the test corpus"
+    by_doc = {r.doc_id: r.reason for r in rows}
+    assert all(
+        by_doc[d] in ("exact_dup", "near_dup", "semantic_dup")
+        for d in dropped
+    )
+
+
+def test_classifier_gate_funnel_agrees_with_scores(spark, sf_dir):
+    """The funnel's nb_classifier stage must agree ROW-FOR-ROW with
+    quality_classifier_scores.pred_curated: recompute the four heuristic
+    gates per doc in Python, intersect with the scores view's verdicts,
+    and the stage-5 counts must match exactly."""
+    import re
+
+    from snowflake_to_bq_pipeline_spark.registry import QUERIES
+
+    funnel = {
+        r.gate_name: r
+        for r in QUERIES["classifier_gate_funnel"](spark, sf_dir).collect()
+    }
+    pred = {
+        r.doc_id: r.pred_curated
+        for r in QUERIES["quality_classifier_scores"](
+            spark, sf_dir
+        ).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert set(pred) == {d.doc_id for d in docs}
+
+    def heuristic_survivor(d) -> bool:
+        ts = re.findall(r"[a-z0-9]+", d.text)
+        return (
+            20 <= len(ts) <= 90
+            and len(set(ts)) / len(ts) >= 0.5
+            and d.lang == "en"
+        )
+
+    surv4 = [d.doc_id for d in docs if heuristic_survivor(d)]
+    assert funnel["nb_classifier"].docs_in == len(surv4)
+    assert funnel["nb_classifier"].docs_kept == sum(
+        1 for d in surv4 if pred[d]
+    )
+    # the heuristic prefix must be exactly quality_filter_funnel's
+    base = {
+        r.gate_name: (r.docs_in, r.docs_kept)
+        for r in QUERIES["quality_filter_funnel"](spark, sf_dir).collect()
+    }
+    for g in ("min_tokens", "max_tokens", "diversity", "lang_en"):
+        assert (funnel[g].docs_in, funnel[g].docs_kept) == base[g]
