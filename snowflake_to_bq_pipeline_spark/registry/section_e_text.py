@@ -1237,6 +1237,71 @@ _NBQ_CURATED = ("src0", "src1")
 _NBQ_CUR_SQL = "('src0', 'src1')"
 
 
+#: Shared oracle CTE chain for the trained NB classifier: ends in a
+#: ``docscores`` CTE with one row per document (doc_id, source,
+#: label_curated, is_heldout, n_grams, log_odds, pred_curated) — the
+#: scores view SELECTs it verbatim, the calibration report and the
+#: classifier-gated funnel aggregate it. One definition so the three
+#: oracles can never drift from each other.
+_NBQ_DOCSCORES_CTES = f"""sp AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             substr(md5(w[i] || ' ' || w[i+1]), 1, 3) AS bucket
+      FROM (
+        SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+        FROM sp WHERE len(w) >= 2
+      )
+    ),
+    tg AS (SELECT * FROM g
+           WHERE doc_id % {{holdout}} != 0),
+    tc AS (SELECT bucket, COUNT(*) AS ct FROM tg
+           WHERE source IN {{cur}} GROUP BY bucket),
+    cc AS (SELECT bucket, COUNT(*) AS cr FROM tg
+           WHERE source NOT IN {{cur}} GROUP BY bucket),
+    nt AS (SELECT COUNT(*) AS nt FROM tg WHERE source IN {{cur}}),
+    nc AS (SELECT COUNT(*) AS nc FROM tg
+           WHERE source NOT IN {{cur}}),
+    pr AS (
+      SELECT COUNT(*) FILTER (WHERE source IN {{cur}}) AS dcur,
+             COUNT(*) FILTER (WHERE source NOT IN {{cur}}) AS dcr
+      FROM documents WHERE doc_id % {{holdout}} != 0
+    ),
+    scored AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             SUM(CAST(round(ln(
+               (CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+                * CAST(nc.nc + {curation.DSIR_BUCKETS} AS DOUBLE))
+               / (CAST(COALESCE(cc.cr, 0) + 1 AS DOUBLE)
+                  * CAST(nt.nt + {curation.DSIR_BUCKETS} AS DOUBLE))
+             ), 9) AS DECIMAL(28,12))) AS lw
+      FROM g
+      LEFT JOIN tc USING (bucket)
+      LEFT JOIN cc USING (bucket)
+      CROSS JOIN nt CROSS JOIN nc
+      GROUP BY g.doc_id
+    ),
+    docscores AS (
+      SELECT d.doc_id, d.source,
+             d.source IN {{cur}} AS label_curated,
+             d.doc_id % {{holdout}} = 0 AS is_heldout,
+             COALESCE(s.n_grams, 0) AS n_grams,
+             ROUND(CAST(
+               CAST(round(ln((CAST(pr.dcur AS DOUBLE) + 1)
+                             / (CAST(pr.dcr AS DOUBLE) + 1)), 9)
+                    AS DECIMAL(28,12))
+               + COALESCE(s.lw, 0) AS DOUBLE), 6) AS log_odds,
+             (CAST(round(ln((CAST(pr.dcur AS DOUBLE) + 1)
+                            / (CAST(pr.dcr AS DOUBLE) + 1)), 9)
+                   AS DECIMAL(28,12))
+              + COALESCE(s.lw, 0)) > 0 AS pred_curated
+      FROM documents d
+      LEFT JOIN scored s USING (doc_id)
+      CROSS JOIN pr
+    )""".format(holdout=curation.NBQ_HOLDOUT_MOD, cur=_NBQ_CUR_SQL)
+
+
 #: Per-snapshot NB classifier score table: the scores view and the
 #: per-source calibration report consume the same per-doc verdicts, so
 #: the gram-stream aggregation runs once per corpus (same
@@ -1280,61 +1345,10 @@ def _nbq_scores_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quality_classifier_scores",
     oracle=f"""
-    WITH sp AS (
-      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
-    ),
-    g AS (
-      SELECT doc_id, source,
-             substr(md5(w[i] || ' ' || w[i+1]), 1, 3) AS bucket
-      FROM (
-        SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
-        FROM sp WHERE len(w) >= 2
-      )
-    ),
-    tg AS (SELECT * FROM g
-           WHERE doc_id % {curation.NBQ_HOLDOUT_MOD} != 0),
-    tc AS (SELECT bucket, COUNT(*) AS ct FROM tg
-           WHERE source IN {_NBQ_CUR_SQL} GROUP BY bucket),
-    cc AS (SELECT bucket, COUNT(*) AS cr FROM tg
-           WHERE source NOT IN {_NBQ_CUR_SQL} GROUP BY bucket),
-    nt AS (SELECT COUNT(*) AS nt FROM tg WHERE source IN {_NBQ_CUR_SQL}),
-    nc AS (SELECT COUNT(*) AS nc FROM tg
-           WHERE source NOT IN {_NBQ_CUR_SQL}),
-    pr AS (
-      SELECT COUNT(*) FILTER (WHERE source IN {_NBQ_CUR_SQL}) AS dcur,
-             COUNT(*) FILTER (WHERE source NOT IN {_NBQ_CUR_SQL}) AS dcr
-      FROM documents WHERE doc_id % {curation.NBQ_HOLDOUT_MOD} != 0
-    ),
-    scored AS (
-      SELECT g.doc_id, COUNT(*) AS n_grams,
-             SUM(CAST(round(ln(
-               (CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
-                * CAST(nc.nc + {curation.DSIR_BUCKETS} AS DOUBLE))
-               / (CAST(COALESCE(cc.cr, 0) + 1 AS DOUBLE)
-                  * CAST(nt.nt + {curation.DSIR_BUCKETS} AS DOUBLE))
-             ), 9) AS DECIMAL(28,12))) AS lw
-      FROM g
-      LEFT JOIN tc USING (bucket)
-      LEFT JOIN cc USING (bucket)
-      CROSS JOIN nt CROSS JOIN nc
-      GROUP BY g.doc_id
-    )
-    SELECT d.doc_id, d.source,
-           d.source IN {_NBQ_CUR_SQL} AS label_curated,
-           d.doc_id % {curation.NBQ_HOLDOUT_MOD} = 0 AS is_heldout,
-           COALESCE(s.n_grams, 0) AS n_grams,
-           ROUND(CAST(
-             CAST(round(ln((CAST(pr.dcur AS DOUBLE) + 1)
-                           / (CAST(pr.dcr AS DOUBLE) + 1)), 9)
-                  AS DECIMAL(28,12))
-             + COALESCE(s.lw, 0) AS DOUBLE), 6) AS log_odds,
-           (CAST(round(ln((CAST(pr.dcur AS DOUBLE) + 1)
-                          / (CAST(pr.dcr AS DOUBLE) + 1)), 9)
-                 AS DECIMAL(28,12))
-            + COALESCE(s.lw, 0)) > 0 AS pred_curated
-    FROM documents d
-    LEFT JOIN scored s USING (doc_id)
-    CROSS JOIN pr
+    WITH {_NBQ_DOCSCORES_CTES}
+    SELECT doc_id, source, label_curated, is_heldout, n_grams,
+           log_odds, pred_curated
+    FROM docscores
     """,
 )
 def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1356,57 +1370,7 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # COUNTS per (source, train/heldout cell) — the numbers a
     # threshold-picking pass reads anyway.
     oracle=f"""
-    WITH sp AS (
-      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
-    ),
-    g AS (
-      SELECT doc_id, source,
-             substr(md5(w[i] || ' ' || w[i+1]), 1, 3) AS bucket
-      FROM (
-        SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
-        FROM sp WHERE len(w) >= 2
-      )
-    ),
-    tg AS (SELECT * FROM g
-           WHERE doc_id % {curation.NBQ_HOLDOUT_MOD} != 0),
-    tc AS (SELECT bucket, COUNT(*) AS ct FROM tg
-           WHERE source IN {_NBQ_CUR_SQL} GROUP BY bucket),
-    cc AS (SELECT bucket, COUNT(*) AS cr FROM tg
-           WHERE source NOT IN {_NBQ_CUR_SQL} GROUP BY bucket),
-    nt AS (SELECT COUNT(*) AS nt FROM tg WHERE source IN {_NBQ_CUR_SQL}),
-    nc AS (SELECT COUNT(*) AS nc FROM tg
-           WHERE source NOT IN {_NBQ_CUR_SQL}),
-    pr AS (
-      SELECT COUNT(*) FILTER (WHERE source IN {_NBQ_CUR_SQL}) AS dcur,
-             COUNT(*) FILTER (WHERE source NOT IN {_NBQ_CUR_SQL}) AS dcr
-      FROM documents WHERE doc_id % {curation.NBQ_HOLDOUT_MOD} != 0
-    ),
-    scored AS (
-      SELECT g.doc_id,
-             SUM(CAST(round(ln(
-               (CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
-                * CAST(nc.nc + {curation.DSIR_BUCKETS} AS DOUBLE))
-               / (CAST(COALESCE(cc.cr, 0) + 1 AS DOUBLE)
-                  * CAST(nt.nt + {curation.DSIR_BUCKETS} AS DOUBLE))
-             ), 9) AS DECIMAL(28,12))) AS lw
-      FROM g
-      LEFT JOIN tc USING (bucket)
-      LEFT JOIN cc USING (bucket)
-      CROSS JOIN nt CROSS JOIN nc
-      GROUP BY g.doc_id
-    ),
-    docscores AS (
-      SELECT d.doc_id, d.source,
-             d.source IN {_NBQ_CUR_SQL} AS label_curated,
-             d.doc_id % {curation.NBQ_HOLDOUT_MOD} = 0 AS is_heldout,
-             (CAST(round(ln((CAST(pr.dcur AS DOUBLE) + 1)
-                            / (CAST(pr.dcr AS DOUBLE) + 1)), 9)
-                   AS DECIMAL(28,12))
-              + COALESCE(s.lw, 0)) > 0 AS pred_curated
-      FROM documents d
-      LEFT JOIN scored s USING (doc_id)
-      CROSS JOIN pr
-    )
+    WITH {_NBQ_DOCSCORES_CTES}
     SELECT source, label_curated,
            COUNT(*) AS n_docs,
            COUNT(*) FILTER (WHERE is_heldout) AS n_heldout,
@@ -1447,6 +1411,93 @@ def quality_classifier_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(heldout_pred.cast("double") / n_heldout, 6),
         ).alias("heldout_pred_share"),
     )
+
+
+@query(
+    "classifier_gate_funnel",
+    oracle=f"""
+    WITH {_NBQ_DOCSCORES_CTES},
+    t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_FUNNEL_TOKEN_RE}')) AS n_tok,
+             len(list_distinct(regexp_extract_all(text, '{_FUNNEL_TOKEN_RE}')))
+               AS n_dist,
+             lang
+      FROM documents
+    ),
+    j AS (
+      SELECT t.n_tok, t.n_dist, t.lang, ds.pred_curated
+      FROM t JOIN docscores ds USING (doc_id)
+    ),
+    a AS (
+      SELECT COUNT(*) AS total,
+             COUNT(CASE WHEN n_tok >= 20 THEN 1 END) AS s1,
+             COUNT(CASE WHEN n_tok >= 20 AND n_tok <= 90 THEN 1 END) AS s2,
+             COUNT(CASE WHEN n_tok >= 20 AND n_tok <= 90
+                        AND CAST(n_dist AS DOUBLE) / n_tok >= 0.5
+                   THEN 1 END) AS s3,
+             COUNT(CASE WHEN n_tok >= 20 AND n_tok <= 90
+                        AND CAST(n_dist AS DOUBLE) / n_tok >= 0.5
+                        AND lang = 'en' THEN 1 END) AS s4,
+             COUNT(CASE WHEN n_tok >= 20 AND n_tok <= 90
+                        AND CAST(n_dist AS DOUBLE) / n_tok >= 0.5
+                        AND lang = 'en' AND pred_curated THEN 1 END) AS s5
+      FROM j
+    ),
+    staged AS (
+      SELECT CAST(1 AS BIGINT) AS stage, 'min_tokens' AS gate_name,
+             total AS docs_in, s1 AS docs_kept FROM a
+      UNION ALL SELECT 2, 'max_tokens', s1, s2 FROM a
+      UNION ALL SELECT 3, 'diversity', s2, s3 FROM a
+      UNION ALL SELECT 4, 'lang_en', s3, s4 FROM a
+      UNION ALL SELECT 5, 'nb_classifier', s4, s5 FROM a
+    )
+    SELECT stage, gate_name, docs_in, docs_kept,
+           docs_in - docs_kept AS docs_dropped,
+           CASE WHEN docs_in > 0
+                THEN ROUND(CAST(docs_in - docs_kept AS DOUBLE)
+                           / CAST(docs_in AS DOUBLE), 4)
+                ELSE 0.0 END AS drop_rate
+    FROM staged
+    """,
+)
+def classifier_gate_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_filter_funnel extended with the trained NB model gate:
+    the same nested-conditional one-pass aggregate reports heuristic AND
+    model-gated survivor counts together (ref parity: the reference's
+    layered validation culture,
+    work_item_budget_vs_actual_validation_queries.sql — each gate's
+    survivors feed the next check). The model gate is ``pred_curated``,
+    i.e. log_odds > 0 — the operating point whose per-source held-out
+    calibration quality_classifier_report publishes; a pipeline picking
+    a different threshold shifts the same column. Rides the per-snapshot
+    NB score memo (one equi-join added to the funnel's row-local pass);
+    gate-column agreement with quality_classifier_scores.pred_curated is
+    pytest-pinned in tests/test_curation.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_FUNNEL_TOKEN_RE), 0)
+    flagged = docs.select(
+        "doc_id",
+        F.array_size(toks).alias("__nt"),
+        F.array_size(F.array_distinct(toks)).alias("__nd"),
+        F.col("lang"),
+    )
+    joined = flagged.join(
+        _nbq_scores_for(spark, sf_dir).select("doc_id", "pred_curated"),
+        "doc_id",
+    )
+    gates = [
+        ("min_tokens", F.col("__nt") >= 20),
+        ("max_tokens", F.col("__nt") <= 90),
+        (
+            "diversity",
+            (F.col("__nd").cast("double") / F.col("__nt").cast("double"))
+            >= 0.5,
+        ),
+        ("lang_en", F.col("lang") == "en"),
+        ("nb_classifier", F.col("pred_curated")),
+    ]
+    return curation.quality_funnel(joined, gates)
 
 
 @query(
