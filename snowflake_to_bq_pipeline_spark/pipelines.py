@@ -100,3 +100,199 @@ def build_training_corpus(
     write_training_shards(out, out_path, order_col="doc_id")
     stats["written"] = spark.read.parquet(out_path).count()
     return stats
+
+
+# ---------------------------------------------------------------------------
+# Incremental daily curation — the daily-increment twin of
+# build_training_corpus, and the engine form of the reference's daily
+# sync discipline (snowflake_bq_sync_daily Time Details/main.py:
+# date-window DELETE + INSERT per run; *_sync_daily/main.py): each run
+# owns one partition of the standing state, so re-running a day is
+# idempotent, and the accepted corpus after N increments is provably the
+# batch rebuild on the union (pytest-pinned).
+# ---------------------------------------------------------------------------
+
+
+def _read_state_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
+def run_daily_increment(
+    spark: SparkSession,
+    state_dir: str,
+    increment: DataFrame,
+    run_id: str,
+    model: dict,
+    jaccard_tau: float = 0.6,
+    n_shards: int = 8,
+) -> dict[str, int]:
+    """One daily curation run: score the increment with the STANDING NB
+    model, drop docs that duplicate the standing corpus (or an earlier
+    doc of the same increment), assign split-stable train/val/test, and
+    APPEND token-balanced shard assignments — all against persistent
+    state under ``state_dir``:
+
+    - ``{state_dir}/seen/__run=<id>``: every quality-passing doc of the
+      run (INCLUDING dedup-dropped ones — they stay in the standing
+      dedup index, exactly like the batch pair table sees them);
+    - ``{state_dir}/corpus/__run=<id>``: the accepted rows with
+      ``split``/``shard_id``/score columns.
+
+    Idempotence by the reference's date-window discipline: each run
+    OVERWRITES its own ``__run`` partition and the standing state it
+    reads EXCLUDES that partition, so re-running a day converges to the
+    identical state (delete+insert, pytest-pinned).
+
+    Merge ≡ recompute: the dedup rule is keep-first greedy — doc d is
+    dropped iff some quality-passing doc with a SMALLER doc_id matches
+    it at ``jaccard_tau`` (standing index probe via
+    incremental_neardup_check + the intra-increment pair check). That
+    rule is a pure per-doc function of the union, so increment-then-
+    increment equals one batch :func:`rebuild_corpus` on the union —
+    the same merge≡recompute property the sync family pins. It requires
+    arrival order == doc_id order (new docs get larger ids than every
+    seen doc), ASSERTED per run. Split assignment hashes each accepted
+    doc's own id, which here IS the cluster-canonical key: any doc whose
+    cluster canonical is older was dropped, so every accepted doc is its
+    own canonical (the cluster-safe property by construction).
+
+    Scale posture: the expensive side of every join is the standing
+    corpus, touched exactly as the standing-index queries touch it
+    (inverted shingle probe); the increment is small. The shard append
+    deals the increment rank-round-robin starting from the LIGHTEST
+    standing shards — O(n_shards) driver state, one tiny aggregate over
+    the standing corpus state.
+    """
+    from .operators.sync import global_row_number
+
+    inc = increment.select("doc_id", "source", "text")
+    n_inc = inc.count()
+
+    seen_path = f"{state_dir}/seen"
+    corpus_path = f"{state_dir}/corpus"
+    seen = _read_state_or_empty(
+        spark, seen_path, "doc_id long, source string, text string, __run string"
+    ).filter(F.col("__run") != run_id)
+
+    # arrival-order contract: doc_id precedence == run precedence
+    max_seen = seen.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    min_inc = inc.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
+    if max_seen is not None and min_inc is not None and min_inc <= max_seen:
+        raise ValueError(
+            f"run_daily_increment: increment ids must exceed every seen "
+            f"id (min increment {min_inc} <= max seen {max_seen}) — the "
+            "keep-first dedup rule needs arrival order == id order"
+        )
+
+    # 1. standing-model quality gate (row-local, shuffle-free scorer)
+    scored = curation.score_docs_with_model(inc, model).select(
+        "doc_id", "n_grams", "log_odds", "pred_curated"
+    )
+    inc_q = inc.join(
+        scored.filter(F.col("pred_curated")).select(
+            "doc_id", "log_odds"
+        ),
+        "doc_id",
+    )
+    n_quality = inc_q.count()
+
+    # 2a. dedup vs the STANDING corpus (quality-passing seen docs)
+    std_dup = neardup.incremental_neardup_check(
+        seen.select("doc_id", "text"),
+        inc_q.select("doc_id", "text"),
+        jaccard_tau,
+    ).filter(F.col("is_duplicate")).select("doc_id")
+    # 2b. dedup WITHIN the increment: keep-first — drop the larger id of
+    # every pair (matches the batch rule "has a smaller-id neighbor")
+    intra_dup = neardup.ngram_jaccard_pairs(
+        inc_q.select("doc_id", "text"), jaccard_tau
+    ).select(F.col("doc_b").alias("doc_id")).distinct()
+    dropped = std_dup.unionByName(intra_dup).distinct()
+    accepted = inc_q.join(dropped, "doc_id", "left_anti")
+
+    # 3. split-stable assignment (pure function of doc_id — see above)
+    accepted = curation.dataset_split(accepted, "doc_id")
+    n_tokens = F.array_size(F.split(F.col("text"), " ")).cast("long")
+    accepted = accepted.withColumn("n_tokens", n_tokens)
+
+    # 4. token-balanced shard APPEND: deal increment ranks (token desc)
+    # round-robin across shards ordered lightest-first by standing load
+    prior = _read_state_or_empty(
+        spark,
+        corpus_path,
+        "doc_id long, n_tokens long, shard_id long, __run string",
+    ).filter(F.col("__run") != run_id)
+    standing = {
+        r["shard_id"]: r["t"]
+        for r in prior.groupBy("shard_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    order = sorted(
+        range(n_shards), key=lambda s: (standing.get(s, 0), s)
+    )
+    ranked = global_row_number(
+        accepted.withColumn("__neg_nt", -F.col("n_tokens")),
+        ["__neg_nt", "doc_id"],
+    )
+    deal = F.element_at(
+        F.array(*[F.lit(s) for s in order]),
+        ((F.col("__rn") - 1) % n_shards + 1).cast("int"),
+    )
+    out = ranked.withColumn("shard_id", deal.cast("long")).drop(
+        "__neg_nt", "__rn"
+    )
+
+    # 5. date-window delete+insert: each run owns its __run partition
+    inc_q.select("doc_id", "source", "text").write.mode(
+        "overwrite"
+    ).parquet(f"{seen_path}/__run={run_id}")
+    out.write.mode("overwrite").parquet(f"{corpus_path}/__run={run_id}")
+
+    n_std = std_dup.count()
+    n_intra = dropped.count() - n_std
+    return {
+        "increment": n_inc,
+        "after_quality": n_quality,
+        "dup_vs_standing": n_std,
+        "dup_within_increment": n_intra,
+        "appended": spark.read.parquet(
+            f"{corpus_path}/__run={run_id}"
+        ).count(),
+    }
+
+
+def rebuild_corpus(
+    spark: SparkSession,
+    all_docs: DataFrame,
+    model: dict,
+    jaccard_tau: float = 0.6,
+) -> DataFrame:
+    """Batch rebuild on the full union — the merge≡recompute reference
+    for :func:`run_daily_increment` (pytest-pinned equal). Same rules,
+    batch plans: standing-model score (identical row-local expression),
+    keep-first greedy dedup as one pair-table anti-join (doc dropped iff
+    a quality-passing smaller-id neighbor exists at tau), split by id
+    hash. Returns the accepted per-doc frame (doc_id, source, text,
+    log_odds, split, n_tokens)."""
+    docs = all_docs.select("doc_id", "source", "text")
+    scored = curation.score_docs_with_model(docs, model)
+    q = docs.join(
+        scored.filter(F.col("pred_curated")).select("doc_id", "log_odds"),
+        "doc_id",
+    )
+    dropped = (
+        neardup.ngram_jaccard_pairs(q.select("doc_id", "text"), jaccard_tau)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = q.join(dropped, "doc_id", "left_anti")
+    kept = curation.dataset_split(kept, "doc_id")
+    return kept.withColumn(
+        "n_tokens", F.array_size(F.split(F.col("text"), " ")).cast("long")
+    )

@@ -91,3 +91,181 @@ def test_cli_list_and_run(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     payload = _json.loads(r.stdout.strip().splitlines()[-1])
     assert payload["rows"] > 0
+
+
+def _inc_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+CUR = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lam mu nu xi omicron pi rho sigma tau upsilon"
+)
+# Interior words affect 3 shingles each; 2 changes -> jaccard 0.5 and
+# 3 changes -> 1/3, both under tau=0.6 (an EDGE-word change would only
+# touch 1-2 shingles and leave the text a 0.8-jaccard near-dup).
+CUR2 = CUR.replace("delta", "phi").replace("rho", "chi")
+CUR3 = (
+    CUR.replace("zeta", "qq1")
+    .replace("omicron", "qq2")
+    .replace("sigma", "qq3")
+)
+CUR4 = (
+    CUR.replace("gamma", "rr1")
+    .replace("iota", "rr2")
+    .replace("pi ", "rr3 ")
+)
+GARBAGE = "zz qq xx ww vv uu tt ss rr pp oo nn mm ll kk jj ii hh gg ff"
+
+
+def _state_rows(spark, state_dir):
+    corpus = spark.read.parquet(f"{state_dir}/corpus")
+    seen = spark.read.parquet(f"{state_dir}/seen")
+    return (
+        sorted(
+            tuple(r)
+            for r in corpus.select(
+                "doc_id", "source", "split", "shard_id", "log_odds"
+            ).collect()
+        ),
+        sorted(
+            tuple(r) for r in seen.select("doc_id", "source").collect()
+        ),
+    )
+
+
+def _fixture(spark):
+    """Base model + two increments with quality rejects, an intra-
+    increment dup, a standing dup, and a NEAR (one-word-off) standing
+    dup."""
+    from snowflake_to_bq_pipeline_spark.operators import curation
+
+    base = _inc_df(
+        spark,
+        [(i, "cur", CUR) for i in range(1, 21)]
+        + [(i, "raw", GARBAGE) for i in range(21, 41)],
+    )
+    model = curation.train_nbq_model(base, ("cur",))
+    inc_a = _inc_df(
+        spark,
+        [
+            (101, "raw", CUR),            # keep
+            (102, "raw", CUR2),           # keep
+            (103, "raw", CUR),            # intra dup of 101 -> drop
+            (104, "raw", GARBAGE),        # quality reject
+            (105, "raw", CUR3),           # keep
+        ],
+    )
+    near_cur = CUR.replace("kappa", "lambda2")  # ~0.85 jaccard vs CUR
+    inc_b = _inc_df(
+        spark,
+        [
+            (201, "raw", CUR2),           # standing dup of 102 -> drop
+            (202, "raw", CUR4),           # keep
+            (203, "raw", CUR4),           # intra dup of 202 -> drop
+            (204, "raw", GARBAGE),        # quality reject
+            (205, "raw", near_cur),       # NEAR standing dup of 101 -> drop
+        ],
+    )
+    return model, inc_a, inc_b
+
+
+def test_daily_increment_funnel_and_idempotent_rerun(spark, tmp_path):
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b = _fixture(spark)
+    state = str(tmp_path / "state")
+    s1 = pipelines.run_daily_increment(spark, state, inc_a, "d1", model)
+    assert s1 == {
+        "increment": 5,
+        "after_quality": 4,
+        "dup_vs_standing": 0,
+        "dup_within_increment": 1,
+        "appended": 3,
+    }
+    s2 = pipelines.run_daily_increment(spark, state, inc_b, "d2", model)
+    assert s2 == {
+        "increment": 5,
+        "after_quality": 4,
+        "dup_vs_standing": 2,
+        "dup_within_increment": 1,
+        "appended": 1,
+    }
+    before = _state_rows(spark, state)
+    # idempotent re-run of the same day: delete+insert of its own
+    # partition converges to the identical state AND identical stats
+    s2_again = pipelines.run_daily_increment(
+        spark, state, inc_b, "d2", model
+    )
+    assert s2_again == s2
+    assert _state_rows(spark, state) == before
+    # dedup-dropped docs stay in the standing index (seen), quality
+    # rejects do not
+    seen_ids = {t[0] for t in before[1]}
+    assert seen_ids == {101, 102, 103, 105, 201, 202, 203, 205}
+
+
+def test_daily_increments_equal_batch_rebuild_on_union(spark, tmp_path):
+    """Merge ≡ recompute: increment-then-increment must accept exactly
+    the docs one batch rebuild on the union accepts, with identical
+    scores and split assignments (the property the sync family pins for
+    MERGE; shard ids are run-order state by design and excluded)."""
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b = _fixture(spark)
+    state = str(tmp_path / "state")
+    pipelines.run_daily_increment(spark, state, inc_a, "d1", model)
+    pipelines.run_daily_increment(spark, state, inc_b, "d2", model)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/corpus")
+        .select("doc_id", "source", "log_odds", "split", "n_tokens")
+        .collect()
+    )
+    rebuilt = pipelines.rebuild_corpus(
+        spark, inc_a.unionByName(inc_b), model
+    )
+    want = sorted(
+        tuple(r)
+        for r in rebuilt.select(
+            "doc_id", "source", "log_odds", "split", "n_tokens"
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 4  # 101, 102, 105, 202
+
+
+def test_daily_increment_contract_and_shard_balance(spark, tmp_path):
+    from snowflake_to_bq_pipeline_spark import pipelines
+    import pytest
+
+    model, inc_a, inc_b = _fixture(spark)
+    state = str(tmp_path / "state")
+    pipelines.run_daily_increment(
+        spark, state, inc_a, "d1", model, n_shards=2
+    )
+    # arrival-order contract: replaying OLD ids as a new run must fail
+    with pytest.raises(ValueError, match="increment ids must exceed"):
+        pipelines.run_daily_increment(
+            spark, state, inc_a, "d9", model, n_shards=2
+        )
+    # shard append deals lightest-first: with 2 shards and 3 docs in d1,
+    # shard totals differ by at most one doc; the d2 append must land on
+    # the lighter shard
+    corpus = spark.read.parquet(f"{state}/corpus")
+    tot = {
+        r["shard_id"]: r["t"]
+        for r in corpus.groupBy("shard_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    lightest = min(sorted(tot), key=lambda s: (tot[s], s))
+    pipelines.run_daily_increment(
+        spark, state, inc_b, "d2", model, n_shards=2
+    )
+    appended = spark.read.parquet(f"{state}/corpus").filter(
+        F.col("__run") == "d2"
+    )
+    assert [r.shard_id for r in appended.collect()] == [lightest]
