@@ -394,3 +394,48 @@ def media_neardup_pairs(
         .select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def media_vectors(media: DataFrame, dims: int = EMBED_DIMS) -> DataFrame:
+    """Media embeddings shaped as the similarity stack's standard
+    (vec_id, embedding) vector table — the contract every ANN operator
+    (cosine_topk, ivf_topk, streaming/ann.py maintenance) already
+    speaks, so media search rides the SAME standing-index machinery as
+    text-embedding search instead of a bespoke media-only path."""
+    return embed_media(media, dims).select(
+        F.col("media_id").alias("vec_id"), "embedding"
+    )
+
+
+def media_ann_topk(
+    media: DataFrame,
+    query_pred,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN over media embeddings via the standing-index family
+    (operators/similarity.ivf_topk over a train_centroids model and an
+    _assign inverted-list table) — media and text-embedding search share
+    ONE maintenance path, including the streaming micro-batch index
+    maintenance twin (streaming/ann.maintain_ivf_index accepts the same
+    (vec_id, embedding) stream; drain-equality pytest-pinned in
+    tests/test_multimodal_sinks.py). Replaces a bespoke per-modality
+    index: a deployed pipeline trains/assigns once per model and both
+    modalities append through the same sink. Pass ``centroids`` /
+    ``assigned`` to reuse a persisted standing model+index (the
+    registry-memo posture); recall vs brute-force cosine is
+    pytest-pinned."""
+    from ..operators import similarity
+
+    return similarity.ivf_topk(
+        media_vectors(media),
+        query_pred,
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        centroids=centroids,
+        assigned=assigned,
+    )
