@@ -147,6 +147,7 @@ from .section_e_text import (  # noqa: F401
     bpe_merge_table_q,
     char_entropy_q,
     charlm_perplexity_q,
+    classifier_gate_funnel_q,
     dataset_split_assign_q,
     dedup_token_savings_by_source_q,
     doc_length_histogram_q,
@@ -192,12 +193,14 @@ from .section_e_similarity import (  # noqa: F401
     _COS_SQL,
     _DUP_CLUSTERS_CACHE,
     _DUP_COS_TAU,
+    _EMBDOC_PAIRS_CACHE,
     _EVAL_SOURCE,
     _INCR_BLOOM_CACHE,
     _JACCARD_PAIRS_CACHE,
     _JACCARD_TAU,
     _MINHASH_PAIRS_CACHE,
     _MINHASH_SIGS_CACHE,
+    _SEM_GROUPS_CACHE,
     _SHINGLE_CACHE,
     _SEMDEDUP_CACHE,
     _SHINGLE_SQL,
@@ -210,6 +213,8 @@ from .section_e_similarity import (  # noqa: F401
     _brute_topk_for,
     _centroids_for,
     _dup_clusters_for,
+    _embdoc_pairs_for,
+    _sem_groups_for,
     _incr_bloom_for,
     _jaccard_pairs_for,
     _minhash_pairs_for,
@@ -233,6 +238,8 @@ from .section_e_similarity import (  # noqa: F401
     dedup_cluster_size_histogram_q,
     dedup_clusters_q,
     dedup_exact_q,
+    dedup_provenance_rollup_q,
+    substring_dup_spans_q,
     dedup_minhash_lsh_q,
     dedup_savings_report_q,
     dedup_simhash_q,
@@ -319,68 +326,30 @@ def clear_model_caches() -> None:
 
 _WINDOW_ORDER = [
     # -- DRIVER WINDOW (first 50): the driver hash-checks only these --
-    # r12 rotation: CHANGED-this-round queries first — the two NEW
-    # oracle-gated ops need their first driver hash verdict, and
-    # ann_cosine_topk's plan changed (result now flows through the
-    # persisted brute-top-k memo shared with ann_ivf_recall_curve) ...
-    "dataset_split_assign_cluster_safe",
-    "split_leakage_compare",
+    # r13 rotation (verdict ask #1): the 4 CHANGED-this-round oracle
+    # queries first (two NEW ops — the dedup provenance rollup and the
+    # NB-gated funnel; the two classifier views whose oracle text was
+    # factored onto the shared docscores CTE chain), then the 41
+    # r10-vintage longest-unchecked queries the verdict names
+    # (embedding_doc_dedup is in that cohort AND changed: its pair table
+    # now rides the per-snapshot memo), then the 5 longest-unchecked
+    # r11-vintage fills to reach slot 50
+    # (event_session_stats onward stay first in line for r14).
+    "dedup_provenance_rollup",
+    "classifier_gate_funnel",
     "quality_classifier_scores",
     "quality_classifier_report",
-    "ann_cosine_topk",
-    # ... then the longest-unchecked cohort: all 38 queries whose last
-    # driver verdict is r9-vintage ...
-    "dedup_clusters",
-    "dedup_latest_record",
-    "dedup_savings_report",
-    "dedup_token_savings_by_source",
-    "distribution_drift_psi",
-    "doc_novelty_profile",
-    "dsir_importance_weights",
-    "dsir_select_topk",
-    "embedding_norm_profile",
-    "embedding_outlier_topk",
-    "event_lateness_profile",
-    "full_sync_snapshot",
-    "funnel_conversion",
-    "gopher_quality_rules",
-    "group_percentiles_exact",
-    "length_curriculum_buckets",
-    "ngram_containment_dups",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_bracket_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_accounts",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "shard_assignment_balanced",
-    "shard_balance_summary",
-    "source_quality_report",
-    "status_flap_audit",
-    "vocab_coverage_curve",
-    # ... plus the 7 oldest r10-vintage to fill slot 50
-    # (client_budget_rollup onward stay first in line for r13)
-    "pipeline_alerts",
-    "alert_digest",
-    "budget_vs_actual",
-    "individual_budget_tracking",
-    "budget_fallback_allocation",
-    "contributor_utilization_rollup",
-    "utilization_rollup",
-    # -- past the window: remaining r10-checked, then r11-checked -----
+    "asof_join_last_purchase",
+    "bloom_filtered_entries",
+    "cdc_fold_snapshot",
     "client_budget_rollup",
-    "view_variance_detection",
-    "tfidf_doc_similarity",
+    "data_quality_metrics",
+    "decontamination_overlap",
+    "dedup_exact",
+    "doc_fingerprint",
+    "doc_length_histogram",
+    "dup_key_audit",
+    "embedding_doc_dedup",
     "incremental_sync_window",
     "json_props_profile",
     "key_skew_profile",
@@ -408,18 +377,9 @@ _WINDOW_ORDER = [
     "stale_snapshot_audit",
     "substring_dup_profile",
     "sync_date_dedup",
+    "tfidf_doc_similarity",
     "token_count_bpe",
-    "asof_join_last_purchase",
-    "bloom_filtered_entries",
-    "cdc_fold_snapshot",
-    "data_quality_metrics",
-    "decontamination_overlap",
-    "dedup_exact",
-    "doc_fingerprint",
-    "doc_length_histogram",
-    "dup_key_audit",
-    "embedding_doc_dedup",
-    # ... the r11-checked cohort (freshest verdicts, last in line) ...
+    "view_variance_detection",
     "doc_chunk_windows",
     "zipf_slope_by_source",
     "cross_source_ngram_overlap",
@@ -470,7 +430,54 @@ _WINDOW_ORDER = [
     "cross_split_contamination",
     "customer_revenue_deciles",
     "dataset_split_assign",
-    # -- rows-only ops (no oracle possible, must never hold a slot) ---
+    "dataset_split_assign_cluster_safe",
+    "split_leakage_compare",
+    "ann_cosine_topk",
+    "dedup_clusters",
+    "dedup_latest_record",
+    "dedup_savings_report",
+    "dedup_token_savings_by_source",
+    "distribution_drift_psi",
+    "doc_novelty_profile",
+    "dsir_importance_weights",
+    "dsir_select_topk",
+    "embedding_norm_profile",
+    "embedding_outlier_topk",
+    "event_lateness_profile",
+    "full_sync_snapshot",
+    "funnel_conversion",
+    "gopher_quality_rules",
+    "group_percentiles_exact",
+    "length_curriculum_buckets",
+    "ngram_containment_dups",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_bracket_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_accounts",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "shard_assignment_balanced",
+    "shard_balance_summary",
+    "source_quality_report",
+    "status_flap_audit",
+    "vocab_coverage_curve",
+    "pipeline_alerts",
+    "alert_digest",
+    "budget_vs_actual",
+    "individual_budget_tracking",
+    "budget_fallback_allocation",
+    "contributor_utilization_rollup",
+    "utilization_rollup",
     "ann_ivf_incremental_topk",
     "ann_ivf_list_drift",
     "ann_ivf_recall_curve",
@@ -496,6 +503,7 @@ _WINDOW_ORDER = [
     "streaming_near_dedup_twin",
     "streaming_quality_score_twin",
     "streaming_near_dedup_verified_twin",
+    "substring_dup_spans",
     "tokenizer_fertility_by_source",
     "unigram_encode_tokens",
     "unigram_vocab_table",
@@ -513,16 +521,17 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 #: Names whose engine code is new or changed THIS round: each needs a fresh
 #: driver hash verdict, so each must sit inside the 50-slot window.  Update
 #: this set whenever a round touches a query's plan or oracle.
-# r12: two NEW oracle-gated ops (cluster-safe split assignment, trained
-# NB quality classifier), and ann_cosine_topk's plan changed (its result
-# now materializes through the persisted brute-top-k memo that also
-# serves as ann_ivf_recall_curve's ground truth).
+# r13: two NEW oracle-gated ops (the dedup provenance rollup and the
+# NB-classifier-gated funnel); the two classifier views' oracle text was
+# factored onto the shared _NBQ_DOCSCORES_CTES chain; and
+# embedding_doc_dedup's plan changed (its pair table now materializes
+# through the per-snapshot memo the provenance rollup shares).
 _WINDOW_CRITICAL = {
-    "dataset_split_assign_cluster_safe",
-    "split_leakage_compare",
+    "dedup_provenance_rollup",
+    "classifier_gate_funnel",
     "quality_classifier_scores",
     "quality_classifier_report",
-    "ann_cosine_topk",
+    "embedding_doc_dedup",
 }
 
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (
@@ -557,6 +566,8 @@ _MEMO_HELPERS = (
     "_simhash_sigs_for",
     "_jaccard_pairs_for",
     "_dup_clusters_for",
+    "_embdoc_pairs_for",
+    "_sem_groups_for",
     "_minhash_pairs_for",
     "_minhash_sigs_for",
     "_tok_counts_for",
