@@ -1555,6 +1555,7 @@ def substring_dup_spans(
     window: int = SPAN_WINDOW,
     band: int = SPAN_BAND,
     text_col: str = "text",
+    mode: str = "pairs",
 ) -> DataFrame:
     """EXACT maximal duplicated spans across document pairs, seed-and-
     extend (Lee et al. 2021 ExactSubstr semantics, winnowing-anchored).
@@ -1588,7 +1589,25 @@ def substring_dup_spans(
     just the two texts it extends. Work scales with true duplication
     (anchors per shared span ~ span_len/band), not corpus²; enrolled in
     SCALE_SMOKE.
+
+    ``mode``: with ``"pairs"`` (default) the output itself is pairwise,
+    so a >=guarantee-length boilerplate block carried by a corpus
+    fraction f makes the TRUE answer Θ((f·n)²) rows — correct, but the
+    wrong tool at 100 TB. ``"star"`` is the linear-output curation form
+    (the Lee et al. cut-all-but-one read): each anchor hash pairs its
+    occurrences against the CANONICAL first occurrence only (min
+    (doc_id, position)), so every duplicated region in every doc is
+    still detected and extended to exact boundaries VS ITS FIRST
+    OCCURRENCE — O(occurrences) candidates and output under any
+    boilerplate skew. Star spans against a non-first partner can be
+    shorter than the pairwise maximum (the canonical occurrence's
+    context bounds the extension); the keep/cut verdict is unaffected.
+    Pytest-pinned: star output on a hot-boilerplate corpus is linear,
+    every star span is a genuine common substring, and every pairs-mode
+    duplicated doc is star-detected.
     """
+    if mode not in ("pairs", "star"):
+        raise ValueError(f"substring_dup_spans: unknown mode {mode!r}")
     from pyspark.sql import Window as W
 
     from ..catalog import fan_out
@@ -1627,11 +1646,24 @@ def substring_dup_spans(
         )
         .distinct()
     )
-    cand = (
-        anchors.select(
-            F.col("doc_id").alias("doc_a"), F.col("i").alias("sa"), "__h"
+    left = anchors.select(
+        F.col("doc_id").alias("doc_a"), F.col("i").alias("sa"), "__h"
+    )
+    if mode == "star":
+        # one candidate per (hash, occurrence): the hash's canonical
+        # first occurrence vs each other occurrence — linear fan-out
+        # regardless of how many docs carry the content
+        left = (
+            anchors.groupBy("__h")
+            .agg(F.min(F.struct("doc_id", "i")).alias("__c"))
+            .select(
+                "__h",
+                F.col("__c.doc_id").alias("doc_a"),
+                F.col("__c.i").alias("sa"),
+            )
         )
-        .join(
+    cand = (
+        left.join(
             anchors.select(
                 F.col("doc_id").alias("doc_b"),
                 F.col("i").alias("sb"),

@@ -518,3 +518,58 @@ def test_substring_dup_spans_random_corpus_equals_naive(spark):
     want = _naive_maximal_spans(texts, neardup.SPAN_MIN_LEN)
     assert got == want
     assert want, "planted motifs must produce spans"
+
+
+def test_substring_dup_spans_star_mode_linear_under_boilerplate(spark):
+    """Star mode is the 100 TB shape for corpus-wide boilerplate: output
+    O(occurrences) instead of O(pairs²), every carrier detected against
+    the canonical first occurrence with a genuine common substring at
+    exact boundaries."""
+    import random
+
+    rng = random.Random(7)
+    boiler = "".join(rng.choice("abcdefgh ") for _ in range(70))
+
+    def noise(n):
+        return "".join(rng.choice("stuvwxyz") for _ in range(n))
+
+    n_carriers = 30
+    texts = {
+        d: noise(10 + d % 7) + boiler + noise(15)
+        for d in range(n_carriers)
+    }
+    texts[100] = noise(80)  # non-carrier
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    pairs_rows = _span_rows(neardup.substring_dup_spans(docs))
+    star_rows = _span_rows(neardup.substring_dup_spans(docs, mode="star"))
+    # pairwise truth is quadratic in carriers; star is linear (a few
+    # boundary-straddling anchors pick doc-specific canonicals, so the
+    # bound is a small multiple of occurrences, not C(carriers, 2))
+    assert len(pairs_rows) >= n_carriers * (n_carriers - 1) // 2
+    assert len(star_rows) <= 4 * n_carriers
+    # every carrier is star-detected (as a canonical or against one)
+    covered = {r[0] for r in star_rows} | {r[1] for r in star_rows}
+    assert covered == set(range(n_carriers))
+    # the shared-content canonical dominates: doc 0 anchors most spans
+    assert sum(1 for r in star_rows if r[0] == 0) >= n_carriers - 1
+    # star spans are genuine common substrings at exact boundaries
+    for da, db, sa, sb, ln in star_rows:
+        assert texts[da][sa - 1 : sa - 1 + ln] == texts[db][sb - 1 : sb - 1 + ln]
+        assert ln >= len(boiler)
+    # maximality vs the canonical partner: extending one char breaks
+    for da, db, sa, sb, ln in star_rows:
+        ta, tb = texts[da], texts[db]
+        left_ok = sa == 1 or sb == 1 or ta[sa - 2] != tb[sb - 2]
+        right_ok = (
+            sa - 1 + ln >= len(ta)
+            or sb - 1 + ln >= len(tb)
+            or ta[sa - 1 + ln] != tb[sb - 1 + ln]
+        )
+        assert left_ok and right_ok
+    # mode contract
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        neardup.substring_dup_spans(docs, mode="clique")

@@ -109,6 +109,10 @@ SMOKE_QUERIES = [
     # candidate-bounded (anchors ~ positions/band; candidates ~ true
     # duplication), measured here rather than asserted
     "substring_dup_spans",
+    # r13: three memo-riding joins + the exact-hash groupBy + the
+    # semantic CC over the embedding pair table (sign-flip replicas keep
+    # within-replica cosines, cross-replica pairs collapse -> linear)
+    "dedup_provenance_rollup",
 ]
 LINEAR_RATIO_CEILING = 3.0  # x replicas (see report: ratio_per_replica)
 
