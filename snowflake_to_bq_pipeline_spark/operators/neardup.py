@@ -1612,9 +1612,12 @@ def substring_dup_spans(
 
     from ..catalog import fan_out
 
+    # a doc shorter than the guarantee length cannot hold a reportable
+    # span (output keeps only span_len >= window + band - 1), so the
+    # explode prunes to qualifying docs up front
     docs = documents.select(
         "doc_id", F.col(text_col).alias("__t")
-    ).filter(F.length("__t") >= window)
+    ).filter(F.length("__t") >= window + band - 1)
     pos = fan_out(docs).select(
         "doc_id",
         F.explode(
