@@ -141,7 +141,11 @@ def run_daily_increment(
       run (INCLUDING dedup-dropped ones — they stay in the standing
       dedup index, exactly like the batch pair table sees them);
     - ``{state_dir}/corpus/__run=<id>``: the accepted rows with
-      ``split``/``shard_id``/score columns.
+      ``split``/``shard_id``/score columns;
+    - ``{state_dir}/audit/__run=<id>``: the run's provenance slice —
+      every increment doc with exactly one verdict reason
+      (quality_reject > dup_vs_standing > dup_within_increment >
+      accepted), the daily analog of ``dedup_provenance_rollup``.
 
     Idempotence by the reference's date-window discipline: each run
     OVERWRITES its own ``__run`` partition and the standing state it
@@ -155,8 +159,10 @@ def run_daily_increment(
     rule is a pure per-doc function of the union, so increment-then-
     increment equals one batch :func:`rebuild_corpus` on the union —
     the same merge≡recompute property the sync family pins. It requires
-    arrival order == doc_id order (new docs get larger ids than every
-    seen doc), ASSERTED per run. Split assignment hashes each accepted
+    each run to own a DISJOINT doc_id interval (new days above every
+    seen id; re-running an old day keeps its interval), CHECKED per run
+    — a violation raises instead of silently mis-deduping. Split
+    assignment hashes each accepted
     doc's own id, which here IS the cluster-canonical key: any doc whose
     cluster canonical is older was dropped, so every accepted doc is its
     own canonical (the cluster-safe property by construction).
@@ -179,15 +185,29 @@ def run_daily_increment(
         spark, seen_path, "doc_id long, source string, text string, __run string"
     ).filter(F.col("__run") != run_id)
 
-    # arrival-order contract: doc_id precedence == run precedence
-    max_seen = seen.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-    min_inc = inc.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
-    if max_seen is not None and min_inc is not None and min_inc <= max_seen:
-        raise ValueError(
-            f"run_daily_increment: increment ids must exceed every seen "
-            f"id (min increment {min_inc} <= max seen {max_seen}) — the "
-            "keep-first dedup rule needs arrival order == id order"
-        )
+    # id-interval contract: each run owns a DISJOINT doc_id interval
+    # (new days take ids above every seen id; re-running an OLD day is
+    # legal — its interval is still disjoint from every other run's).
+    # Under it, "quality-passing docs with a smaller id" == "seen docs
+    # below this increment's interval ∪ smaller-id increment docs", so
+    # the keep-first rule stays a pure per-doc function of the union
+    # even across out-of-order re-runs.
+    bounds = inc.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    min_inc, max_inc = bounds["lo"], bounds["hi"]
+    if min_inc is not None:
+        overlap = seen.filter(
+            (F.col("doc_id") >= min_inc) & (F.col("doc_id") <= max_inc)
+        ).count()
+        if overlap:
+            raise ValueError(
+                f"run_daily_increment: {overlap} seen doc id(s) from "
+                f"other runs fall inside this increment's id interval "
+                f"[{min_inc}, {max_inc}] — run id intervals must be "
+                "disjoint for the keep-first dedup rule to be exact"
+            )
+        seen = seen.filter(F.col("doc_id") < min_inc)
 
     # 1. standing-model quality gate (row-local, shuffle-free scorer)
     scored = curation.score_docs_with_model(inc, model).select(
@@ -248,11 +268,35 @@ def run_daily_increment(
         "__neg_nt", "__rn"
     )
 
-    # 5. date-window delete+insert: each run owns its __run partition
+    # 5. per-run AUDIT: every increment doc gets exactly one verdict
+    # reason (precedence quality > standing dup > intra dup > accepted) —
+    # the daily provenance slice next to the corpus, same discipline as
+    # the batch dedup_provenance_rollup (reasons are run-local here:
+    # quality_reject never reaches the dedup index, so the families are
+    # disjoint by construction except the two dup sides, which the
+    # left-anti below makes exclusive too)
+    audit = (
+        inc.select("doc_id", "source")
+        .join(inc_q.select("doc_id").withColumn("__q", F.lit(True)), "doc_id", "left")
+        .join(std_dup.withColumn("__std", F.lit(True)), "doc_id", "left")
+        .join(intra_dup.withColumn("__intra", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(~F.coalesce(F.col("__q"), F.lit(False)), "quality_reject")
+            .when(F.coalesce(F.col("__std"), F.lit(False)), "dup_vs_standing")
+            .when(F.coalesce(F.col("__intra"), F.lit(False)), "dup_within_increment")
+            .otherwise("accepted")
+            .alias("reason"),
+        )
+    )
+
+    # 6. date-window delete+insert: each run owns its __run partition
     inc_q.select("doc_id", "source", "text").write.mode(
         "overwrite"
     ).parquet(f"{seen_path}/__run={run_id}")
     out.write.mode("overwrite").parquet(f"{corpus_path}/__run={run_id}")
+    audit.write.mode("overwrite").parquet(f"{state_dir}/audit/__run={run_id}")
 
     n_std = std_dup.count()
     n_intra = dropped.count() - n_std

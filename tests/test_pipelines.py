@@ -246,8 +246,10 @@ def test_daily_increment_contract_and_shard_balance(spark, tmp_path):
     pipelines.run_daily_increment(
         spark, state, inc_a, "d1", model, n_shards=2
     )
-    # arrival-order contract: replaying OLD ids as a new run must fail
-    with pytest.raises(ValueError, match="increment ids must exceed"):
+    # id-interval contract: replaying day-1 ids under a DIFFERENT run id
+    # would double-own the interval and must fail loudly (replaying the
+    # SAME run id is the legal delete+insert re-run)
+    with pytest.raises(ValueError, match="intervals must be disjoint"):
         pipelines.run_daily_increment(
             spark, state, inc_a, "d9", model, n_shards=2
         )
@@ -269,3 +271,38 @@ def test_daily_increment_contract_and_shard_balance(spark, tmp_path):
         F.col("__run") == "d2"
     )
     assert [r.shard_id for r in appended.collect()] == [lightest]
+
+
+def test_daily_increment_audit_slice_conserves_and_classifies(
+    spark, tmp_path
+):
+    """Every increment doc gets exactly one audit verdict; reasons are
+    mutually exclusive by precedence and agree with the funnel stats
+    and the corpus content."""
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b = _fixture(spark)
+    state = str(tmp_path / "state")
+    pipelines.run_daily_increment(spark, state, inc_a, "d1", model)
+    s2 = pipelines.run_daily_increment(spark, state, inc_b, "d2", model)
+    audit = {
+        r.doc_id: r.reason
+        for r in spark.read.parquet(f"{state}/audit")
+        .filter(F.col("__run") == "d2")
+        .collect()
+    }
+    assert set(audit) == {r.doc_id for r in inc_b.collect()}
+    from collections import Counter
+
+    counts = Counter(audit.values())
+    assert counts["quality_reject"] == s2["increment"] - s2["after_quality"]
+    assert counts["dup_vs_standing"] == s2["dup_vs_standing"]
+    assert counts["dup_within_increment"] == s2["dup_within_increment"]
+    assert counts["accepted"] == s2["appended"]
+    accepted = {
+        r.doc_id
+        for r in spark.read.parquet(f"{state}/corpus")
+        .filter(F.col("__run") == "d2")
+        .collect()
+    }
+    assert {d for d, r in audit.items() if r == "accepted"} == accepted

@@ -974,3 +974,90 @@ def test_streaming_quality_score_drain_equals_batch_classifier(
         "log_odds",
         "pred_curated",
     ]
+
+
+def test_streaming_ingest_drains_equal_to_daily_pipeline(spark, tmp_path):
+    """The streaming corpus-ingestion twin (streaming/ingest.py): each
+    micro-batch runs the SAME daily-increment pipeline, so draining two
+    'days' through the stream must produce exactly the state two direct
+    run_daily_increment calls produce — and both must equal the batch
+    rebuild on the union (the merge≡recompute chain extended to the
+    stream)."""
+    from snowflake_to_bq_pipeline_spark import pipelines
+    from snowflake_to_bq_pipeline_spark.streaming import ingest
+    from tests.test_pipelines import _fixture
+
+    model, inc_a, inc_b = _fixture(spark)
+    src = str(tmp_path / "docs_src")
+    stream_state = str(tmp_path / "stream_state")
+    ckpt = str(tmp_path / "ingest_ckpt")
+
+    # day 1 arrives; drain
+    inc_a.repartition(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = ingest.maintain_corpus(
+        ingest.read_docs_stream(spark, src, schema),
+        stream_state,
+        model,
+        ckpt,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    # day 2 arrives; restart from the same checkpoint and drain
+    inc_b.repartition(2).write.mode("append").parquet(src)
+    q = ingest.maintain_corpus(
+        ingest.read_docs_stream(spark, src, schema),
+        stream_state,
+        model,
+        ckpt,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    direct_state = str(tmp_path / "direct_state")
+    pipelines.run_daily_increment(spark, direct_state, inc_a, "d1", model)
+    pipelines.run_daily_increment(spark, direct_state, inc_b, "d2", model)
+
+    cols = ["doc_id", "source", "log_odds", "split", "shard_id", "n_tokens"]
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{stream_state}/corpus")
+        .select(*cols)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{direct_state}/corpus")
+        .select(*cols)
+        .collect()
+    )
+    assert got == want and got, "stream state must equal the daily runs"
+    rebuilt = sorted(
+        tuple(r)
+        for r in pipelines.rebuild_corpus(
+            spark, inc_a.unionByName(inc_b), model
+        )
+        .select("doc_id", "source", "log_odds", "split", "n_tokens")
+        .collect()
+    )
+    stream_no_shard = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{stream_state}/corpus")
+        .select("doc_id", "source", "log_odds", "split", "n_tokens")
+        .collect()
+    )
+    assert stream_no_shard == rebuilt
+
+    # at-least-once replay: re-running a COMMITTED batch id (the crash-
+    # mid-append story) is a per-partition overwrite — state unchanged
+    before = got
+    pipelines.run_daily_increment(
+        spark, stream_state, inc_a, "batch000000", model
+    )
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{stream_state}/corpus")
+        .select(*cols)
+        .collect()
+    )
+    assert after == before
