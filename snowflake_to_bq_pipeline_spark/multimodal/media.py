@@ -439,3 +439,60 @@ def media_ann_topk(
         centroids=centroids,
         assigned=assigned,
     )
+
+
+def media_dedup_provenance(
+    media: DataFrame,
+    threshold: float = 0.98,
+    n_tables: int = 8,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Per-media dedup PROVENANCE verdict — the multimodal twin of the
+    document audit table (operators/curation.dedup_provenance, reused
+    verbatim): one row per media item with a keep/drop decision and one
+    mutually-exclusive reason, precedence ``exact_dup`` (byte-identical
+    blobs via md5 checksum, keep min media_id) > ``semantic_dup``
+    (embedding-cosine near-dup groups over the LSH-cell verified pairs,
+    transitive closure, keep min id) > ``kept``. The lexical family has
+    no media analog, so the combiner's cluster slot receives the empty
+    verdict.
+
+    Scale posture: the exact verdict is one constant-width groupBy on
+    the blob checksum (never the blob); the semantic verdict rides the
+    LSH-cell candidate pairs (never all pairs) resolved by the shared
+    pointer-jumping CC. Conservation and precedence are pinned in
+    tests/test_multimodal_sinks.py.
+    """
+    from ..operators import curation
+    from ..operators.graph import dup_clusters
+
+    feats = extract_features(media).select("media_id", "checksum")
+    grp = feats.groupBy("checksum").agg(
+        F.min("media_id").alias("__canon")
+    )
+    exact = feats.join(grp, "checksum").select(
+        F.col("media_id").alias("doc_id"),
+        (F.col("media_id") != F.col("__canon")).alias("is_duplicate"),
+    )
+    sem_pairs = media_neardup_pairs(
+        media, threshold, n_tables, n_planes
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    semantic = dup_clusters(sem_pairs).select(
+        "doc_id", "is_canonical"
+    )
+    spark = media.sparkSession
+    empty_clusters = spark.createDataFrame(
+        [], "doc_id long, is_canonical boolean"
+    )
+    per = curation.dedup_provenance(
+        media.select(F.col("media_id").alias("doc_id"), "media_type"),
+        exact,
+        empty_clusters,
+        semantic,
+    )
+    return per.select(
+        F.col("doc_id").alias("media_id"),
+        "media_type",
+        "reason",
+        "keep",
+    )

@@ -564,3 +564,34 @@ def test_media_ann_rides_standing_index_and_streaming_twin(spark, tmp_path):
         "search over the stream-maintained standing index must equal the "
         "inline assignment pass"
     )
+
+
+def test_media_dedup_provenance_conservation_and_precedence(spark):
+    """Media twin of the document provenance audit: every media item
+    gets exactly one verdict; byte-identical blobs take exact_dup even
+    when they are also semantic dups (precedence); near-identical blobs
+    (one byte appended -> cosine ~1 under the histogram encoder) take
+    semantic_dup; unrelated blobs are kept."""
+    import hashlib
+
+    def blob(i):
+        return hashlib.sha256(str(i).encode()).digest() * 2
+
+    rows = [(i, "image", blob(i)) for i in range(8)]
+    rows.append((10, "image", blob(0)))            # exact dup of 0
+    rows.append((11, "image", blob(1) + b"\x01"))  # near dup of 1
+    media_df = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    )
+    out = {
+        r.media_id: (r.reason, r.keep)
+        for r in media.media_dedup_provenance(media_df).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6, 7, 10, 11}  # conservation
+    assert out[10] == ("exact_dup", False)  # beats its semantic verdict
+    assert out[11] == ("semantic_dup", False)
+    assert out[0] == ("kept", True) and out[1] == ("kept", True)
+    kept = [m for m, (r, k) in out.items() if k]
+    assert all(out[m][0] == "kept" for m in kept)
+    # canonical-first: every dup's group keeps its min id
+    assert 0 in kept and 1 in kept
