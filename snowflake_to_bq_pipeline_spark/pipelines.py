@@ -45,11 +45,20 @@ def build_training_corpus(
     jaccard_tau: float = 0.6,
     n_shards: int = 8,
     mix_rates: dict[str, float] | None = None,
+    write_audit: bool = True,
 ) -> dict[str, int]:
     """Produce a curated, deduplicated, mix-balanced, sharded corpus at
     ``out_path``; returns the per-stage document-count funnel.
+
+    With ``write_audit`` (default), also ships the per-doc PROVENANCE
+    audit at ``{out_path}_audit``: every INPUT doc with exactly one
+    verdict reason by stage precedence (quality_reject > exact_dup >
+    near_dup > sampled_out > kept) — the curation-run audit the dedup
+    provenance family standardizes (conservation pytest-pinned).
     """
     docs = load_table(spark, sf_dir, "documents")
+    all_ids = docs.select("doc_id")
+    stage_ids: dict[str, DataFrame] = {}
     stats: dict[str, int] = {"input": docs.count()}
 
     # 1. Quality gate (row-local; cheapest filter runs first).
@@ -59,6 +68,7 @@ def build_training_corpus(
         .select("doc_id")
     )
     docs = docs.join(kept, "doc_id")
+    stage_ids["quality"] = docs.select("doc_id")
     stats["after_quality"] = docs.count()
 
     # 2. Exact dedup: keep min doc_id per normalized-text fingerprint.
@@ -67,6 +77,7 @@ def build_training_corpus(
         F.min("doc_id").alias("doc_id")
     )
     docs = docs.join(keep_exact.select("doc_id"), "doc_id")
+    stage_ids["exact"] = docs.select("doc_id")
     stats["after_exact_dedup"] = docs.count()
 
     # 3. Fuzzy dedup: Jaccard pairs → transitive clusters → canonical only.
@@ -77,13 +88,42 @@ def build_training_corpus(
         .select("doc_id")
     )
     docs = docs.join(drop, "doc_id", "left_anti")
+    stage_ids["fuzzy"] = docs.select("doc_id")
     stats["after_fuzzy_dedup"] = docs.count()
 
     # 4. Language-mix downsampling (deterministic, auditable).
     docs = curation.stratified_sample(
         docs, "doc_id", "lang", mix_rates or MIX_RATES
     )
+    stage_ids["sampled"] = docs.select("doc_id")
     stats["after_mix_sample"] = docs.count()
+
+    if write_audit:
+        marked = all_ids
+        for name, ids in stage_ids.items():
+            marked = marked.join(
+                ids.withColumn(f"__{name}", F.lit(True)), "doc_id", "left"
+            )
+        reason = (
+            F.when(
+                ~F.coalesce(F.col("__quality"), F.lit(False)),
+                "quality_reject",
+            )
+            .when(~F.coalesce(F.col("__exact"), F.lit(False)), "exact_dup")
+            .when(~F.coalesce(F.col("__fuzzy"), F.lit(False)), "near_dup")
+            .when(
+                ~F.coalesce(F.col("__sampled"), F.lit(False)), "sampled_out"
+            )
+            .otherwise("kept")
+        )
+        marked.select(
+            "doc_id",
+            reason.alias("reason"),
+            (reason == "kept").alias("keep"),
+        ).write.mode("overwrite").parquet(f"{out_path}_audit")
+        stats["audit_rows"] = spark.read.parquet(
+            f"{out_path}_audit"
+        ).count()
 
     # 5. Split-leakage QA: fuzzy dedup at tau should have removed
     # cross-split near-dups; report residual exact-5-gram leakage across

@@ -42,6 +42,22 @@ def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
     for d in shard_dirs:
         assert len(glob.glob(d + "/*.parquet")) == 1
 
+    # Provenance audit ships next to the corpus: every INPUT doc gets
+    # exactly one reason; stage deltas equal reason counts; kept ==
+    # written selection.
+    audit = {r.doc_id: r for r in spark.read.parquet(out + "_audit").collect()}
+    assert stats["audit_rows"] == stats["input"] == len(audit)
+    from collections import Counter
+
+    reasons = Counter(r.reason for r in audit.values())
+    assert reasons["quality_reject"] == stats["input"] - stats["after_quality"]
+    assert reasons["exact_dup"] == stats["after_quality"] - stats["after_exact_dedup"]
+    assert reasons["near_dup"] == stats["after_exact_dedup"] - stats["after_fuzzy_dedup"]
+    assert reasons["sampled_out"] == stats["after_fuzzy_dedup"] - stats["after_mix_sample"]
+    assert reasons["kept"] == stats["after_mix_sample"]
+    kept_ids = {d for d, r in audit.items() if r.keep}
+    assert all((r.reason == "kept") == r.keep for r in audit.values())
+
     # Written docs are a subset of the input with text intact.
     back = spark.read.parquet(out)
     src = load_table(spark, sf_dir, "documents").select(
@@ -50,6 +66,7 @@ def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
     joined = back.join(src, "doc_id")
     assert joined.count() == stats["written"]
     assert joined.filter(F.col("text") != F.col("src_text")).count() == 0
+    assert {r.doc_id for r in back.select("doc_id").collect()} == kept_ids
 
     # Determinism: a second run reproduces the identical selection.
     out2 = str(tmp_path / "corpus2")
