@@ -380,3 +380,21 @@ def rebuild_corpus(
     return kept.withColumn(
         "n_tokens", F.array_size(F.split(F.col("text"), " ")).cast("long")
     )
+
+
+def export_corpus(
+    spark: SparkSession, state_dir: str, out_path: str
+) -> dict[str, int]:
+    """Materialize the standing incremental corpus as training shards:
+    one parquet file per shard_id (sinks.writers.write_training_shards —
+    per-shard token balance becomes data-loader wall-clock balance),
+    dropping the run-bookkeeping partition column. The hand-off point
+    between the continuously-maintained state and a training job's
+    input manifest; returns {docs, shards} for the run report."""
+    corpus = spark.read.parquet(f"{state_dir}/corpus").drop("__run")
+    write_training_shards(corpus, out_path, order_col="doc_id")
+    back = spark.read.parquet(out_path)
+    return {
+        "docs": back.count(),
+        "shards": back.select("shard_id").distinct().count(),
+    }

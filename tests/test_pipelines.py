@@ -323,3 +323,24 @@ def test_daily_increment_audit_slice_conserves_and_classifies(
         .collect()
     }
     assert {d for d, r in audit.items() if r == "accepted"} == accepted
+
+
+def test_export_corpus_one_file_per_shard(spark, tmp_path):
+    import glob
+
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b = _fixture(spark)
+    state = str(tmp_path / "state")
+    pipelines.run_daily_increment(spark, state, inc_a, "d1", model, n_shards=2)
+    pipelines.run_daily_increment(spark, state, inc_b, "d2", model, n_shards=2)
+    out = str(tmp_path / "export")
+    rep = pipelines.export_corpus(spark, state, out)
+    assert rep["docs"] == 4 and 1 <= rep["shards"] <= 2
+    for d in glob.glob(out + "/shard_id=*"):
+        assert len(glob.glob(d + "/*.parquet")) == 1
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert got == {101, 102, 105, 202}
