@@ -296,17 +296,25 @@ def run_daily_increment(
     order = sorted(
         range(n_shards), key=lambda s: (standing.get(s, 0), s)
     )
-    ranked = global_row_number(
-        accepted.withColumn("__neg_nt", -F.col("n_tokens")),
-        ["__neg_nt", "doc_id"],
-    )
-    deal = F.element_at(
-        F.array(*[F.lit(s) for s in order]),
-        ((F.col("__rn") - 1) % n_shards + 1).cast("int"),
-    )
-    out = ranked.withColumn("shard_id", deal.cast("long")).drop(
-        "__neg_nt", "__rn"
-    )
+    n_std = std_dup.count()
+    n_dropped = dropped.count()
+    if n_quality - n_dropped == 0:
+        # idle/no-survivor day: nothing to rank (global_row_number's
+        # offset map is undefined over zero rows) — emit the empty
+        # frame with the output schema
+        out = accepted.withColumn("shard_id", F.lit(0).cast("long"))
+    else:
+        ranked = global_row_number(
+            accepted.withColumn("__neg_nt", -F.col("n_tokens")),
+            ["__neg_nt", "doc_id"],
+        )
+        deal = F.element_at(
+            F.array(*[F.lit(s) for s in order]),
+            ((F.col("__rn") - 1) % n_shards + 1).cast("int"),
+        )
+        out = ranked.withColumn("shard_id", deal.cast("long")).drop(
+            "__neg_nt", "__rn"
+        )
 
     # 5. per-run AUDIT: every increment doc gets exactly one verdict
     # reason (precedence quality > standing dup > intra dup > accepted) —
@@ -338,8 +346,7 @@ def run_daily_increment(
     out.write.mode("overwrite").parquet(f"{corpus_path}/__run={run_id}")
     audit.write.mode("overwrite").parquet(f"{state_dir}/audit/__run={run_id}")
 
-    n_std = std_dup.count()
-    n_intra = dropped.count() - n_std
+    n_intra = n_dropped - n_std
     return {
         "increment": n_inc,
         "after_quality": n_quality,

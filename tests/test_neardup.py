@@ -573,3 +573,31 @@ def test_substring_dup_spans_star_mode_linear_under_boilerplate(spark):
 
     with pytest.raises(ValueError, match="unknown mode"):
         neardup.substring_dup_spans(docs, mode="clique")
+
+
+def test_substring_dup_spans_multibyte_and_boundary_lengths(spark):
+    """Characters outside ASCII must index identically on the JVM side
+    (substr/length over code points) and in the Python extension loop;
+    spans exactly AT the guarantee length are found, one char under is
+    not reported."""
+    L = neardup.SPAN_MIN_LEN
+    shared_exact = "é中ß" + "ab çd " * ((L - 3) // 6 + 1)
+    shared_exact = shared_exact[:L]
+    assert len(shared_exact) == L
+    texts = {
+        1: "xx1yy " + shared_exact + " qzzz",
+        2: "longer-prefix-" + shared_exact + "-suffix0",
+        # shares only L-1 chars with doc 4 (the chars on BOTH boundary
+        # sides differ too) -> below guarantee, absent
+        3: "aa-" + shared_exact[: L - 1] + "k111",
+        4: "bb_" + shared_exact[: L - 1] + "m222",
+    }
+    got = _span_rows(neardup.substring_dup_spans(spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )))
+    want = _naive_maximal_spans(texts, L)
+    assert got == want
+    # the exact-guarantee-length span IS found with multibyte content
+    assert any(r[:2] == (1, 2) and r[4] == L for r in got)
+    # the L-1 shared block produces nothing
+    assert not any(r[:2] == (3, 4) for r in got)

@@ -344,3 +344,24 @@ def test_export_corpus_one_file_per_shard(spark, tmp_path):
         for r in spark.read.parquet(out).select("doc_id").collect()
     }
     assert got == {101, 102, 105, 202}
+
+
+def test_daily_increment_empty_increment_is_a_noop_run(spark, tmp_path):
+    """An empty increment (idle day) must run cleanly: zero-row
+    partitions, no verdicts, standing state untouched."""
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, _ = _fixture(spark)
+    state = str(tmp_path / "state")
+    pipelines.run_daily_increment(spark, state, inc_a, "d1", model)
+    before = _state_rows(spark, state)
+    empty = _inc_df(spark, [])
+    s = pipelines.run_daily_increment(spark, state, empty, "d2", model)
+    assert s == {
+        "increment": 0,
+        "after_quality": 0,
+        "dup_vs_standing": 0,
+        "dup_within_increment": 0,
+        "appended": 0,
+    }
+    assert _state_rows(spark, state) == before
