@@ -121,9 +121,10 @@ def build_training_corpus(
             reason.alias("reason"),
             (reason == "kept").alias("keep"),
         ).write.mode("overwrite").parquet(f"{out_path}_audit")
-        stats["audit_rows"] = spark.read.parquet(
-            f"{out_path}_audit"
-        ).count()
+        # one row per input doc by construction (left joins off all_ids
+        # can only mark, never drop/fan out) — the e2e test re-reads the
+        # file and verifies; no read-back count here
+        stats["audit_rows"] = stats["input"]
 
     # 5. Split-leakage QA: fuzzy dedup at tau should have removed
     # cross-split near-dups; report residual exact-5-gram leakage across
@@ -221,17 +222,24 @@ def run_daily_increment(
 
     seen_path = f"{state_dir}/seen"
     corpus_path = f"{state_dir}/corpus"
-    seen = _read_state_or_empty(
+    seen_all = _read_state_or_empty(
         spark, seen_path, "doc_id long, source string, text string, __run string"
-    ).filter(F.col("__run") != run_id)
+    )
+    is_rerun = bool(
+        seen_all.filter(F.col("__run") == run_id).take(1)
+    )
+    seen = seen_all.filter(F.col("__run") != run_id)
 
-    # id-interval contract: each run owns a DISJOINT doc_id interval
-    # (new days take ids above every seen id; re-running an OLD day is
-    # legal — its interval is still disjoint from every other run's).
-    # Under it, "quality-passing docs with a smaller id" == "seen docs
-    # below this increment's interval ∪ smaller-id increment docs", so
-    # the keep-first rule stays a pure per-doc function of the union
-    # even across out-of-order re-runs.
+    # id-interval contract: each run owns a DISJOINT doc_id interval;
+    # NEW run ids must take ids above every seen id (a first-time run
+    # slotted BELOW existing runs could not retroactively drop the
+    # later-id standing docs that batch recompute would drop — so it
+    # raises instead of silently diverging), while RE-RUNNING an
+    # already-committed run id keeps its old interval (later runs were
+    # already deduped against it). Under the contract, "quality-passing
+    # docs with a smaller id" == "seen docs below this increment's
+    # interval ∪ smaller-id increment docs", so the keep-first rule
+    # stays a pure per-doc function of the union across re-runs.
     bounds = inc.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]
@@ -247,32 +255,58 @@ def run_daily_increment(
                 f"[{min_inc}, {max_inc}] — run id intervals must be "
                 "disjoint for the keep-first dedup rule to be exact"
             )
+        if not is_rerun:
+            above = seen.filter(F.col("doc_id") > max_inc).count()
+            if above:
+                raise ValueError(
+                    f"run_daily_increment: new run {run_id!r} sits below "
+                    f"{above} already-seen doc id(s) — a first-time run "
+                    "must take ids above every seen id (only re-running "
+                    "an existing run id may keep an old interval), else "
+                    "standing docs the batch rebuild would drop as its "
+                    "later-id dups silently survive"
+                )
         seen = seen.filter(F.col("doc_id") < min_inc)
 
     # 1. standing-model quality gate (row-local, shuffle-free scorer)
     scored = curation.score_docs_with_model(inc, model).select(
         "doc_id", "n_grams", "log_odds", "pred_curated"
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # increment-sized multi-consumer intermediates are persisted for the
+    # run (the stats counts, both dedup probes, the accepted anti-join,
+    # and the three writes would otherwise re-execute the scorer and the
+    # standing-index probe per action)
     inc_q = inc.join(
         scored.filter(F.col("pred_curated")).select(
             "doc_id", "log_odds"
         ),
         "doc_id",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_quality = inc_q.count()
 
     # 2a. dedup vs the STANDING corpus (quality-passing seen docs)
-    std_dup = neardup.incremental_neardup_check(
-        seen.select("doc_id", "text"),
-        inc_q.select("doc_id", "text"),
-        jaccard_tau,
-    ).filter(F.col("is_duplicate")).select("doc_id")
+    std_dup = (
+        neardup.incremental_neardup_check(
+            seen.select("doc_id", "text"),
+            inc_q.select("doc_id", "text"),
+            jaccard_tau,
+        )
+        .filter(F.col("is_duplicate"))
+        .select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # 2b. dedup WITHIN the increment: keep-first — drop the larger id of
     # every pair (matches the batch rule "has a smaller-id neighbor")
     intra_dup = neardup.ngram_jaccard_pairs(
         inc_q.select("doc_id", "text"), jaccard_tau
     ).select(F.col("doc_b").alias("doc_id")).distinct()
-    dropped = std_dup.unionByName(intra_dup).distinct()
+    dropped = (
+        std_dup.unionByName(intra_dup)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     accepted = inc_q.join(dropped, "doc_id", "left_anti")
 
     # 3. split-stable assignment (pure function of doc_id — see above)
@@ -281,12 +315,18 @@ def run_daily_increment(
     accepted = accepted.withColumn("n_tokens", n_tokens)
 
     # 4. token-balanced shard APPEND: deal increment ranks (token desc)
-    # round-robin across shards ordered lightest-first by standing load
+    # round-robin across shards ordered lightest-first by the standing
+    # load of the PRECEDING intervals only — a pure function of the
+    # runs before this one, so re-running an old day re-deals against
+    # exactly the loads its original run saw (full state convergence,
+    # not just the accepted set)
     prior = _read_state_or_empty(
         spark,
         corpus_path,
         "doc_id long, n_tokens long, shard_id long, __run string",
     ).filter(F.col("__run") != run_id)
+    if min_inc is not None:
+        prior = prior.filter(F.col("doc_id") < min_inc)
     standing = {
         r["shard_id"]: r["t"]
         for r in prior.groupBy("shard_id")
@@ -347,14 +387,15 @@ def run_daily_increment(
     audit.write.mode("overwrite").parquet(f"{state_dir}/audit/__run={run_id}")
 
     n_intra = n_dropped - n_std
+    appended = spark.read.parquet(f"{corpus_path}/__run={run_id}").count()
+    for handle in (inc_q, std_dup, dropped):
+        handle.unpersist(blocking=False)
     return {
         "increment": n_inc,
         "after_quality": n_quality,
         "dup_vs_standing": n_std,
         "dup_within_increment": n_intra,
-        "appended": spark.read.parquet(
-            f"{corpus_path}/__run={run_id}"
-        ).count(),
+        "appended": appended,
     }
 
 

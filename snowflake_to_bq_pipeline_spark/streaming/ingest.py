@@ -49,7 +49,15 @@ def read_docs_stream(
     the on-disk schema with a metadata-only batch read unless the caller
     supplies one."""
     if schema is None:
-        schema = spark.read.parquet(source_dir).schema
+        try:
+            schema = spark.read.parquet(source_dir).schema
+        except Exception as e:
+            raise ValueError(
+                "read_docs_stream: cannot infer a schema from "
+                f"{source_dir!r} (missing or not-yet-populated landing "
+                "directory) — pass schema= explicitly so the stream can "
+                "start before the first file arrives"
+            ) from e
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)

@@ -270,6 +270,13 @@ def test_daily_increment_contract_and_shard_balance(spark, tmp_path):
         pipelines.run_daily_increment(
             spark, state, inc_a, "d9", model, n_shards=2
         )
+    # a FIRST-TIME run slotted below existing ids could not retroactively
+    # drop the later-id standing docs batch recompute would drop — raises
+    low = _inc_df(spark, [(50, "raw", CUR4), (51, "raw", GARBAGE)])
+    with pytest.raises(ValueError, match="above every seen id"):
+        pipelines.run_daily_increment(
+            spark, state, low, "d0", model, n_shards=2
+        )
     # shard append deals lightest-first: with 2 shards and 3 docs in d1,
     # shard totals differ by at most one doc; the d2 append must land on
     # the lighter shard
@@ -364,4 +371,23 @@ def test_daily_increment_empty_increment_is_a_noop_run(spark, tmp_path):
         "dup_within_increment": 0,
         "appended": 0,
     }
+    assert _state_rows(spark, state) == before
+
+
+def test_old_day_rerun_converges_fully_after_later_days(spark, tmp_path):
+    """Re-running a COMMITTED old day after later days exist must
+    converge to the identical full state — including shard_ids, because
+    the deal reads only the PRECEDING intervals' standing loads (a pure
+    function of the runs before it, not of wall-clock history)."""
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b = _fixture(spark)
+    state = str(tmp_path / "state")
+    s1 = pipelines.run_daily_increment(spark, state, inc_a, "d1", model)
+    pipelines.run_daily_increment(spark, state, inc_b, "d2", model)
+    before = _state_rows(spark, state)
+    s1_again = pipelines.run_daily_increment(
+        spark, state, inc_a, "d1", model
+    )
+    assert s1_again == s1
     assert _state_rows(spark, state) == before
