@@ -1171,6 +1171,18 @@ def score_docs_with_model(
         "end would silently null log_odds"
     )
     nanos = [str(int(_D(v) * 10**9)) for v in model["llr"]]
+    # Enforce the premise behind NBQ_MAX_GRAMS_PER_DOC, not just the
+    # gram cap: the exactness argument needs worst-|llr| × cap + |prior|
+    # inside the 2^53 exact-double range. A pathologically skewed model
+    # (one bucket holding ~all grams of one class at extreme corpus
+    # sizes) fails HERE instead of silently degrading the pinned
+    # plan-diverse equality. O(DSIR_BUCKETS) driver-side ints — free.
+    worst = max((abs(int(n)) for n in nanos), default=0)
+    prior_nanos = abs(int(_D(model["prior"]) * 10**9))
+    assert worst * NBQ_MAX_GRAMS_PER_DOC + prior_nanos < 2**53, (
+        f"model LLR magnitude {worst}e-9 breaks the long-nanos exactness "
+        f"bound at NBQ_MAX_GRAMS_PER_DOC={NBQ_MAX_GRAMS_PER_DOC} grams"
+    )
     lut_df = docs.sparkSession.range(1).select(
         F.from_json(
             F.lit("[" + ",".join(nanos) + "]"), "array<long>"

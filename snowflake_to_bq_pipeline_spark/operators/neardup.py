@@ -1596,15 +1596,19 @@ def substring_dup_spans(
     wrong tool at 100 TB. ``"star"`` is the linear-output curation form
     (the Lee et al. cut-all-but-one read): each anchor hash pairs its
     occurrences against the CANONICAL first occurrence only (min
-    (doc_id, position)), so every duplicated region in every doc is
-    still detected and extended to exact boundaries VS ITS FIRST
-    OCCURRENCE — O(occurrences) candidates and output under any
-    boilerplate skew. Star spans against a non-first partner can be
-    shorter than the pairwise maximum (the canonical occurrence's
-    context bounds the extension); the keep/cut verdict is unaffected.
+    (doc_id, position)) — O(occurrences) candidates and output under
+    any boilerplate skew, with duplicated regions extended to exact
+    boundaries vs the canonical carrier. Scope, honestly: the detection
+    guarantee holds when the span's anchor content FIRST occurs inside
+    a carrier of the span (the corpus-wide-boilerplate case the mode
+    exists for); anchor content that also appears in an OLDER unrelated
+    doc with sub-guarantee context can shadow a later pair (the
+    canonical extension falls below the floor, so the non-canonical
+    pair is never formed). Pairs mode remains the exact answer; star is
+    the scale triage that says which docs carry the canonical content.
     Pytest-pinned: star output on a hot-boilerplate corpus is linear,
-    every star span is a genuine common substring, and every pairs-mode
-    duplicated doc is star-detected.
+    every star span is a genuine common substring at exact boundaries,
+    and every carrier of the boilerplate is detected.
     """
     if mode not in ("pairs", "star"):
         raise ValueError(f"substring_dup_spans: unknown mode {mode!r}")

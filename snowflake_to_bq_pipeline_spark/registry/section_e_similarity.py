@@ -1749,7 +1749,7 @@ def substring_dup_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE 'kept'
              END AS reason
       FROM documents d
-      JOIN exv USING (doc_id)
+      LEFT JOIN exv USING (doc_id)
       LEFT JOIN lab l USING (doc_id)
       LEFT JOIN slab s USING (doc_id)
     ),

@@ -596,3 +596,18 @@ def test_classifier_gate_funnel_agrees_with_scores(spark, sf_dir):
     }
     for g in ("min_tokens", "max_tokens", "diversity", "lang_en"):
         assert (funnel[g].docs_in, funnel[g].docs_kept) == base[g]
+
+
+def test_score_docs_with_model_enforces_llr_magnitude_premise(spark):
+    """The 2^53 exactness argument needs BOTH the gram cap and the
+    per-gram magnitude bound; a pathologically skewed model whose worst
+    LLR breaks worst*cap+prior < 2^53 must be rejected up front."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "cur", "a b c")], "doc_id long, source string, text string"
+    )
+    model = curation.train_nbq_model(docs, ("cur",), holdout_mod=100)
+    bad = dict(model, llr=["30.0"] + model["llr"][1:])  # 3e10 nanos/gram
+    with pytest.raises(AssertionError, match="long-nanos exactness"):
+        curation.score_docs_with_model(docs, bad)
