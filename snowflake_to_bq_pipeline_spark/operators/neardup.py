@@ -1556,6 +1556,7 @@ def substring_dup_spans(
     band: int = SPAN_BAND,
     text_col: str = "text",
     mode: str = "pairs",
+    rescue_rounds: int = 0,
 ) -> DataFrame:
     """EXACT maximal duplicated spans across document pairs, seed-and-
     extend (Lee et al. 2021 ExactSubstr semantics, winnowing-anchored).
@@ -1609,6 +1610,22 @@ def substring_dup_spans(
     Pytest-pinned: star output on a hot-boilerplate corpus is linear,
     every star span is a genuine common substring at exact boundaries,
     and every carrier of the boilerplate is detected.
+
+    ``rescue_rounds`` (star mode only) counters that shadowing without
+    giving up linearity: each rescue round takes the occurrences whose
+    round-N extension FAILED the guarantee floor (short extension or
+    hash-collision mismatch), removes the occurrences already covered
+    (the canonical position per hash and every occurrence whose span
+    succeeded), re-selects the canonical among the survivors — which by
+    construction IS the oldest true carrier once the shadowing doc is
+    out — and extends against it. Each round strictly shrinks the pool
+    (the canonical leaves it), costs one bucketed join + one Arrow pass
+    over FAILED occurrences only, and round counts beyond the seeded
+    shadow depth are no-ops. The shadow rate and its rescue to zero are
+    measured and pinned in tests/test_neardup.py (a seeded shadow corpus
+    plus the planted-motif corpus, where the plain-star rate is already
+    0 — realistic shapes rarely shadow; the seeded corpus needs EVERY
+    anchor window of the span to first occur in an older non-carrier).
     """
     if mode not in ("pairs", "star"):
         raise ValueError(f"substring_dup_spans: unknown mode {mode!r}")
@@ -1653,24 +1670,30 @@ def substring_dup_spans(
         )
         .distinct()
     )
-    left = anchors.select(
-        F.col("doc_id").alias("doc_a"), F.col("i").alias("sa"), "__h"
-    )
+    w_len, min_len = int(window), int(window) + int(band) - 1
+
+    def _attach_texts(cand: DataFrame) -> DataFrame:
+        return cand.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("__t").alias("__ta")
+            ),
+            "doc_a",
+        ).join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("__t").alias("__tb")
+            ),
+            "doc_b",
+        )
+
     if mode == "star":
-        # one candidate per (hash, occurrence): the hash's canonical
-        # first occurrence vs each other occurrence — linear fan-out
-        # regardless of how many docs carry the content
-        left = (
-            anchors.groupBy("__h")
-            .agg(F.min(F.struct("doc_id", "i")).alias("__c"))
-            .select(
-                "__h",
-                F.col("__c.doc_id").alias("doc_a"),
-                F.col("__c.i").alias("sa"),
-            )
+        return _star_spans(
+            docs, anchors, _attach_texts, w_len, min_len, rescue_rounds
         )
     cand = (
-        left.join(
+        anchors.select(
+            F.col("doc_id").alias("doc_a"), F.col("i").alias("sa"), "__h"
+        )
+        .join(
             anchors.select(
                 F.col("doc_id").alias("doc_b"),
                 F.col("i").alias("sb"),
@@ -1681,14 +1704,7 @@ def substring_dup_spans(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "sa", "doc_b", "sb")
     )
-    withtexts = cand.join(
-        docs.select(F.col("doc_id").alias("doc_a"), F.col("__t").alias("__ta")),
-        "doc_a",
-    ).join(
-        docs.select(F.col("doc_id").alias("doc_b"), F.col("__t").alias("__tb")),
-        "doc_b",
-    )
-    w_len, min_len = int(window), int(window) + int(band) - 1
+    withtexts = _attach_texts(cand)
 
     def _extend(batches):
         import pandas as pd
@@ -1738,3 +1754,251 @@ def substring_dup_spans(
         schema="doc_a long, doc_b long, start_a long, start_b long, "
         "span_len long",
     ).distinct()
+
+
+def _star_spans(
+    docs: DataFrame,
+    anchors: DataFrame,
+    attach_texts,
+    w_len: int,
+    min_len: int,
+    rescue_rounds: int,
+) -> DataFrame:
+    """Star-mode candidate generation + extension for
+    :func:`substring_dup_spans`, with the shadow-rescue loop (see the
+    mode/rescue_rounds contract there). Round 0 is the plain star pass:
+    one candidate per (anchor hash, occurrence) against the hash's
+    canonical first occurrence. Each rescue round re-anchors ONLY the
+    occurrences whose extension failed the guarantee floor — linear
+    per-round cost, strictly shrinking pool."""
+    if rescue_rounds < 0:
+        raise ValueError(
+            f"substring_dup_spans: rescue_rounds must be >= 0, "
+            f"got {rescue_rounds}"
+        )
+
+    def _extend_flagged(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {
+                k: []
+                for k in (
+                    "doc_a", "doc_b", "start_a", "start_b", "span_len",
+                    "asb", "ah",
+                )
+            }
+            for da, db, sa, sb, h, ta, tb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["sa"], pdf["sb"],
+                pdf["__h"], pdf["__ta"], pdf["__tb"],
+            ):
+                i, j = int(sa) - 1, int(sb) - 1
+                if ta[i : i + w_len] != tb[j : j + w_len]:
+                    # xxhash64 collision: no shared content at the anchor;
+                    # emitted with span_len 0 so the occurrence stays in
+                    # the rescue pool instead of silently vanishing
+                    span, oa, ob = 0, i + 1, j + 1
+                else:
+                    left = 0
+                    while (
+                        i - left - 1 >= 0
+                        and j - left - 1 >= 0
+                        and ta[i - left - 1] == tb[j - left - 1]
+                    ):
+                        left += 1
+                    right = 0
+                    while (
+                        i + w_len + right < len(ta)
+                        and j + w_len + right < len(tb)
+                        and ta[i + w_len + right] == tb[j + w_len + right]
+                    ):
+                        right += 1
+                    span = w_len + left + right
+                    oa, ob = i - left + 1, j - left + 1
+                cols["doc_a"].append(da)
+                cols["doc_b"].append(db)
+                cols["start_a"].append(oa)
+                cols["start_b"].append(ob)
+                cols["span_len"].append(span)
+                cols["asb"].append(int(sb))
+                cols["ah"].append(int(h))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in cols.items()}
+            )
+
+    schema = (
+        "doc_a long, doc_b long, start_a long, start_b long, "
+        "span_len long, asb long, ah long"
+    )
+    remaining = anchors
+    parts: list[DataFrame] = []
+    for _ in range(int(rescue_rounds) + 1):
+        canon = (
+            remaining.groupBy("__h")
+            .agg(F.min(F.struct("doc_id", "i")).alias("__c"))
+            .select(
+                "__h",
+                F.col("__c.doc_id").alias("doc_a"),
+                F.col("__c.i").alias("sa"),
+            )
+        )
+        cand = canon.join(
+            remaining.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("i").alias("sb"),
+                "__h",
+            ),
+            "__h",
+        ).filter(F.col("doc_a") < F.col("doc_b"))
+        ext = attach_texts(cand).mapInPandas(_extend_flagged, schema=schema)
+        ok = ext.filter(F.col("span_len") >= min_len)
+        parts.append(
+            ok.select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+        )
+        # next pool = the FAILED candidates only (short extension or
+        # collision): the canonical and every succeeded occurrence are
+        # covered, and re-selecting the canonical among the failures IS
+        # "the canonical carrier of the actual shared content" once the
+        # shadowing doc is out — one round even for periodic content,
+        # where anchor hashes recur at many alignments (the failed
+        # occurrences sit at matching relative offsets, so they align
+        # with each other immediately). Residual, documented: an
+        # alternate occurrence INSIDE the canonical doc at the right
+        # alignment is never re-attempted (same-doc occurrences cannot
+        # be candidates) — pairs mode remains the exact answer.
+        remaining = ext.filter(F.col("span_len") < min_len).select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("asb").alias("i"),
+            F.col("ah").alias("__h"),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def span_cut(
+    documents: DataFrame,
+    window: int = SPAN_WINDOW,
+    band: int = SPAN_BAND,
+    text_col: str = "text",
+    mode: str = "pairs",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """CUT every non-canonical maximal duplicated span and reassemble the
+    survivors — the curation pass that CONSUMES :func:`substring_dup_spans`
+    the way Lee et al. 2021 apply ExactSubstr dedup: the span's first
+    occurrence (the smaller doc_id of each pair) stays intact, every later
+    occurrence is removed from its document, and the doc is stitched back
+    together from the surviving segments. The span-grain engine form of
+    the reference's row-level dedup sweep
+    (snowflake_bq_deduplication_sync.py:214 deletes whole duplicate rows;
+    this deletes just the duplicated characters).
+
+    Semantics: for each spans-table row (doc_a < doc_b) the interval
+    [start_b, start_b + span_len) is cut from doc_b; per doc, overlapping
+    cut intervals from different pairs UNION before cutting (one
+    gaps-and-islands pass — pytest-pinned equal to a naive per-position
+    mask), so chars are never double-counted and the reassembly is exact:
+    length(cut_text) + chars_removed == orig_chars for every doc
+    (conservation pytest). Keep-first is transitive here the same way the
+    whole-doc rule is: content shared by docs {2, 5, 9} yields pairs
+    (2,5), (2,9), (5,9), so doc 2 keeps its copy and docs 5 and 9 lose
+    theirs. Within-doc self-repeats are out of scope (the spans table is
+    cross-doc by construction) — documented, not silent.
+
+    ``mode="pairs"`` cuts from the exact pairwise span set;
+    ``mode="star"`` rides the linear-output star spans — the 100 TB form
+    under corpus-wide boilerplate, cutting each occurrence against the
+    canonical carrier only (same shadowing caveat as the spans operator,
+    quantified in tests/test_neardup.py). Pass ``spans=`` to reuse a
+    memoized/persisted spans table (the registry posture).
+
+    Scale posture: everything downstream of the spans table is linear in
+    cut intervals — one shuffle partitioned by doc_id for the island
+    merge, one join back to the corpus, and a per-doc row-local stitch
+    (Spark's ``aggregate`` over the doc's own island array; interpreted,
+    but O(islands) per doc and never corpus-wide). No all-pairs work
+    beyond what the spans table itself priced in.
+    """
+    from pyspark.sql import Window as W
+
+    if spans is None:
+        spans = substring_dup_spans(documents, window, band, text_col, mode)
+    cuts = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_len") - 1).alias("e"),
+    )
+    w_doc = W.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_end = F.max("e").over(
+        w_doc.rowsBetween(W.unboundedPreceding, -1)
+    )
+    # a new island starts only past prev_end + 1: ADJACENT intervals merge
+    # too (one contiguous removed region is ONE cut), matching the
+    # per-position mask reference, not just the overlap case
+    per_doc = (
+        cuts.withColumn(
+            "__new",
+            (
+                F.col("s") > F.coalesce(prev_max_end, F.lit(-2)) + 1
+            ).cast("long"),
+        )
+        .withColumn("__isl", F.sum("__new").over(w_doc))
+        .groupBy("doc_id", "__isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("spans_cut"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("chars_removed"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("__isl"),
+        )
+    )
+    base = documents.select(
+        "doc_id", F.col(text_col).alias("__t")
+    ).join(per_doc, "doc_id", "left")
+    isl = F.coalesce(
+        F.col("__isl"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    # row-local stitch: walk the doc's merged islands left-to-right,
+    # keeping [cursor, island.start) each step and the tail at the end
+    stitched = F.aggregate(
+        isl,
+        F.struct(
+            F.lit(1).cast("long").alias("p"), F.lit("").alias("acc")
+        ),
+        lambda a, x: F.struct(
+            (x["e"] + 1).alias("p"),
+            F.concat(
+                a["acc"],
+                F.col("__t").substr(
+                    a["p"].cast("int"),
+                    F.greatest(
+                        (x["s"] - a["p"]).cast("int"), F.lit(0)
+                    ),
+                ),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.col("__t").substr(
+                a["p"].cast("int"),
+                F.greatest(
+                    (F.length("__t") - a["p"] + 1).cast("int"), F.lit(0)
+                ),
+            ),
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.length("__t").cast("long").alias("orig_chars"),
+        F.coalesce(F.col("spans_cut"), F.lit(0).cast("long")).alias(
+            "spans_cut"
+        ),
+        F.coalesce(F.col("chars_removed"), F.lit(0).cast("long")).alias(
+            "chars_removed"
+        ),
+        stitched.alias("cut_text"),
+    )

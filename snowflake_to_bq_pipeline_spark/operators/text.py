@@ -759,6 +759,7 @@ def chunk_windows(
     text_col: str = "text",
     size: int = 32,
     stride: int = 24,
+    with_text: bool = False,
 ) -> DataFrame:
     """Overlapping word-window passages (RAG / context chunking).
 
@@ -782,6 +783,26 @@ def chunk_windows(
         "doc_id", w.alias("__w"), F.array_size(w).alias("__nw")
     ).where(F.col("__nw") > 0)
     start = F.col("start_word")
+    cols = [
+        "doc_id",
+        (start / stride).cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_word"),
+        F.least(F.lit(size), F.col("__nw") - start)
+        .cast("long")
+        .alias("n_words"),
+        F.md5(
+            F.array_join(F.slice("__w", start + 1, size), " ")
+        ).alias("chunk_md5"),
+    ]
+    if with_text:
+        # the retrieval/embedding consumers (chunk_vectors) need the
+        # chunk content itself; default stays hash-only so the chunking
+        # report never ships corpus text it does not use
+        cols.append(
+            F.array_join(F.slice("__w", start + 1, size), " ").alias(
+                "chunk_text"
+            )
+        )
     return (
         base.select(
             "doc_id",
@@ -791,17 +812,94 @@ def chunk_windows(
                 F.sequence(F.lit(0), F.col("__nw") - 1, F.lit(stride))
             ).alias("start_word"),
         )
-        .select(
-            "doc_id",
-            (start / stride).cast("long").alias("chunk_idx"),
-            start.cast("long").alias("start_word"),
-            F.least(F.lit(size), F.col("__nw") - start)
-            .cast("long")
-            .alias("n_words"),
-            F.md5(
-                F.array_join(F.slice("__w", start + 1, size), " ")
-            ).alias("chunk_md5"),
+        .select(*cols)
+    )
+
+
+#: vec_id packing for chunk-grain vectors: vec_id = doc_id * BASE +
+#: chunk_idx — invertible (doc_id = vec_id // BASE, chunk_idx = vec_id %
+#: BASE) so ANN results map straight back to (doc, passage). 2^20 chunks
+#: per doc is ~25M words at the default stride; the guard raises loudly
+#: rather than aliasing two chunks to one id.
+CHUNK_VEC_BASE = 1 << 20
+
+
+def _default_chunk_encoder(content: bytes, dims: int) -> list[float]:
+    """Deterministic stand-in text encoder (the multimodal stub-encoder
+    seam, multimodal/media._fake_embed, applied to chunk text): folded
+    byte histogram, l2-normalized — near-identical passages land at
+    cosine ~1, unrelated ones decorrelate. Production swaps this ONE
+    function for a real sentence encoder; every downstream ANN plan
+    (train/assign/probe, streaming maintenance) is unchanged."""
+    hist = [0.0] * dims
+    for b in content:
+        hist[b % dims] += 1.0
+    norm = sum(x * x for x in hist) ** 0.5
+    return [x / norm for x in hist] if norm > 0 else hist
+
+
+def chunk_vectors(
+    documents: DataFrame,
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+    dims: int = 64,
+    encoder=None,
+) -> DataFrame:
+    """Retrieval-chunk embedding table: ``chunk_windows`` passages
+    embedded through an injectable encoder into the similarity stack's
+    standard (vec_id, embedding) contract — the chunk→index→search path
+    a RAG-serving pipeline feeds, riding the SAME standing-index family
+    (operators/similarity.train_centroids/_assign/ivf_topk, incl. the
+    streaming maintenance twin streaming/ann.maintain_ivf_index) as
+    document and media embeddings instead of a bespoke chunk-only index.
+
+    ``encoder`` is a ``bytes -> list[float]`` callable (the
+    multimodal/media.embed_media seam); the default is the deterministic
+    stub histogram. Scale posture: chunking is a map-only explode, the
+    encoder runs in ONE Arrow-batched mapInPandas over chunk rows (no
+    per-row UDF, no shuffle) — output rows ~ n_words/stride per doc.
+    """
+    from typing import Iterator
+
+    enc = encoder or _default_chunk_encoder
+    base = CHUNK_VEC_BASE
+    ch = chunk_windows(documents, text_col, size, stride, with_text=True)
+    packed = ch.select(
+        F.when(
+            F.col("chunk_idx") < base,
+            F.col("doc_id") * base + F.col("chunk_idx"),
         )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "chunk_vectors: doc %s has chunk_idx %s past "
+                    f"CHUNK_VEC_BASE={base} — vec_id packing would alias",
+                    F.col("doc_id").cast("string"),
+                    F.col("chunk_idx").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("vec_id"),
+        "chunk_text",
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": [
+                        enc(t.encode("utf-8"), dims)
+                        for t in pdf["chunk_text"]
+                    ],
+                }
+            )
+
+    return packed.mapInPandas(
+        run, schema="vec_id long, embedding array<double>"
     )
 
 

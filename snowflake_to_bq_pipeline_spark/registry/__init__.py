@@ -189,6 +189,8 @@ from .section_e_similarity import (  # noqa: F401
     _ASSIGN_CACHE,
     _BRUTE_TOPK_CACHE,
     _CENTROID_CACHE,
+    _CHUNK_ASSIGN_CACHE,
+    _CHUNK_CENTROID_CACHE,
     _CONTAINMENT_TAU,
     _COS_SQL,
     _DUP_CLUSTERS_CACHE,
@@ -203,6 +205,7 @@ from .section_e_similarity import (  # noqa: F401
     _SEM_GROUPS_CACHE,
     _SHINGLE_CACHE,
     _SEMDEDUP_CACHE,
+    _SPANS_CACHE,
     _SHINGLE_SQL,
     _SIMHASH_SIG_CACHE,
     _SUBSTR_S,
@@ -212,9 +215,11 @@ from .section_e_similarity import (  # noqa: F401
     _assigned_for,
     _brute_topk_for,
     _centroids_for,
+    _chunk_index_for,
     _dup_clusters_for,
     _embdoc_pairs_for,
     _sem_groups_for,
+    _spans_for,
     _incr_bloom_for,
     _jaccard_pairs_for,
     _minhash_pairs_for,
@@ -225,6 +230,7 @@ from .section_e_similarity import (  # noqa: F401
     _tfidf_topk_for,
     ann_cosine_topk_q,
     ann_ivf_incremental_topk_q,
+    chunk_ann_topk_q,
     ann_ivf_list_drift_q,
     ann_ivf_topk_q,
     ann_ivfpq_topk_q,
@@ -258,6 +264,7 @@ from .section_e_similarity import (  # noqa: F401
     paragraph_dedup_q,
     pq_compression_stats_q,
     semdedup_prune_q,
+    span_cut_rollup_q,
     split_leakage_compare_q,
     substring_dup_profile_q,
     tfidf_doc_similarity_q,
@@ -326,15 +333,61 @@ def clear_model_caches() -> None:
 
 _WINDOW_ORDER = [
     # -- DRIVER WINDOW (first 50): the driver hash-checks only these --
-    # r13 rotation (verdict ask #1): the 4 CHANGED-this-round oracle
-    # queries first (two NEW ops — the dedup provenance rollup and the
-    # NB-gated funnel; the two classifier views whose oracle text was
-    # factored onto the shared docscores CTE chain), then the 41
-    # r10-vintage longest-unchecked queries the verdict names
-    # (embedding_doc_dedup is in that cohort AND changed: its pair table
-    # now rides the per-snapshot memo), then the 5 longest-unchecked
-    # r11-vintage fills to reach slot 50
-    # (event_session_stats onward stay first in line for r14).
+    # r14 rotation (verdict ask #1): the single NEW oracle query first
+    # (span_cut_rollup — the ExactSubstr span-CUT accounting), then the
+    # 45 r11-vintage longest-unchecked queries the verdict names, then
+    # the 4 alphabetically-first r12-vintage fills to reach slot 50
+    # (contributor_utilization_rollup is first in line for r15).
+    "span_cut_rollup",
+    "backfill_progress",
+    "boilerplate_phrase_profile",
+    "bom_per_case_consumption",
+    "char_entropy_score",
+    "charlm_perplexity",
+    "chunked_backfill_plan",
+    "click_attribution",
+    "column_value_drift",
+    "cross_split_contamination",
+    "customer_revenue_deciles",
+    "dataset_split_assign",
+    "dedup_cluster_size_histogram",
+    "embedding_dup_pairs",
+    "error_window_events",
+    "event_session_stats",
+    "event_sessions",
+    "events_windowed_counts",
+    "freshness_check",
+    "incremental_agg_maintenance",
+    "incremental_dedup_check",
+    "lang_id",
+    "monthly_hours_pivot",
+    "near_dup_rate_by_source",
+    "pii_redaction",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q6_forecast_revenue",
+    "quality_filter_funnel",
+    "reporting_lag_analysis",
+    "row_count_by_day",
+    "row_count_compare",
+    "source_mix_weights",
+    "stratified_sample_mix",
+    "text_quality_score",
+    "text_stats",
+    "tfidf_top_terms",
+    "user_activity_trend",
+    "user_running_totals",
+    "vocab_top_k",
+    "volume_anomaly",
+    "volume_anomaly_dow",
+    "work_item_enriched",
+    "alert_digest",
+    "ann_cosine_topk",
+    "budget_fallback_allocation",
+    "budget_vs_actual",
     "dedup_provenance_rollup",
     "classifier_gate_funnel",
     "quality_classifier_scores",
@@ -385,54 +438,8 @@ _WINDOW_ORDER = [
     "cross_source_ngram_overlap",
     "event_interarrival_profile",
     "dup_pair_similarity_histogram",
-    "event_session_stats",
-    "incremental_dedup_check",
-    "near_dup_rate_by_source",
-    "boilerplate_phrase_profile",
-    "dedup_cluster_size_histogram",
-    "embedding_dup_pairs",
-    "error_window_events",
-    "event_sessions",
-    "events_windowed_counts",
-    "freshness_check",
-    "incremental_agg_maintenance",
-    "lang_id",
-    "monthly_hours_pivot",
-    "pii_redaction",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_supplier_volume",
-    "q6_forecast_revenue",
-    "quality_filter_funnel",
-    "reporting_lag_analysis",
-    "row_count_by_day",
-    "row_count_compare",
-    "source_mix_weights",
-    "stratified_sample_mix",
-    "text_quality_score",
-    "text_stats",
-    "tfidf_top_terms",
-    "user_activity_trend",
-    "user_running_totals",
-    "vocab_top_k",
-    "volume_anomaly",
-    "volume_anomaly_dow",
-    "work_item_enriched",
-    "backfill_progress",
-    "bom_per_case_consumption",
-    "char_entropy_score",
-    "charlm_perplexity",
-    "chunked_backfill_plan",
-    "click_attribution",
-    "column_value_drift",
-    "cross_split_contamination",
-    "customer_revenue_deciles",
-    "dataset_split_assign",
     "dataset_split_assign_cluster_safe",
     "split_leakage_compare",
-    "ann_cosine_topk",
     "dedup_clusters",
     "dedup_latest_record",
     "dedup_savings_report",
@@ -472,10 +479,7 @@ _WINDOW_ORDER = [
     "status_flap_audit",
     "vocab_coverage_curve",
     "pipeline_alerts",
-    "alert_digest",
-    "budget_vs_actual",
     "individual_budget_tracking",
-    "budget_fallback_allocation",
     "contributor_utilization_rollup",
     "utilization_rollup",
     "ann_ivf_incremental_topk",
@@ -508,6 +512,7 @@ _WINDOW_ORDER = [
     "unigram_encode_tokens",
     "unigram_vocab_table",
     "vocab_heavy_hitters_sketch",
+    "chunk_ann_topk",
 ]
 
 assert set(_WINDOW_ORDER) == set(QUERIES), (
@@ -521,17 +526,12 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 #: Names whose engine code is new or changed THIS round: each needs a fresh
 #: driver hash verdict, so each must sit inside the 50-slot window.  Update
 #: this set whenever a round touches a query's plan or oracle.
-# r13: two NEW oracle-gated ops (the dedup provenance rollup and the
-# NB-classifier-gated funnel); the two classifier views' oracle text was
-# factored onto the shared _NBQ_DOCSCORES_CTES chain; and
-# embedding_doc_dedup's plan changed (its pair table now materializes
-# through the per-snapshot memo the provenance rollup shares).
+# r14: one NEW oracle-gated op — the ExactSubstr span-CUT accounting
+# rollup (span_cut_rollup). substring_dup_spans' plan also changed (it
+# now rides the per-snapshot spans memo) but it is rows-only and cannot
+# hold a window slot; its gate is the pytest pin vs the naive reference.
 _WINDOW_CRITICAL = {
-    "dedup_provenance_rollup",
-    "classifier_gate_funnel",
-    "quality_classifier_scores",
-    "quality_classifier_report",
-    "embedding_doc_dedup",
+    "span_cut_rollup",
 }
 
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (
@@ -562,6 +562,7 @@ ORACLES = {name: ORACLES[name] for name in _WINDOW_ORDER if name in ORACLES}
 
 _MEMO_HELPERS = (
     "_semdedup_for",
+    "_spans_for",
     "_shingles_for",
     "_simhash_sigs_for",
     "_jaccard_pairs_for",
@@ -576,6 +577,7 @@ _MEMO_HELPERS = (
     "_nbq_model_for",
     "_word_tokens_for",
     "_centroids_for",
+    "_chunk_index_for",
     "_assigned_for",
     "_brute_topk_for",
     "_bpe_merges_for",

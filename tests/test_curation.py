@@ -388,11 +388,17 @@ def test_nbq_literal_model_scorer_equals_join_classifier(spark, sf_dir):
     }
     model = curation.train_nbq_model(docs, ("src0", "src1"))
     assert len(model["llr"]) == curation.DSIR_BUCKETS
-    lit = {
-        r["doc_id"]: tuple(r)
-        for r in curation.score_docs_with_model(docs, model).collect()
-    }
-    assert lit == batch
+    # BOTH scorer executions (the r14 Arrow default and the JVM fold)
+    # must reproduce the join-shaped classifier bit-for-bit: all three
+    # sum the SAME round-9 terms, in exact arithmetic
+    for impl in ("arrow", "fold"):
+        lit = {
+            r["doc_id"]: tuple(r)
+            for r in curation.score_docs_with_model(
+                docs, model, impl=impl
+            ).collect()
+        }
+        assert lit == batch, f"impl={impl} diverged from the classifier"
 
 
 def test_score_docs_with_model_enforces_gram_bound(spark, monkeypatch):
@@ -425,7 +431,9 @@ def test_score_docs_with_model_rejects_short_lut(spark):
     )
     model = curation.train_nbq_model(docs, ("cur",), holdout_mod=100)
     bad = dict(model, llr=model["llr"][:100])
-    with pytest.raises(AssertionError, match="DSIR_BUCKETS"):
+    # ValueError, not AssertionError: the contract check must survive
+    # ``python -O`` (r13 ADVICE)
+    with pytest.raises(ValueError, match="DSIR_BUCKETS"):
         curation.score_docs_with_model(docs, bad)
 
 
@@ -609,5 +617,6 @@ def test_score_docs_with_model_enforces_llr_magnitude_premise(spark):
     )
     model = curation.train_nbq_model(docs, ("cur",), holdout_mod=100)
     bad = dict(model, llr=["30.0"] + model["llr"][1:])  # 3e10 nanos/gram
-    with pytest.raises(AssertionError, match="long-nanos exactness"):
+    # ValueError, not AssertionError: survives ``python -O`` (r13 ADVICE)
+    with pytest.raises(ValueError, match="long-nanos exactness"):
         curation.score_docs_with_model(docs, bad)

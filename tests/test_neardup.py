@@ -601,3 +601,243 @@ def test_substring_dup_spans_multibyte_and_boundary_lengths(spark):
     assert any(r[:2] == (1, 2) and r[4] == L for r in got)
     # the L-1 shared block produces nothing
     assert not any(r[:2] == (3, 4) for r in got)
+
+
+def _naive_span_cut(texts: dict[int, str], min_len: int) -> dict[int, tuple]:
+    """Per-position mask reference for span_cut: mark every char of every
+    pair's LATER doc covered by a naive maximal span, then read off
+    (orig_chars, merged islands, chars removed, kept text) per doc."""
+    masks = {d: [False] * len(t) for d, t in texts.items()}
+    for _a, b, _sa, sb, ln in _naive_maximal_spans(texts, min_len):
+        for p in range(sb - 1, sb - 1 + ln):
+            masks[b][p] = True
+    out = {}
+    for d, t in texts.items():
+        m = masks[d]
+        islands = sum(
+            1 for i, f in enumerate(m) if f and (i == 0 or not m[i - 1])
+        )
+        out[d] = (
+            len(t),
+            islands,
+            sum(m),
+            "".join(c for c, f in zip(t, m) if not f),
+        )
+    return out
+
+
+def _cut_rows(df) -> dict[int, tuple]:
+    return {
+        r.doc_id: (r.orig_chars, r.spans_cut, r.chars_removed, r.cut_text)
+        for r in df.collect()
+    }
+
+
+def test_span_cut_overlap_merge_equals_naive_mask(spark):
+    """Two spans from DIFFERENT canonical docs overlapping inside one
+    victim doc must UNION before cutting (chars counted once, one merged
+    island) — pinned against a per-position mask built from the naive
+    quadratic span reference. Also: conservation per doc, and canonical
+    first occurrences keep their text verbatim."""
+    import random
+
+    rng = random.Random(21)
+    T = "".join(rng.choice("abcdefg ") for _ in range(100))
+
+    def noise(n):
+        return "".join(rng.choice("qrstuvwxyz") for _ in range(n))
+
+    texts = {
+        1: noise(9) + T[:70] + noise(11),    # canonical for T[:70]
+        2: noise(14) + T[30:] + noise(6),    # canonical for T[30:] vs 3
+        3: noise(5) + T + noise(8),          # victim: overlapping cuts
+        4: noise(90),                        # untouched
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = _cut_rows(neardup.span_cut(docs))
+    want = _naive_span_cut(texts, neardup.SPAN_MIN_LEN)
+    assert got == want
+    # overlapping intervals really merged: victim doc 3 lost one island
+    # covering the whole T occurrence (union of [.. 70) and [30 ..))
+    assert got[3][1] == 1 and got[3][2] >= len(T)
+    # conservation: kept mass + removed mass == input mass, every doc
+    for d, (orig, _isl, removed, kept) in got.items():
+        assert len(kept) + removed == orig
+    # first occurrence intact: doc 1 is only ever doc_a for T[:70] ...
+    assert got[1][3] == texts[1]
+    # ... and the untouched doc passes through byte-identical
+    assert got[4] == (90, 0, 0, texts[4])
+
+
+def test_span_cut_random_corpus_equals_naive_mask(spark):
+    """Property-style sweep: the planted-motif random corpus (same shape
+    as the spans-table sweep) cut-and-reassembled must match the
+    per-position mask reference on every doc."""
+    import random
+
+    rng = random.Random(99)
+    motifs = [
+        "".join(rng.choice("abcd efgh") for _ in range(55)),
+        "xy" * 30,
+    ]
+    texts = {}
+    for d in range(12):
+        t = "".join(
+            rng.choice("qrstuvwz") for _ in range(rng.randint(30, 90))
+        )
+        for m in motifs:
+            if rng.random() < 0.5:
+                cut = rng.randint(0, len(t))
+                t = t[:cut] + m + t[cut:]
+        texts[d] = t
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = _cut_rows(neardup.span_cut(docs))
+    want = _naive_span_cut(texts, neardup.SPAN_MIN_LEN)
+    assert got == want
+    assert any(v[2] > 0 for v in want.values()), "motifs must force cuts"
+
+
+def test_span_cut_star_mode_boilerplate(spark):
+    """Star-mode cut is the 100 TB boilerplate form: every non-canonical
+    carrier loses the boilerplate block (cut against the canonical first
+    occurrence only — linear candidate volume), the canonical carrier
+    keeps its text verbatim, and conservation holds throughout."""
+    import random
+
+    rng = random.Random(7)
+    boiler = "".join(rng.choice("abcdefgh ") for _ in range(70))
+
+    def noise(n):
+        return "".join(rng.choice("stuvwxyz") for _ in range(n))
+
+    n_carriers = 20
+    texts = {
+        d: noise(10 + d % 7) + boiler + noise(15)
+        for d in range(n_carriers)
+    }
+    texts[100] = noise(80)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = _cut_rows(neardup.span_cut(docs, mode="star"))
+    # canonical carrier (doc 0) and the non-carrier are untouched
+    assert got[0] == (len(texts[0]), 0, 0, texts[0])
+    assert got[100] == (80, 0, 0, texts[100])
+    for d in range(1, n_carriers):
+        orig, islands, removed, kept = got[d]
+        assert removed >= len(boiler), f"doc {d} kept its boilerplate"
+        assert len(kept) + removed == orig
+        assert boiler not in kept
+
+
+def test_star_mode_shadow_rate_measured_and_rescued(spark):
+    """Quantify the documented star-mode shadowing limit and its rescue.
+
+    Seeded WORST case: every anchor window of a real shared span first
+    occurs in an OLDER non-carrier doc with sub-guarantee context (each
+    window embedded between junk), so plain star pairs every carrier
+    anchor against the old doc, every extension falls below the floor,
+    and the true carrier pair is fully shadowed (measured rate 1.0).
+    One rescue round re-anchors the failed occurrences against the
+    actual canonical carrier and recovers the exact span (rate 0.0).
+    On the realistic planted-motif corpus the plain-star rate is
+    measured too — with one rescue round coverage matches pairs mode
+    exactly (the honest contract: rescue_rounds=1 is the production
+    star setting; residual is the same-doc alternate-alignment corner
+    documented in the operator)."""
+    import random
+
+    rng = random.Random(0)
+    w = neardup.SPAN_WINDOW
+    S = "".join(rng.choice("abcdefgh ") for _ in range(80))
+
+    def noise(n):
+        return "".join(rng.choice("jklmnpqrtuvz") for _ in range(n))
+
+    # shadowing needs each span window to be winnowing-SELECTED somewhere
+    # in the old doc (not merely present), so each window is planted in
+    # three junk contexts — deterministic seed verified to fully shadow
+    shadow_doc = "".join(
+        S[k : k + w] + noise(5)
+        for _rep in range(3)
+        for k in range(len(S) - w + 1)
+    )
+    texts = {
+        1: shadow_doc,                  # oldest: every window, short context
+        2: noise(12) + S + noise(9),    # true carriers of the span
+        3: noise(7) + S + noise(14),
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    def covered(rows):
+        return {r[0] for r in rows} | {r[1] for r in rows}
+
+    pairs_cov = covered(_span_rows(neardup.substring_dup_spans(docs)))
+    assert pairs_cov == {2, 3}, "seed must make (2,3) the only true pair"
+    star0_cov = covered(
+        _span_rows(neardup.substring_dup_spans(docs, mode="star"))
+    )
+    shadow_rate0 = len(pairs_cov - star0_cov) / len(pairs_cov)
+    assert shadow_rate0 == 1.0, "seeded corpus must fully shadow plain star"
+    star1 = _span_rows(
+        neardup.substring_dup_spans(docs, mode="star", rescue_rounds=1)
+    )
+    shadow_rate1 = len(pairs_cov - covered(star1)) / len(pairs_cov)
+    assert shadow_rate1 == 0.0
+    # the rescued span is the real one, at exact boundaries
+    assert any(
+        (da, db) == (2, 3)
+        and ln >= len(S)
+        and texts[2][sa - 1 : sa - 1 + ln] == texts[3][sb - 1 : sb - 1 + ln]
+        for da, db, sa, sb, ln in star1
+    )
+    # rounds beyond the shadow depth are no-ops
+    star2 = _span_rows(
+        neardup.substring_dup_spans(docs, mode="star", rescue_rounds=2)
+    )
+    assert star2 == star1
+
+    # realistic shape: planted motifs (incl. periodic content) — measure
+    # plain-star shadowing and pin that ONE rescue round restores full
+    # pairs-mode doc coverage
+    rng2 = random.Random(99)
+    motifs = [
+        "".join(rng2.choice("abcd efgh") for _ in range(55)),
+        "xy" * 30,
+    ]
+    mtexts = {}
+    for d in range(12):
+        t = "".join(
+            rng2.choice("qrstuvwz") for _ in range(rng2.randint(30, 90))
+        )
+        for m in motifs:
+            if rng2.random() < 0.5:
+                cut = rng2.randint(0, len(t))
+                t = t[:cut] + m + t[cut:]
+        mtexts[d] = t
+    mdocs = spark.createDataFrame(
+        [(i, t) for i, t in mtexts.items()], "doc_id long, text string"
+    )
+    mpairs_cov = covered(_span_rows(neardup.substring_dup_spans(mdocs)))
+    mstar0_cov = covered(
+        _span_rows(neardup.substring_dup_spans(mdocs, mode="star"))
+    )
+    mrate0 = len(mpairs_cov - mstar0_cov) / len(mpairs_cov)
+    assert 0.0 <= mrate0 <= 0.5, f"unexpected realistic shadow rate {mrate0}"
+    mstar1_cov = covered(
+        _span_rows(
+            neardup.substring_dup_spans(mdocs, mode="star", rescue_rounds=1)
+        )
+    )
+    assert mpairs_cov - mstar1_cov == set()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="rescue_rounds"):
+        neardup.substring_dup_spans(docs, mode="star", rescue_rounds=-1)
