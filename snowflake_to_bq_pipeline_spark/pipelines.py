@@ -60,6 +60,18 @@ def build_training_corpus(
     all_ids = docs.select("doc_id")
     stage_ids: dict[str, DataFrame] = {}
     stats: dict[str, int] = {"input": docs.count()}
+    # the audit-row accounting below leans on "left joins off all_ids can
+    # only mark, never fan out", which is only true while doc_id is unique
+    # in the INPUT — verify that premise once up front (one cheap
+    # distinct-count over a single long column) instead of assuming it
+    n_distinct = all_ids.distinct().count()
+    if n_distinct != stats["input"]:
+        raise ValueError(
+            "build_training_corpus: input documents carry "
+            f"{stats['input'] - n_distinct} duplicate doc_id row(s) — "
+            "doc_id must be unique for the stage-id audit joins to stay "
+            "one-row-per-doc"
+        )
 
     # 1. Quality gate (row-local; cheapest filter runs first).
     kept = (
@@ -154,13 +166,78 @@ def build_training_corpus(
 # ---------------------------------------------------------------------------
 
 
-def _read_state_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def _read_state_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read a standing-state table with an EXPLICIT schema (string or
+    StructType), or the empty frame of that schema when the table does
+    not exist yet. The explicit schema is what makes schema EVOLUTION
+    read old and new ``__run`` partitions together: runs written before
+    a column was added read it as NULL, and runs written at a narrower
+    numeric type read through the parquet reader's widening promotion
+    (int→bigint, float→double — verified by pytest) — the lake-side
+    equivalent of the reference's reuse-existing-table-schema discipline
+    (client_dimension_sync_full/main.py:94-104)."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(path)
+        return spark.read.schema(schema).parquet(path)
     except AnalysisException:
         return spark.createDataFrame([], schema)
+
+
+def _schema_state_path(state_dir: str) -> str:
+    return f"{state_dir}/_schema.json"
+
+
+def _load_state_schema(state_dir: str):
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    p = _schema_state_path(state_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return StructType.fromJson(json.load(fh))
+
+
+def _store_state_schema(state_dir: str, schema) -> None:
+    import json
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = _schema_state_path(state_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(schema.jsonValue(), fh)
+    os.replace(tmp, _schema_state_path(state_dir))
+
+
+def read_corpus_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the standing accepted-corpus table under the CURRENT evolved
+    schema (stored ``_schema.json`` + the pipeline's own columns) — the
+    read every consumer must use after a schema evolution: a plain
+    parquet read of the root adopts one arbitrary footer's schema and
+    silently drops columns that only newer runs carry."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    evolved = _load_state_schema(state_dir)
+    path = f"{state_dir}/corpus"
+    if evolved is None:  # pre-evolution state dir: files share one schema
+        return spark.read.parquet(path)
+    fields = list(evolved.fields) + [
+        StructField("log_odds", DoubleType()),
+        StructField("split", StringType()),
+        StructField("n_tokens", LongType()),
+        StructField("shard_id", LongType()),
+        StructField("__run", StringType()),
+    ]
+    return _read_state_or_empty(spark, path, StructType(fields))
 
 
 def run_daily_increment(
@@ -214,16 +291,49 @@ def run_daily_increment(
     deals the increment rank-round-robin starting from the LIGHTEST
     standing shards — O(n_shards) driver state, one tiny aggregate over
     the standing corpus state.
+
+    Schema drift (r14): the increment's schema evolves the standing
+    corpus schema through ``operators/schema_drift.full_sync_evolve`` —
+    added columns append nullable (old runs read NULL), widenable types
+    widen (old runs read via parquet type promotion), incompatible flips
+    raise ``SchemaDriftError`` before any state is written; the evolved
+    schema persists at ``{state_dir}/_schema.json``. increment≡rebuild
+    holds across an evolution boundary (pytest-pinned).
     """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from .operators import schema_drift
     from .operators.sync import global_row_number
 
-    inc = increment.select("doc_id", "source", "text")
+    for col in ("doc_id", "source", "text"):
+        if col not in increment.columns:
+            raise ValueError(
+                f"run_daily_increment: increment is missing required "
+                f"column {col!r}"
+            )
+    # schema evolution against the STANDING corpus schema (the
+    # reference's daily sync re-derives/reuses the target schema per
+    # run, client_dimension_sync_full/main.py:94-104): a new nullable
+    # column appends (old runs read NULL), a widenable type widens
+    # (old runs read through parquet type promotion), a type FLIP
+    # raises SchemaDriftError before any state is touched. The evolved
+    # schema persists as _schema.json next to the state tables, so
+    # every later read — including an old day's re-run — aligns to it.
+    target_schema = _load_state_schema(state_dir)
+    inc, _drift = schema_drift.full_sync_evolve(increment, target_schema)
+    evolved = inc.schema
+    _store_state_schema(state_dir, evolved)
+    inc_cols = [f.name for f in evolved.fields]
     n_inc = inc.count()
 
     seen_path = f"{state_dir}/seen"
     corpus_path = f"{state_dir}/corpus"
     seen_all = _read_state_or_empty(
-        spark, seen_path, "doc_id long, source string, text string, __run string"
+        spark,
+        seen_path,
+        StructType(
+            list(evolved.fields) + [StructField("__run", StringType())]
+        ),
     )
     is_rerun = bool(
         seen_all.filter(F.col("__run") == run_id).take(1)
@@ -299,9 +409,14 @@ def run_daily_increment(
     )
     # 2b. dedup WITHIN the increment: keep-first — drop the larger id of
     # every pair (matches the batch rule "has a smaller-id neighbor")
-    intra_dup = neardup.ngram_jaccard_pairs(
-        inc_q.select("doc_id", "text"), jaccard_tau
-    ).select(F.col("doc_b").alias("doc_id")).distinct()
+    intra_dup = (
+        neardup.ngram_jaccard_pairs(
+            inc_q.select("doc_id", "text"), jaccard_tau
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dropped = (
         std_dup.unionByName(intra_dup)
         .distinct()
@@ -380,7 +495,8 @@ def run_daily_increment(
     )
 
     # 6. date-window delete+insert: each run owns its __run partition
-    inc_q.select("doc_id", "source", "text").write.mode(
+    # (seen rows carry the full EVOLVED column set)
+    inc_q.select(*inc_cols).write.mode(
         "overwrite"
     ).parquet(f"{seen_path}/__run={run_id}")
     out.write.mode("overwrite").parquet(f"{corpus_path}/__run={run_id}")
@@ -388,7 +504,7 @@ def run_daily_increment(
 
     n_intra = n_dropped - n_std
     appended = spark.read.parquet(f"{corpus_path}/__run={run_id}").count()
-    for handle in (inc_q, std_dup, dropped):
+    for handle in (inc_q, std_dup, intra_dup, dropped):
         handle.unpersist(blocking=False)
     return {
         "increment": n_inc,
@@ -439,10 +555,64 @@ def export_corpus(
     dropping the run-bookkeeping partition column. The hand-off point
     between the continuously-maintained state and a training job's
     input manifest; returns {docs, shards} for the run report."""
-    corpus = spark.read.parquet(f"{state_dir}/corpus").drop("__run")
+    corpus = read_corpus_state(spark, state_dir).drop("__run")
     write_training_shards(corpus, out_path, order_col="doc_id")
     back = spark.read.parquet(out_path)
     return {
         "docs": back.count(),
         "shards": back.select("shard_id").distinct().count(),
     }
+
+
+def compact_corpus(
+    spark: SparkSession,
+    state_dir: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> dict[str, dict[str, int]]:
+    """Small-file maintenance for the standing incremental state: a year
+    of daily runs leaves 365 ``__run=`` partitions of shard-fragmented
+    small files whose open/footer overhead dominates scans (the Delta
+    OPTIMIZE / Iceberg rewrite_data_files pass, applied to this layout).
+
+    Compaction is PER PARTITION — each ``__run=<id>`` directory rewrites
+    through ``sinks.writers.compact_path``'s crash-safe two-rename swap
+    — so the ``__run`` provenance the idempotent delete+insert discipline
+    depends on survives verbatim: a post-compaction re-run of an OLD day
+    still overwrites exactly its own partition and converges
+    (pytest-pinned), and the audit slices stay addressable by run.
+    Returns per-table ``{files_before, files_after}``.
+
+    Scale posture: each partition rewrite is one coalesce (no shuffle);
+    partitions compact independently, so the maintenance pass
+    parallelizes across days and never rewrites surviving data more
+    than once. ``_schema.json`` and in-flight ``.compact_*`` temp dirs
+    are untouched; a dangling ``.old.*`` from a crashed prior swap is
+    healed by ``compact_path`` itself on the next pass.
+    """
+    import os
+
+    from .sinks.writers import compact_path
+
+    def _n_parquet(root: str) -> int:
+        return sum(
+            1
+            for r, _d, files in os.walk(root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    report: dict[str, dict[str, int]] = {}
+    for table in ("seen", "corpus", "audit"):
+        tdir = f"{state_dir}/{table}"
+        if not os.path.isdir(tdir):
+            continue
+        before = _n_parquet(tdir)
+        for part in sorted(os.listdir(tdir)):
+            pdir = os.path.join(tdir, part)
+            if part.startswith("__run=") and os.path.isdir(pdir):
+                compact_path(spark, pdir, target_bytes_per_file)
+        report[table] = {
+            "files_before": before,
+            "files_after": _n_parquet(tdir),
+        }
+    return report

@@ -391,3 +391,196 @@ def test_old_day_rerun_converges_fully_after_later_days(spark, tmp_path):
     )
     assert s1_again == s1
     assert _state_rows(spark, state) == before
+
+
+def _inc_df_with(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_daily_increment_schema_evolution_add_column(spark, tmp_path):
+    """r13 verdict ask #4: an increment arriving with an added nullable
+    column evolves the standing corpus schema — old runs back-fill NULL,
+    the evolved schema persists, increment≡rebuild holds across the
+    evolution boundary, and re-running a PRE-evolution day converges."""
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b = _fixture(spark)
+    state = str(tmp_path / "state")
+    pipelines.run_daily_increment(spark, state, inc_a, "d1", model)
+    # day 2 ships a new nullable metadata column
+    inc_b_url = _inc_df_with(
+        spark,
+        [
+            (r.doc_id, r.source, r.text, f"https://x/{r.doc_id}")
+            for r in inc_b.collect()
+        ],
+        "doc_id long, source string, text string, url string",
+    )
+    pipelines.run_daily_increment(spark, state, inc_b_url, "d2", model)
+    seen = spark.read.schema(
+        "doc_id long, source string, text string, url string, __run string"
+    ).parquet(f"{state}/seen")
+    by_run = {
+        (r.doc_id, r["__run"]): r.url for r in seen.collect()
+    }
+    assert all(v is None for (d, rn), v in by_run.items() if rn == "d1")
+    assert all(
+        v == f"https://x/{d}" for (d, rn), v in by_run.items() if rn == "d2"
+    )
+    stored = pipelines._load_state_schema(state)
+    assert [f.name for f in stored.fields] == [
+        "doc_id", "source", "text", "url",
+    ]
+    # the accepted corpus carries the evolved column too — through the
+    # schema-aware state reader (a plain root read adopts one arbitrary
+    # footer's schema and would drop it)
+    corpus = pipelines.read_corpus_state(spark, state)
+    assert "url" in corpus.columns
+    urls = {r.doc_id: r.url for r in corpus.collect()}
+    assert urls[202] == "https://x/202"  # d2 acceptee carries its value
+    assert urls[101] is None             # d1 rows back-fill NULL
+    # increment≡rebuild across the boundary (union aligned the same way)
+    union = inc_a.unionByName(inc_b_url, allowMissingColumns=True)
+    got = sorted(
+        tuple(r)
+        for r in corpus.select(
+            "doc_id", "source", "log_odds", "split", "n_tokens"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in pipelines.rebuild_corpus(spark, union, model)
+        .select("doc_id", "source", "log_odds", "split", "n_tokens")
+        .collect()
+    )
+    assert got == want and len(got) == 4
+    # re-running the PRE-evolution day with its ORIGINAL schema aligns
+    # (url -> NULL) and converges to the identical standing state
+    before = _state_rows(spark, state)
+    pipelines.run_daily_increment(spark, state, inc_a, "d1", model)
+    assert _state_rows(spark, state) == before
+    assert pipelines._load_state_schema(state).fieldNames() == stored.fieldNames()
+
+
+def test_daily_increment_schema_evolution_widened_type(spark, tmp_path):
+    """A widenable type change (int -> bigint) widens the standing schema
+    in place: old runs read through the parquet reader's type promotion,
+    new runs write the wide type, one read covers both."""
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b = _fixture(spark)
+    state = str(tmp_path / "state")
+    inc_a_i = _inc_df_with(
+        spark,
+        [(r.doc_id, r.source, r.text, int(r.doc_id) * 10) for r in inc_a.collect()],
+        "doc_id long, source string, text string, score int",
+    )
+    inc_b_l = _inc_df_with(
+        spark,
+        [(r.doc_id, r.source, r.text, int(r.doc_id) * 10) for r in inc_b.collect()],
+        "doc_id long, source string, text string, score bigint",
+    )
+    pipelines.run_daily_increment(spark, state, inc_a_i, "d1", model)
+    assert (
+        pipelines._load_state_schema(state)["score"].dataType.simpleString()
+        == "int"
+    )
+    pipelines.run_daily_increment(spark, state, inc_b_l, "d2", model)
+    stored = pipelines._load_state_schema(state)
+    assert stored["score"].dataType.simpleString() == "bigint"
+    seen = spark.read.schema(
+        "doc_id long, source string, text string, score bigint, __run string"
+    ).parquet(f"{state}/seen")
+    vals = {r.doc_id: r.score for r in seen.collect()}
+    assert vals and all(v == d * 10 for d, v in vals.items())
+
+
+def test_daily_increment_schema_flip_refuses(spark, tmp_path):
+    """An incompatible type flip refuses loudly BEFORE any state is
+    written — the standing state and schema stay untouched."""
+    import pytest
+
+    from snowflake_to_bq_pipeline_spark import pipelines
+    from snowflake_to_bq_pipeline_spark.operators.schema_drift import (
+        SchemaDriftError,
+    )
+
+    model, inc_a, inc_b = _fixture(spark)
+    state = str(tmp_path / "state")
+    inc_a_i = _inc_df_with(
+        spark,
+        [(r.doc_id, r.source, r.text, 1) for r in inc_a.collect()],
+        "doc_id long, source string, text string, score int",
+    )
+    pipelines.run_daily_increment(spark, state, inc_a_i, "d1", model)
+    before = _state_rows(spark, state)
+    schema_before = pipelines._load_state_schema(state)
+    inc_b_s = _inc_df_with(
+        spark,
+        [(r.doc_id, r.source, r.text, "high") for r in inc_b.collect()],
+        "doc_id long, source string, text string, score string",
+    )
+    with pytest.raises(SchemaDriftError, match="incompatible"):
+        pipelines.run_daily_increment(spark, state, inc_b_s, "d2", model)
+    assert _state_rows(spark, state) == before
+    assert (
+        pipelines._load_state_schema(state).jsonValue()
+        == schema_before.jsonValue()
+    )
+    # a required pipeline column missing is its own loud failure
+    with pytest.raises(ValueError, match="missing required"):
+        pipelines.run_daily_increment(
+            spark, state,
+            spark.createDataFrame([(900, "raw")], "doc_id long, source string"),
+            "d3", model,
+        )
+
+
+def test_compact_corpus_preserves_reads_and_idempotence(spark, tmp_path):
+    """r13 verdict ask #5: per-partition compaction drops file counts
+    while reads stay identical, __run/audit provenance survives, and a
+    post-compaction re-run of an OLD day still converges (idempotence
+    survives compaction)."""
+    import glob
+
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b = _fixture(spark)
+    state = str(tmp_path / "state")
+    # fragment the run partitions deliberately (the daily-writer shape)
+    pipelines.run_daily_increment(
+        spark, state, inc_a.repartition(6), "d1", model
+    )
+    pipelines.run_daily_increment(
+        spark, state, inc_b.repartition(6), "d2", model
+    )
+    before_state = _state_rows(spark, state)
+    before_audit = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/audit")
+        .select("doc_id", "reason", "__run")
+        .collect()
+    )
+    rep = pipelines.compact_corpus(spark, state)
+    assert set(rep) == {"seen", "corpus", "audit"}
+    assert all(v["files_after"] >= 1 for v in rep.values())
+    total_before = sum(v["files_before"] for v in rep.values())
+    total_after = sum(v["files_after"] for v in rep.values())
+    assert total_after < total_before, rep
+    # reads identical, provenance intact
+    assert _state_rows(spark, state) == before_state
+    after_audit = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/audit")
+        .select("doc_id", "reason", "__run")
+        .collect()
+    )
+    assert after_audit == before_audit
+    # __run directories survive as directories (the delete+insert unit)
+    assert glob.glob(f"{state}/corpus/__run=d1") and glob.glob(
+        f"{state}/corpus/__run=d2"
+    )
+    # idempotence survives compaction: re-run an OLD day, state converges
+    s2_again = pipelines.run_daily_increment(spark, state, inc_b, "d2", model)
+    assert s2_again["appended"] == 1
+    assert _state_rows(spark, state) == before_state
