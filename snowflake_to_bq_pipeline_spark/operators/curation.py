@@ -1311,7 +1311,9 @@ def _score_docs_arrow(
         for pdf in batches:
             n_grams, acc = [], []
             for t in pdf[text_col]:
-                words = t.split(" ")
+                # NULL text scores as zero grams — the same verdict the
+                # JVM fold's when(size>=2).otherwise(empty) gives it
+                words = t.split(" ") if t is not None else []
                 if len(words) >= 2:
                     idxs = [
                         int(

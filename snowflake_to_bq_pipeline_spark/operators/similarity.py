@@ -47,6 +47,46 @@ def _vectors(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_score_candidates(cand: DataFrame) -> DataFrame:
+    """Arrow-batched rowwise cosine over IVF candidate pairs
+    (query_id, qe, vec_id, e) -> (query_id, neighbor_id, cosine).
+
+    The probe step's candidate scoring was the ann_ivf family's last
+    interpreted hot loop: ``_cosine`` is zip_with + aggregate —
+    CodegenFallback, per-element interpreted adds — over
+    n_queries × n_probe/n_centroids × corpus rows. Same lesson as the
+    r14 NB scorer (operators/curation._score_docs_arrow, measured ~5×):
+    move the per-element loop into one numpy batch per Arrow chunk.
+    Values round to 6 decimals like ``_cosine``; the IVF family is
+    rows-only (never oracle-hashed), and the brute-force baselines the
+    recall pytests compare against keep the exact JVM expression.
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(pdf["qe"].tolist(), dtype=np.float64)
+            v = np.array(pdf["e"].tolist(), dtype=np.float64)
+            cos = (q * v).sum(axis=1) / (
+                np.sqrt((q * q).sum(axis=1)) * np.sqrt((v * v).sum(axis=1))
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "cosine": np.round(cos, 6),
+                }
+            )
+
+    return cand.select("query_id", "qe", "vec_id", "e").mapInPandas(
+        run, schema="query_id long, neighbor_id long, cosine double"
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_pred: Column,
@@ -188,14 +228,8 @@ def lsh_topk(
     q = v.filter(query_pred).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    scored = (
-        candidates.join(v, "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _cosine(F.col("qe"), F.col("e")).alias("cosine"),
-        )
+    scored = _ivf_score_candidates(
+        candidates.join(v, "vec_id").join(F.broadcast(q), "query_id")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -533,16 +567,11 @@ def ivf_topk(
         "qe",
         n_probe,
     )
-    scored = (
-        probes.join(assigned, "cent_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _cosine(F.col("qe"), F.col("e")).alias("cosine"),
+    scored = _ivf_score_candidates(
+        probes.join(assigned, "cent_id").filter(
+            F.col("vec_id") != F.col("query_id")
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -607,16 +636,11 @@ def ivf_incremental_topk(
         "qe",
         n_probe,
     )
-    scored = (
-        probes.join(assigned, "cent_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _cosine(F.col("qe"), F.col("e")).alias("cosine"),
+    scored = _ivf_score_candidates(
+        probes.join(assigned, "cent_id").filter(
+            F.col("vec_id") != F.col("query_id")
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

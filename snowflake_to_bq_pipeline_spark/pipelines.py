@@ -591,7 +591,7 @@ def compact_corpus(
     """
     import os
 
-    from .sinks.writers import compact_path
+    from .sinks.writers import _recover_dangling_swap, compact_path
 
     def _n_parquet(root: str) -> int:
         return sum(
@@ -606,10 +606,30 @@ def compact_corpus(
         tdir = f"{state_dir}/{table}"
         if not os.path.isdir(tdir):
             continue
+        # heal any crash-dangling swap FIRST: a leftover
+        # `__run=<id>.old.<hex>` dir must be recovered/dropped via its
+        # BASE partition path — treating it as a partition of its own
+        # would "compact" it into a bogus __run value
+        for part in sorted(os.listdir(tdir)):
+            if part.startswith("__run=") and ".old." in part:
+                _recover_dangling_swap(
+                    os.path.join(tdir, part.split(".old.")[0])
+                )
         before = _n_parquet(tdir)
         for part in sorted(os.listdir(tdir)):
             pdir = os.path.join(tdir, part)
-            if part.startswith("__run=") and os.path.isdir(pdir):
+            if (
+                part.startswith("__run=")
+                and ".old." not in part
+                and os.path.isdir(pdir)
+                # already-compact partitions skip the rewrite — the
+                # maintenance pass touches each day's data once, not on
+                # every subsequent invocation
+                and sum(
+                    1 for f in os.listdir(pdir) if f.endswith(".parquet")
+                )
+                > 1
+            ):
                 compact_path(spark, pdir, target_bytes_per_file)
         report[table] = {
             "files_before": before,

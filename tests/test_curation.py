@@ -620,3 +620,31 @@ def test_score_docs_with_model_enforces_llr_magnitude_premise(spark):
     # ValueError, not AssertionError: survives ``python -O`` (r13 ADVICE)
     with pytest.raises(ValueError, match="long-nanos exactness"):
         curation.score_docs_with_model(docs, bad)
+
+
+def test_score_docs_with_model_null_text_scores_zero_grams(spark):
+    """NULL text must score as zero grams on BOTH scorer executions (the
+    JVM fold's when/otherwise verdict and the Arrow path's guard) — an
+    ingest stream can always carry an empty record."""
+    docs = spark.createDataFrame(
+        [(1, "cur", "a b c"), (2, "raw", None)],
+        "doc_id long, source string, text string",
+    )
+    model = curation.train_nbq_model(
+        docs.filter(F.col("text").isNotNull()), ("cur",), holdout_mod=100
+    )
+    from decimal import Decimal
+
+    prior_only = round(float(Decimal(model["prior"])), 6)
+    for impl in ("arrow", "fold"):
+        rows = {
+            r.doc_id: r
+            for r in curation.score_docs_with_model(
+                docs, model, impl=impl
+            ).collect()
+        }
+        assert rows[2].n_grams == 0
+        assert rows[2].log_odds == prior_only  # prior-only score
+    a = {tuple(r) for r in curation.score_docs_with_model(docs, model, impl="arrow").collect()}
+    f = {tuple(r) for r in curation.score_docs_with_model(docs, model, impl="fold").collect()}
+    assert a == f

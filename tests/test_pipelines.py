@@ -584,3 +584,47 @@ def test_compact_corpus_preserves_reads_and_idempotence(spark, tmp_path):
     s2_again = pipelines.run_daily_increment(spark, state, inc_b, "d2", model)
     assert s2_again["appended"] == 1
     assert _state_rows(spark, state) == before_state
+
+
+def test_compact_corpus_heals_dangling_swap_and_skips_compact(spark, tmp_path):
+    """A crash-dangling `__run=<id>.old.<hex>` directory is healed via its
+    BASE partition (never treated as a partition of its own), and a
+    second maintenance pass leaves already-compact partitions untouched."""
+    import os
+    import shutil
+
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b = _fixture(spark)
+    state = str(tmp_path / "state")
+    pipelines.run_daily_increment(spark, state, inc_a.repartition(5), "d1", model)
+    pipelines.run_daily_increment(spark, state, inc_b.repartition(5), "d2", model)
+    before_state = _state_rows(spark, state)
+
+    # crash AFTER the swap: target exists, .old leftover must drop
+    cdir = f"{state}/corpus"
+    shutil.copytree(f"{cdir}/__run=d1", f"{cdir}/__run=d1.old.deadbeef")
+    # crash BEFORE the re-rename: target missing, data parked in .old
+    os.rename(f"{cdir}/__run=d2", f"{cdir}/__run=d2.old.cafebabe")
+
+    pipelines.compact_corpus(spark, state)
+    entries = sorted(os.listdir(cdir))
+    assert not any(".old." in e for e in entries), entries
+    assert {"__run=d1", "__run=d2"} <= set(entries)
+    assert _state_rows(spark, state) == before_state
+
+    # second pass: everything already compact — no file is rewritten
+    def mtimes():
+        return {
+            os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+            for r, _d, files in os.walk(state)
+            for f in files
+            if f.endswith(".parquet")
+        }
+
+    before_m = mtimes()
+    rep2 = pipelines.compact_corpus(spark, state)
+    assert mtimes() == before_m
+    assert all(
+        v["files_before"] == v["files_after"] for v in rep2.values()
+    )
