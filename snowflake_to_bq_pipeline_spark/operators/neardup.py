@@ -1557,6 +1557,7 @@ def substring_dup_spans(
     text_col: str = "text",
     mode: str = "pairs",
     rescue_rounds: int = 0,
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT maximal duplicated spans across document pairs, seed-and-
     extend (Lee et al. 2021 ExactSubstr semantics, winnowing-anchored).
@@ -1629,61 +1630,13 @@ def substring_dup_spans(
     """
     if mode not in ("pairs", "star"):
         raise ValueError(f"substring_dup_spans: unknown mode {mode!r}")
-    from pyspark.sql import Window as W
-
-    from ..catalog import fan_out
-
-    # a doc shorter than the guarantee length cannot hold a reportable
-    # span (output keeps only span_len >= window + band - 1), so the
-    # explode prunes to qualifying docs up front
-    docs = documents.select(
-        "doc_id", F.col(text_col).alias("__t")
-    ).filter(F.length("__t") >= window + band - 1)
-    pos = fan_out(docs).select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("__t") - window + 1)
-        ).alias("i"),
-        F.col("__t"),
-    ).select(
-        "doc_id",
-        "i",
-        F.xxhash64(
-            F.col("__t").substr(F.col("i"), F.lit(window))
-        ).alias("__h"),
-    )
-    # Rightmost-min winnowing: min(struct(h, -i)) over each band-length
-    # frame IS that frame's rightmost minimal hash; a position selected
-    # by any frame fully inside a shared span is selected identically in
-    # both docs. Tail frames (< band positions) select extra anchors —
-    # a harmless superset (everything verifies downstream).
-    frame = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, band - 1)
-    sel = F.min(F.struct(F.col("__h"), (-F.col("i")).alias("ni"))).over(
-        frame
-    )
-    anchors = (
-        pos.select("doc_id", sel.alias("__sel"))
-        .select(
-            "doc_id",
-            (-F.col("__sel.ni")).alias("i"),
-            F.col("__sel.__h").alias("__h"),
-        )
-        .distinct()
-    )
+    docs = _span_docs(documents, window, band, text_col)
+    if anchors is None:
+        anchors = span_anchor_table(documents, window, band, text_col, docs)
     w_len, min_len = int(window), int(window) + int(band) - 1
 
     def _attach_texts(cand: DataFrame) -> DataFrame:
-        return cand.join(
-            docs.select(
-                F.col("doc_id").alias("doc_a"), F.col("__t").alias("__ta")
-            ),
-            "doc_a",
-        ).join(
-            docs.select(
-                F.col("doc_id").alias("doc_b"), F.col("__t").alias("__tb")
-            ),
-            "doc_b",
-        )
+        return _attach_span_texts(cand, docs, docs)
 
     if mode == "star":
         return _star_spans(
@@ -1704,7 +1657,99 @@ def substring_dup_spans(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "sa", "doc_b", "sb")
     )
-    withtexts = _attach_texts(cand)
+    return _attach_texts(cand).mapInPandas(
+        _make_extend_pairs(w_len, min_len),
+        schema="doc_a long, doc_b long, start_a long, start_b long, "
+        "span_len long",
+    ).distinct()
+
+
+def _span_docs(
+    documents: DataFrame, window: int, band: int, text_col: str
+) -> DataFrame:
+    """(doc_id, __t) limited to docs long enough to carry a reportable
+    span (output keeps only span_len >= window + band - 1), so the
+    position explode prunes to qualifying docs up front."""
+    return documents.select(
+        "doc_id", F.col(text_col).alias("__t")
+    ).filter(F.length("__t") >= window + band - 1)
+
+
+def span_anchor_table(
+    documents: DataFrame,
+    window: int = SPAN_WINDOW,
+    band: int = SPAN_BAND,
+    text_col: str = "text",
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Winnowing-selected anchor table (doc_id, i, __h) for the span
+    family — the persistable STANDING index of ExactSubstr dedup.
+
+    Rightmost-min winnowing: min(struct(h, -i)) over each band-length
+    frame IS that frame's rightmost minimal hash; a position selected by
+    any frame fully inside a shared span is selected identically in both
+    docs. Tail frames (< band positions) select extra anchors — a
+    harmless superset (everything verifies downstream). Selection is
+    PER-DOC (each doc's own window hashes), so slicing a corpus-wide
+    anchor table by doc_id is exactly the anchor table of the sliced
+    corpus — the property that lets a memoized/persisted table serve
+    both the pairs query and the incremental probe
+    (:func:`incremental_span_check`), like the shingle-index memo.
+    """
+    from pyspark.sql import Window as W
+
+    from ..catalog import fan_out
+
+    if docs is None:
+        docs = _span_docs(documents, window, band, text_col)
+    pos = fan_out(docs).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("__t") - window + 1)
+        ).alias("i"),
+        F.col("__t"),
+    ).select(
+        "doc_id",
+        "i",
+        F.xxhash64(
+            F.col("__t").substr(F.col("i"), F.lit(window))
+        ).alias("__h"),
+    )
+    frame = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, band - 1)
+    sel = F.min(F.struct(F.col("__h"), (-F.col("i")).alias("ni"))).over(
+        frame
+    )
+    return (
+        pos.select("doc_id", sel.alias("__sel"))
+        .select(
+            "doc_id",
+            (-F.col("__sel.ni")).alias("i"),
+            F.col("__sel.__h").alias("__h"),
+        )
+        .distinct()
+    )
+
+
+def _attach_span_texts(
+    cand: DataFrame, docs_a: DataFrame, docs_b: DataFrame
+) -> DataFrame:
+    return cand.join(
+        docs_a.select(
+            F.col("doc_id").alias("doc_a"), F.col("__t").alias("__ta")
+        ),
+        "doc_a",
+    ).join(
+        docs_b.select(
+            F.col("doc_id").alias("doc_b"), F.col("__t").alias("__tb")
+        ),
+        "doc_b",
+    )
+
+
+def _make_extend_pairs(w_len: int, min_len: int):
+    """Arrow extension pass for pairs-shaped span candidates: verify the
+    anchor window by characters (hash collisions die here), extend to
+    the maximal run, keep runs at/above the winnowing guarantee."""
 
     def _extend(batches):
         import pandas as pd
@@ -1749,8 +1794,69 @@ def substring_dup_spans(
                 }
             )
 
-    return withtexts.mapInPandas(
-        _extend,
+    return _extend
+
+
+def incremental_span_check(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    window: int = SPAN_WINDOW,
+    band: int = SPAN_BAND,
+    text_col: str = "text",
+    anchors_corpus: DataFrame | None = None,
+    anchors_incoming: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT maximal duplicated spans of INCOMING docs against an
+    EXISTING corpus — the span-grain twin of
+    :func:`incremental_neardup_check` (the daily-increment flow: "which
+    passages of today's crawl already exist verbatim in the training
+    set"), and the incremental form of :func:`substring_dup_spans`.
+
+    Output: (doc_a = corpus doc, doc_b = incoming doc, start_a, start_b,
+    span_len) for every maximal common run >= window + band - 1 —
+    pytest-pinned equal to the pairs-mode span set on the union,
+    restricted/orientated to (corpus, incoming) pairs. The winnowing
+    guarantee is unchanged: anchor selection is per-doc, so probing a
+    standing corpus anchor table with increment anchors finds exactly
+    the spans the whole-corpus run would.
+
+    Scale posture: the corpus side is the persistable standing anchor
+    index (:func:`span_anchor_table` — pass ``anchors_corpus``, e.g. a
+    doc_id slice of the registry's memoized table, exact because
+    winnowing is per-doc); the increment only probes. Candidate volume
+    is bucketed by anchor hash (never corpus × increment), extension is
+    the same Arrow pass over candidates only — maintenance cost is
+    O(increment + true shared spans), the incremental posture the daily
+    pipeline's other probes already hold.
+    """
+    docs_a = _span_docs(corpus, window, band, text_col)
+    docs_b = _span_docs(incoming, window, band, text_col)
+    if anchors_corpus is None:
+        anchors_corpus = span_anchor_table(
+            corpus, window, band, text_col, docs_a
+        )
+    if anchors_incoming is None:
+        anchors_incoming = span_anchor_table(
+            incoming, window, band, text_col, docs_b
+        )
+    w_len, min_len = int(window), int(window) + int(band) - 1
+    cand = (
+        anchors_corpus.select(
+            F.col("doc_id").alias("doc_a"), F.col("i").alias("sa"), "__h"
+        )
+        .join(
+            anchors_incoming.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("i").alias("sb"),
+                "__h",
+            ),
+            "__h",
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "sa", "doc_b", "sb")
+    )
+    return _attach_span_texts(cand, docs_a, docs_b).mapInPandas(
+        _make_extend_pairs(w_len, min_len),
         schema="doc_a long, doc_b long, start_a long, start_b long, "
         "span_len long",
     ).distinct()

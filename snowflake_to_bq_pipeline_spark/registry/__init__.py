@@ -206,6 +206,7 @@ from .section_e_similarity import (  # noqa: F401
     _SHINGLE_CACHE,
     _SEMDEDUP_CACHE,
     _SPANS_CACHE,
+    _SPAN_ANCHORS_CACHE,
     _SHINGLE_SQL,
     _SIMHASH_SIG_CACHE,
     _SUBSTR_S,
@@ -220,6 +221,7 @@ from .section_e_similarity import (  # noqa: F401
     _embdoc_pairs_for,
     _sem_groups_for,
     _spans_for,
+    _span_anchors_for,
     _incr_bloom_for,
     _jaccard_pairs_for,
     _minhash_pairs_for,
@@ -256,6 +258,7 @@ from .section_e_similarity import (  # noqa: F401
     embedding_norm_profile_q,
     embedding_outlier_topk_q,
     incremental_dedup_check_q,
+    incremental_span_check_q,
     kmeans_doc_clusters_q,
     minhash_recall_q,
     near_dup_rate_by_source_q,
@@ -333,12 +336,17 @@ def clear_model_caches() -> None:
 
 _WINDOW_ORDER = [
     # -- DRIVER WINDOW (first 50): the driver hash-checks only these --
-    # r14 rotation (verdict ask #1): the single NEW oracle query first
-    # (span_cut_rollup — the ExactSubstr span-CUT accounting), then the
-    # 45 r11-vintage longest-unchecked queries the verdict names, then
-    # the 4 alphabetically-first r12-vintage fills to reach slot 50
-    # (contributor_utilization_rollup is first in line for r15).
+    # r14 rotation (verdict ask #1): the NEW/changed oracle queries first
+    # (span_cut_rollup — the ExactSubstr span-CUT accounting;
+    # substring_dup_spans — promoted to oracle-gated, the span set being
+    # hash-independent and SQL-derivable; incremental_span_check — the
+    # new daily-increment span probe), then the 45 r11-vintage
+    # longest-unchecked queries the verdict names, then 2 of the
+    # alphabetically-first r12-vintage fills to reach slot 50
+    # (budget_fallback_allocation onward are first in line for r15).
     "span_cut_rollup",
+    "substring_dup_spans",
+    "incremental_span_check",
     "backfill_progress",
     "boilerplate_phrase_profile",
     "bom_per_case_consumption",
@@ -507,7 +515,6 @@ _WINDOW_ORDER = [
     "streaming_near_dedup_twin",
     "streaming_quality_score_twin",
     "streaming_near_dedup_verified_twin",
-    "substring_dup_spans",
     "tokenizer_fertility_by_source",
     "unigram_encode_tokens",
     "unigram_vocab_table",
@@ -532,6 +539,8 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 # hold a window slot; its gate is the pytest pin vs the naive reference.
 _WINDOW_CRITICAL = {
     "span_cut_rollup",
+    "substring_dup_spans",
+    "incremental_span_check",
 }
 
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (
@@ -563,6 +572,7 @@ ORACLES = {name: ORACLES[name] for name in _WINDOW_ORDER if name in ORACLES}
 _MEMO_HELPERS = (
     "_semdedup_for",
     "_spans_for",
+    "_span_anchors_for",
     "_shingles_for",
     "_simhash_sigs_for",
     "_jaccard_pairs_for",

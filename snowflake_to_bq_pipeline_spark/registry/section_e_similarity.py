@@ -1896,6 +1896,32 @@ def dedup_provenance_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_W = neardup.SPAN_WINDOW
+_SPAN_MINL = neardup.SPAN_MIN_LEN
+
+#: Memoized winnowing anchor table per documents snapshot — the
+#: persistable STANDING index of the ExactSubstr family (the spans/cut
+#: queries build from it, and the incremental probe slices it by doc_id,
+#: which is exact because winnowing selection is per-doc).
+_SPAN_ANCHORS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _span_anchors_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    df = _SPAN_ANCHORS_CACHE.get(key)
+    if df is None:
+        for old in _SPAN_ANCHORS_CACHE.values():
+            old.unpersist(blocking=False)
+        _SPAN_ANCHORS_CACHE.clear()
+        from pyspark.storagelevel import StorageLevel
+
+        df = neardup.span_anchor_table(
+            load_table(spark, sf_dir, "documents")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _SPAN_ANCHORS_CACHE[key] = df
+    return df
+
+
 #: Memoized pairs-mode maximal-span table per documents snapshot — the
 #: standing-index posture for the ExactSubstr family: the spans TABLE is
 #: a pure function of the corpus (hash-independent: it equals the set of
@@ -1916,46 +1942,24 @@ def _spans_for(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.storagelevel import StorageLevel
 
         df = neardup.substring_dup_spans(
-            load_table(spark, sf_dir, "documents")
+            load_table(spark, sf_dir, "documents"),
+            anchors=_span_anchors_for(spark, sf_dir),
         ).persist(StorageLevel.MEMORY_AND_DISK)
         _SPANS_CACHE[key] = df
     return df
 
 
-@query("substring_dup_spans")  # rows-only: winnowing anchors via xxhash64
-def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT maximal duplicated spans across doc pairs (Lee et al. 2021
-    ExactSubstr semantics; sub-document generalization of the
-    reference's row-level dedup sweep,
-    snowflake_bq_deduplication_sync.py:214): winnowing-selected window
-    anchors (alignment-free, unlike substring_dup_profile's stride
-    grid), each anchor pair verified by character comparison and
-    extended to its maximal run. Every span of length >=
-    window+band-1 is found with exact boundaries — pinned equal to a
-    naive per-diagonal quadratic reference in tests/test_neardup.py;
-    linearity enrolled in SCALE_SMOKE. Rides the per-snapshot spans
-    memo (_spans_for) shared with span_cut_rollup."""
-    return _spans_for(spark, sf_dir)
-
-
-# The cut rollup's oracle re-derives the SAME span set DuckDB-side from
-# first principles (no winnowing needed — anchors only ACCELERATE
-# discovery; the set itself is hash-independent): fixed-width window
-# hashes joined across docs become per-diagonal match runs, and a
-# maximal run of length L - w + 1 windows IS a maximal common substring
-# of length L (the _naive_maximal_spans equivalence, in SQL). Cut
-# intervals for each pair's LATER doc then union per doc via
-# gaps-and-islands; chars_kept is re-derived as chars_in - chars_removed
-# on the oracle side, so a hash match PROVES the Spark stitch conserved
-# every character.
-_SPAN_W = neardup.SPAN_WINDOW
-_SPAN_MINL = neardup.SPAN_MIN_LEN
-
-
-@query(
-    "span_cut_rollup",
-    oracle=f"""
-    WITH sdocs AS (
+def _span_runs_sql(match_where: str) -> str:
+    """The shared DuckDB re-derivation of the ExactSubstr span set, from
+    first principles (winnowing anchors only ACCELERATE discovery — the
+    set itself is hash-independent): fixed-width window hashes joined
+    across docs become per-diagonal match runs, and a maximal run of
+    L - w + 1 windows IS a maximal common substring of length L (the
+    _naive_maximal_spans equivalence, in SQL). ``match_where`` picks the
+    pair orientation (a < b for the pairwise set; a standing / b
+    incoming for the incremental probe)."""
+    return f"""
+    sdocs AS (
       SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS len
       FROM documents
     ),
@@ -1973,15 +1977,86 @@ _SPAN_MINL = neardup.SPAN_MIN_LEN
     smatch AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
       FROM shash a JOIN shash b USING (h)
-      WHERE a.doc_id < b.doc_id
+      WHERE {match_where}
     ),
     sruns AS (
-      SELECT doc_a, doc_b, ib - ia AS diag, ib,
+      SELECT doc_a, doc_b, ib - ia AS diag, ia, ib,
              ib - ROW_NUMBER() OVER (
                PARTITION BY doc_a, doc_b, ib - ia ORDER BY ib
              ) AS grp
       FROM smatch
-    ),
+    )"""
+
+
+_SPAN_SELECT_SQL = f"""
+    SELECT doc_a, doc_b,
+           CAST(MIN(ia) AS BIGINT) AS start_a,
+           CAST(MIN(ib) AS BIGINT) AS start_b,
+           CAST(MAX(ib) - MIN(ib) + {_SPAN_W} AS BIGINT) AS span_len
+    FROM sruns GROUP BY doc_a, doc_b, diag, grp
+    HAVING MAX(ib) - MIN(ib) + {_SPAN_W} >= {_SPAN_MINL}
+"""
+
+
+@query(
+    "substring_dup_spans",
+    oracle="WITH "
+    + _span_runs_sql("a.doc_id < b.doc_id")
+    + _SPAN_SELECT_SQL,
+)
+def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT maximal duplicated spans across doc pairs (Lee et al. 2021
+    ExactSubstr semantics; sub-document generalization of the
+    reference's row-level dedup sweep,
+    snowflake_bq_deduplication_sync.py:214): winnowing-selected window
+    anchors (alignment-free, unlike substring_dup_profile's stride
+    grid), each anchor pair verified by character comparison and
+    extended to its maximal run. Every span of length >=
+    window+band-1 is found with exact boundaries — pinned equal to a
+    naive per-diagonal quadratic reference in tests/test_neardup.py AND
+    oracle-gated (r14 promotion to ⊕): the span SET is hash-independent,
+    so DuckDB re-derives it from window-hash diagonal runs with no
+    winnowing at all. Linearity enrolled in SCALE_SMOKE; rides the
+    per-snapshot anchor + spans memos shared with span_cut_rollup."""
+    return _spans_for(spark, sf_dir)
+
+
+@query(
+    "incremental_span_check",
+    oracle="WITH "
+    + _span_runs_sql("a.doc_id % 5 != 0 AND b.doc_id % 5 = 0")
+    + _SPAN_SELECT_SQL,
+)
+def incremental_span_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment ExactSubstr probe: maximal duplicated spans of
+    the incoming slice (every 5th doc — the incremental_dedup_check
+    split) against the standing corpus, at exact boundaries. The
+    span-grain twin of incremental_dedup_check, sharing its posture:
+    the corpus side is a doc_id slice of the MEMOIZED standing anchor
+    index (exact — winnowing selection is per-doc), the increment only
+    probes, and cost is O(increment + true shared spans). Oracle-gated
+    like the pairwise set (the span set is hash-independent); equality
+    to the orientated pairs-mode set is additionally pytest-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    anchors = _span_anchors_for(spark, sf_dir)
+    return neardup.incremental_span_check(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        anchors_corpus=anchors.filter(F.col("doc_id") % 5 != 0),
+        anchors_incoming=anchors.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
+# The cut rollup's oracle rides the shared span re-derivation
+# (_span_runs_sql). Cut intervals for each pair's LATER doc union per
+# doc via gaps-and-islands; chars_kept is re-derived as
+# chars_in - chars_removed on the oracle side, so a hash match PROVES
+# the Spark stitch conserved every character.
+@query(
+    "span_cut_rollup",
+    oracle="WITH "
+    + _span_runs_sql("a.doc_id < b.doc_id")
+    + f""",
     sspans AS (
       SELECT doc_b AS doc_id, MIN(ib) AS s, MAX(ib) + {_SPAN_W} - 1 AS e
       FROM sruns GROUP BY doc_a, doc_b, diag, grp

@@ -3,6 +3,8 @@ path must recover (almost) everything the exact shingle-join finds."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from snowflake_to_bq_pipeline_spark.catalog import load_table
 from snowflake_to_bq_pipeline_spark.operators import neardup
 
@@ -841,3 +843,58 @@ def test_star_mode_shadow_rate_measured_and_rescued(spark):
 
     with pytest.raises(ValueError, match="rescue_rounds"):
         neardup.substring_dup_spans(docs, mode="star", rescue_rounds=-1)
+
+
+def test_incremental_span_check_equals_orientated_pairs(spark):
+    """The daily-increment span probe must find exactly the pairs-mode
+    span set on the union, orientated to (corpus doc_a, incoming doc_b)
+    — including pairs where the corpus doc has the LARGER id (the case a
+    naive doc_a<doc_b filter would flip), and the memoized-anchor-slice
+    path must equal the self-built path (winnowing is per-doc)."""
+    import random
+
+    rng = random.Random(11)
+    S1 = "".join(rng.choice("abcdefg ") for _ in range(60))
+    S2 = "".join(rng.choice("hijklmn ") for _ in range(48))
+
+    def noise(n):
+        return "".join(rng.choice("opqrstuvwxyz") for _ in range(n))
+
+    texts = {
+        1: noise(7) + S1 + noise(16),          # corpus
+        2: noise(30) + S1 + noise(5) + S2,     # incoming (shares with 1, 9)
+        3: noise(3) + S2 + noise(40),          # corpus
+        4: noise(120),                         # incoming, clean
+        9: noise(12) + S2 + noise(4),          # corpus with LARGER id than 2
+    }
+    inc_ids = {2, 4}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    corpus = docs.filter(~F.col("doc_id").isin(*inc_ids))
+    incoming = docs.filter(F.col("doc_id").isin(*inc_ids))
+    got = _span_rows(neardup.incremental_span_check(corpus, incoming))
+    want = set()
+    for a, b, sa, sb, ln in _naive_maximal_spans(texts, neardup.SPAN_MIN_LEN):
+        if a not in inc_ids and b in inc_ids:
+            want.add((a, b, sa, sb, ln))
+        elif b not in inc_ids and a in inc_ids:
+            want.add((b, a, sb, sa, ln))
+    assert got == want
+    # the larger-id corpus doc's span is present and correctly orientated
+    assert any(r[0] == 9 and r[1] == 2 for r in got)
+    # pre-sliced anchors from one corpus-wide table give the same result
+    all_anchors = neardup.span_anchor_table(docs)
+    got2 = _span_rows(
+        neardup.incremental_span_check(
+            corpus,
+            incoming,
+            anchors_corpus=all_anchors.filter(
+                ~F.col("doc_id").isin(*inc_ids)
+            ),
+            anchors_incoming=all_anchors.filter(
+                F.col("doc_id").isin(*inc_ids)
+            ),
+        )
+    )
+    assert got2 == got
