@@ -248,6 +248,7 @@ def run_daily_increment(
     model: dict,
     jaccard_tau: float = 0.6,
     n_shards: int = 8,
+    cut_spans: bool = False,
 ) -> dict[str, int]:
     """One daily curation run: score the increment with the STANDING NB
     model, drop docs that duplicate the standing corpus (or an earlier
@@ -299,6 +300,34 @@ def run_daily_increment(
     raise ``SchemaDriftError`` before any state is written; the evolved
     schema persists at ``{state_dir}/_schema.json``. increment≡rebuild
     holds across an evolution boundary (pytest-pinned).
+
+    Span-grain dedup (``cut_spans=True``, late r14): after the whole-doc
+    keep-first drop, every maximal duplicated span (>= the ExactSubstr
+    guarantee length) an ACCEPTED doc shares with the standing corpus or
+    with a smaller-id accepted doc of the same increment is CUT from the
+    later doc before it is written — Lee et al. 2021 ExactSubstr applied
+    at the daily cadence (the span-grain form of the reference's
+    row-level dedup sweep, snowflake_bq_deduplication_sync.py:214).
+    Mechanics per run:
+
+    - probes ride the STANDING ANCHOR INDEX at
+      ``{state_dir}/span_anchors/__run=<id>`` — each run appends the
+      winnowing anchors of its ORIGINAL accepted texts (O(increment)
+      anchor work per day; per-doc winnowing makes the union of slices
+      exactly the whole-corpus anchor table);
+    - spans are found against the standing docs' ORIGINAL texts (the
+      ``seen`` state), never their cut forms — exactly the pairs a batch
+      rebuild on the union pairs, which is why increment≡rebuild stays
+      EXACT under cutting (pytest-pinned): canonical carriers keep their
+      copy, so cutting a carrier's own later-dup content can never
+      shorten the span a future increment must match;
+    - cuts land on the increment side only (every standing doc is the
+      smaller id under the interval contract — its copy is canonical);
+      overlapping/adjacent cut intervals union per doc before cutting
+      (span_cut's gaps-and-islands pass), and the per-doc accounting
+      (orig_chars / spans_cut / chars_removed) is written to
+      ``{state_dir}/span_cuts/__run=<id>`` — conservation
+      (chars kept + chars removed == chars in) is pytest-pinned.
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -424,6 +453,80 @@ def run_daily_increment(
     )
     accepted = inc_q.join(dropped, "doc_id", "left_anti")
 
+    # 2c. span-grain dedup (opt-in): cut every ExactSubstr maximal span
+    # an accepted doc shares with the standing corpus (probed through
+    # the standing anchor index over ORIGINAL texts — see docstring for
+    # why originals keep increment≡rebuild exact) or with a smaller-id
+    # accepted doc of this increment. Anchor work is O(increment); the
+    # standing side contributes one text-attach join keyed by the
+    # candidates the anchor hash join survives.
+    anchors_path = f"{state_dir}/span_anchors"
+    cut = None
+    # mode guard: span cutting is a property of the WHOLE state dir, not
+    # of one run — a cut run over uncut history would silently miss every
+    # span whose carrier predates the flag (no standing anchors), and an
+    # uncut run over cut history would emit uncut text a rebuild would
+    # have cut. Either mix refuses loudly.
+    import os as _os
+
+    def _run_parts(path: str) -> set[str]:
+        if not _os.path.isdir(path):
+            return set()
+        return {
+            d
+            for d in _os.listdir(path)
+            if d.startswith("__run=") and ".old." not in d
+        }
+
+    prior_seen_runs = _run_parts(seen_path) - {f"__run={run_id}"}
+    prior_anchor_runs = _run_parts(anchors_path) - {f"__run={run_id}"}
+    if cut_spans and (missing := prior_seen_runs - prior_anchor_runs):
+        raise ValueError(
+            "run_daily_increment: cut_spans=True over a state dir with "
+            f"{len(missing)} prior run(s) that carry no span-anchor "
+            "slice — the standing corpus was built WITHOUT span cutting "
+            "and its spans cannot be probed; rebuild the state with "
+            "cut_spans or keep it uncut"
+        )
+    if not cut_spans and prior_anchor_runs:
+        raise ValueError(
+            "run_daily_increment: cut_spans=False over a state dir "
+            "whose prior runs carry span-anchor slices — the standing "
+            "corpus was built WITH span cutting; pass cut_spans=True"
+        )
+    if cut_spans:
+        acc_docs = accepted.select("doc_id", "text").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        inc_anchors = neardup.span_anchor_table(acc_docs).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        standing_anchors = _read_state_or_empty(
+            spark,
+            anchors_path,
+            "doc_id long, i long, __h long, __run string",
+        ).filter(F.col("__run") != run_id)
+        if min_inc is not None:
+            standing_anchors = standing_anchors.filter(
+                F.col("doc_id") < min_inc
+            )
+        std_spans = neardup.incremental_span_check(
+            seen.select("doc_id", "text"),
+            acc_docs,
+            anchors_corpus=standing_anchors.select("doc_id", "i", "__h"),
+            anchors_incoming=inc_anchors,
+        )
+        intra_spans = neardup.substring_dup_spans(
+            acc_docs, anchors=inc_anchors
+        )
+        cut = neardup.span_cut(
+            acc_docs, spans=std_spans.unionByName(intra_spans)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        accepted = accepted.drop("text").join(
+            cut.select("doc_id", F.col("cut_text").alias("text")),
+            "doc_id",
+        )
+
     # 3. split-stable assignment (pure function of doc_id — see above)
     accepted = curation.dataset_split(accepted, "doc_id")
     n_tokens = F.array_size(F.split(F.col("text"), " ")).cast("long")
@@ -504,15 +607,37 @@ def run_daily_increment(
 
     n_intra = n_dropped - n_std
     appended = spark.read.parquet(f"{corpus_path}/__run={run_id}").count()
-    for handle in (inc_q, std_dup, intra_dup, dropped):
-        handle.unpersist(blocking=False)
-    return {
+    stats = {
         "increment": n_inc,
         "after_quality": n_quality,
         "dup_vs_standing": n_std,
         "dup_within_increment": n_intra,
         "appended": appended,
     }
+    if cut_spans:
+        # the run's anchor slice (ORIGINAL accepted texts) joins the
+        # standing index; the per-doc cut accounting ships next to the
+        # audit slice. Both own their __run partition (idempotent
+        # delete+insert like every other state table).
+        inc_anchors.select(
+            "doc_id", F.col("i").cast("long").alias("i"), "__h"
+        ).write.mode("overwrite").parquet(f"{anchors_path}/__run={run_id}")
+        cut.select(
+            "doc_id", "orig_chars", "spans_cut", "chars_removed"
+        ).write.mode("overwrite").parquet(
+            f"{state_dir}/span_cuts/__run={run_id}"
+        )
+        totals = cut.agg(
+            F.coalesce(F.sum("spans_cut"), F.lit(0)).alias("s"),
+            F.coalesce(F.sum("chars_removed"), F.lit(0)).alias("c"),
+        ).collect()[0]
+        stats["spans_cut"] = int(totals["s"])
+        stats["chars_removed"] = int(totals["c"])
+        for handle in (acc_docs, inc_anchors, cut):
+            handle.unpersist(blocking=False)
+    for handle in (inc_q, std_dup, intra_dup, dropped):
+        handle.unpersist(blocking=False)
+    return stats
 
 
 def rebuild_corpus(
@@ -520,14 +645,19 @@ def rebuild_corpus(
     all_docs: DataFrame,
     model: dict,
     jaccard_tau: float = 0.6,
+    cut_spans: bool = False,
 ) -> DataFrame:
     """Batch rebuild on the full union — the merge≡recompute reference
     for :func:`run_daily_increment` (pytest-pinned equal). Same rules,
     batch plans: standing-model score (identical row-local expression),
     keep-first greedy dedup as one pair-table anti-join (doc dropped iff
     a quality-passing smaller-id neighbor exists at tau), split by id
-    hash. Returns the accepted per-doc frame (doc_id, source, text,
-    log_odds, split, n_tokens)."""
+    hash. ``cut_spans=True`` additionally cuts every ExactSubstr maximal
+    span from its non-canonical carrier among the KEPT docs (one
+    pairs-mode span_cut over the survivors — the batch twin of the daily
+    standing-anchor probe, pinned equal). Returns the accepted per-doc
+    frame (doc_id, source, text, log_odds, split, n_tokens), with
+    ``text`` the cut form under the flag."""
     docs = all_docs.select("doc_id", "source", "text")
     scored = curation.score_docs_with_model(docs, model)
     q = docs.join(
@@ -540,6 +670,12 @@ def rebuild_corpus(
         .distinct()
     )
     kept = q.join(dropped, "doc_id", "left_anti")
+    if cut_spans:
+        cut = neardup.span_cut(kept.select("doc_id", "text"))
+        kept = kept.drop("text").join(
+            cut.select("doc_id", F.col("cut_text").alias("text")),
+            "doc_id",
+        )
     kept = curation.dataset_split(kept, "doc_id")
     return kept.withColumn(
         "n_tokens", F.array_size(F.split(F.col("text"), " ")).cast("long")
@@ -602,7 +738,7 @@ def compact_corpus(
         )
 
     report: dict[str, dict[str, int]] = {}
-    for table in ("seen", "corpus", "audit"):
+    for table in ("seen", "corpus", "audit", "span_anchors", "span_cuts"):
         tdir = f"{state_dir}/{table}"
         if not os.path.isdir(tdir):
             continue

@@ -72,13 +72,17 @@ def maintain_corpus(
     checkpoint_dir: str,
     jaccard_tau: float = 0.6,
     n_shards: int = 8,
+    cut_spans: bool = False,
 ) -> StreamingQuery:
     """Start the ingestion query: each micro-batch of new documents runs
     through the full daily-increment pipeline against the standing state
     under ``state_dir``. ``model`` is the trained standing NB classifier
     (operators/curation.train_nbq_model) — bounded driver state shipped
     into the sink closure, the same standing-model posture as the IVF
-    maintenance twin's centroid table.
+    maintenance twin's centroid table. ``cut_spans`` forwards the daily
+    pipeline's span-grain ExactSubstr cutting (a per-state-dir mode —
+    the pipeline refuses a mixed-mode state, so pick it when the state
+    dir is born).
 
     Empty micro-batches are skipped outright (a zero-row run would still
     be correct — every stage degrades to empty partitions — but writing
@@ -95,6 +99,7 @@ def maintain_corpus(
             model,
             jaccard_tau=jaccard_tau,
             n_shards=n_shards,
+            cut_spans=cut_spans,
         )
 
     return (

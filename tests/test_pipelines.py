@@ -628,3 +628,219 @@ def test_compact_corpus_heals_dangling_swap_and_skips_compact(spark, tmp_path):
     assert all(
         v["files_before"] == v["files_after"] for v in rep2.values()
     )
+
+
+# --- span-grain (ExactSubstr) cutting in the daily pipeline ------------
+
+SPAN_A = "alpha beta gamma delta epsilon zeta eta theta"      # 45 chars
+SPAN_B = "iota kappa lam mu nu xi omicron pi rho sigma"       # 44 chars
+
+
+def _span_fixture(spark):
+    """Model + two increments where docs SHARE >=40-char spans (cross-run
+    and within-run) without being whole-doc near-dups: each doc is mostly
+    unique filler words around one shared CUR-order span, so jaccard
+    stays far under tau while the ExactSubstr guarantee length is met."""
+    from snowflake_to_bq_pipeline_spark.operators import curation
+
+    base = _inc_df(
+        spark,
+        [(i, "cur", CUR) for i in range(1, 21)]
+        + [(i, "raw", GARBAGE) for i in range(21, 41)],
+    )
+    model = curation.train_nbq_model(base, ("cur",))
+
+    def filler(tag):
+        return " ".join(f"{tag}{i}" for i in range(6))
+
+    d301 = f"{filler('wa')} {SPAN_A} {filler('wb')}"  # canonical of SPAN_A
+    inc_a = _inc_df(
+        spark,
+        [
+            (301, "web", d301),
+            (302, "web", CUR3),                        # clean control
+        ],
+    )
+    inc_b = _inc_df(
+        spark,
+        [
+            (401, "web", f"{filler('xa')} {SPAN_A} {filler('xb')}"),
+            (402, "web", f"{filler('ya')} {SPAN_B} {filler('yb')}"),
+            (403, "web", f"{filler('za')} {SPAN_B} {filler('zb')}"),
+            (404, "web", GARBAGE),                     # quality reject
+            (405, "web", d301.replace("wa0", "vv0")),  # whole-doc near-dup
+        ],
+    )
+    return model, inc_a, inc_b, d301
+
+
+def test_daily_span_cut_increments_equal_rebuild_and_conserve(
+    spark, tmp_path
+):
+    """cut_spans=True: increment-then-increment equals one batch rebuild
+    with cutting (text INCLUDED in the compare — the cut boundaries must
+    match exactly), canonical carriers keep their copy verbatim, the
+    later carrier loses it, and the span_cuts accounting conserves every
+    character."""
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b, d301 = _span_fixture(spark)
+    state = str(tmp_path / "state")
+    s1 = pipelines.run_daily_increment(
+        spark, state, inc_a, "d1", model, cut_spans=True
+    )
+    assert s1["spans_cut"] == 0 and s1["chars_removed"] == 0
+    s2 = pipelines.run_daily_increment(
+        spark, state, inc_b, "d2", model, cut_spans=True
+    )
+    # 401 loses SPAN_A (carrier 301, standing), 403 loses SPAN_B
+    # (carrier 402, same increment); 405 was dropped whole-doc first
+    assert s2["dup_vs_standing"] == 1          # 405
+    assert s2["spans_cut"] == 2
+    assert s2["chars_removed"] >= len(SPAN_A) + len(SPAN_B)
+
+    corpus = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{state}/corpus").collect()
+    }
+    assert set(corpus) == {301, 302, 401, 402, 403}
+    # canonical carriers keep their copy verbatim
+    assert corpus[301]["text"] == d301
+    assert SPAN_B in corpus[402]["text"]
+    # later carriers lose exactly their duplicated span
+    assert SPAN_A not in corpus[401]["text"]
+    assert SPAN_B not in corpus[403]["text"]
+    assert "xa0" in corpus[401]["text"] and "xb5" in corpus[401]["text"]
+
+    # conservation via the span_cuts accounting table: for every
+    # accepted doc, orig_chars - chars_removed == len(written text)
+    cuts = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{state}/span_cuts").collect()
+    }
+    assert set(cuts) == set(corpus)
+    originals = {
+        r["doc_id"]: r["text"]
+        for r in inc_a.unionByName(inc_b).collect()
+    }
+    for did, row in cuts.items():
+        assert row["orig_chars"] == len(originals[did])
+        assert (
+            row["orig_chars"] - row["chars_removed"]
+            == len(corpus[did]["text"])
+        )
+
+    # increment-then-increment == batch rebuild WITH cutting, text and
+    # token counts included (n_tokens counts the CUT text)
+    cols = ["doc_id", "source", "text", "log_odds", "split", "n_tokens"]
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/corpus").select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in pipelines.rebuild_corpus(
+            spark, inc_a.unionByName(inc_b), model, cut_spans=True
+        )
+        .select(*cols)
+        .collect()
+    )
+    assert got == want and len(got) == 5
+
+    # idempotent re-run of the later day converges (stats AND state,
+    # span tables included)
+    def snap():
+        return (
+            sorted(
+                tuple(r)
+                for r in spark.read.parquet(f"{state}/corpus")
+                .select(*cols, "shard_id")
+                .collect()
+            ),
+            sorted(
+                tuple(r)
+                for r in spark.read.parquet(f"{state}/span_cuts").collect()
+            ),
+            sorted(
+                tuple(r)
+                for r in spark.read.parquet(f"{state}/span_anchors")
+                .select("doc_id", "i", "__h")
+                .collect()
+            ),
+        )
+
+    before = snap()
+    s2_again = pipelines.run_daily_increment(
+        spark, state, inc_b, "d2", model, cut_spans=True
+    )
+    assert s2_again == s2
+    assert snap() == before
+
+
+def test_daily_span_cut_refuses_mixed_mode_state(spark, tmp_path):
+    """Span cutting is a property of the state dir: a cut run over uncut
+    history (no standing anchors to probe) and an uncut run over cut
+    history both refuse loudly instead of silently diverging from the
+    rebuild."""
+    import pytest
+
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b, _ = _span_fixture(spark)
+    uncut = str(tmp_path / "uncut")
+    pipelines.run_daily_increment(spark, uncut, inc_a, "d1", model)
+    with pytest.raises(ValueError, match="WITHOUT span cutting"):
+        pipelines.run_daily_increment(
+            spark, uncut, inc_b, "d2", model, cut_spans=True
+        )
+    cut = str(tmp_path / "cut")
+    pipelines.run_daily_increment(
+        spark, cut, inc_a, "d1", model, cut_spans=True
+    )
+    with pytest.raises(ValueError, match="WITH span cutting"):
+        pipelines.run_daily_increment(spark, cut, inc_b, "d2", model)
+
+
+def test_daily_span_cut_compaction_covers_span_tables(spark, tmp_path):
+    """compact_corpus treats the span state tables like every other
+    __run-partitioned table: file counts drop, reads stay identical, and
+    an old-day re-run still converges post-compaction."""
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b, _ = _span_fixture(spark)
+    state = str(tmp_path / "state")
+    pipelines.run_daily_increment(
+        spark, state, inc_a.repartition(5), "d1", model, cut_spans=True
+    )
+    s2 = pipelines.run_daily_increment(
+        spark, state, inc_b.repartition(5), "d2", model, cut_spans=True
+    )
+
+    def span_rows():
+        return (
+            sorted(
+                tuple(r)
+                for r in spark.read.parquet(f"{state}/span_cuts").collect()
+            ),
+            sorted(
+                tuple(r)
+                for r in spark.read.parquet(f"{state}/span_anchors")
+                .select("doc_id", "i", "__h")
+                .collect()
+            ),
+        )
+
+    before_state = _state_rows(spark, state)
+    before_span = span_rows()
+    rep = pipelines.compact_corpus(spark, state)
+    assert {"span_anchors", "span_cuts"} <= set(rep)
+    assert sum(v["files_after"] for v in rep.values()) < sum(
+        v["files_before"] for v in rep.values()
+    )
+    assert _state_rows(spark, state) == before_state
+    assert span_rows() == before_span
+    s2_again = pipelines.run_daily_increment(
+        spark, state, inc_b, "d2", model, cut_spans=True
+    )
+    assert s2_again == s2
+    assert span_rows() == before_span

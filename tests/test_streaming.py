@@ -1061,3 +1061,72 @@ def test_streaming_ingest_drains_equal_to_daily_pipeline(spark, tmp_path):
         .collect()
     )
     assert after == before
+
+
+def test_streaming_ingest_with_span_cutting_equals_daily_runs(
+    spark, tmp_path
+):
+    """cut_spans forwards through the streaming twin: draining two days
+    with span cutting produces exactly the state the direct cut daily
+    runs produce — text included, so the cut boundaries ride the
+    exactly-once idempotence argument unchanged."""
+    from snowflake_to_bq_pipeline_spark import pipelines
+    from snowflake_to_bq_pipeline_spark.streaming import ingest
+    from tests.test_pipelines import _span_fixture
+
+    model, inc_a, inc_b, _ = _span_fixture(spark)
+    src = str(tmp_path / "docs_src")
+    stream_state = str(tmp_path / "stream_state")
+    ckpt = str(tmp_path / "ingest_ckpt")
+
+    inc_a.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = ingest.maintain_corpus(
+        ingest.read_docs_stream(spark, src, schema),
+        stream_state, model, ckpt, cut_spans=True,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    inc_b.coalesce(1).write.mode("append").parquet(src)
+    q = ingest.maintain_corpus(
+        ingest.read_docs_stream(spark, src, schema),
+        stream_state, model, ckpt, cut_spans=True,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    direct = str(tmp_path / "direct_state")
+    pipelines.run_daily_increment(
+        spark, direct, inc_a, "d1", model, cut_spans=True
+    )
+    pipelines.run_daily_increment(
+        spark, direct, inc_b, "d2", model, cut_spans=True
+    )
+    cols = ["doc_id", "source", "text", "log_odds", "split", "n_tokens"]
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{stream_state}/corpus")
+        .select(*cols)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{direct}/corpus")
+        .select(*cols)
+        .collect()
+    )
+    assert got == want and len(got) == 5
+    cut_cols = ["doc_id", "orig_chars", "spans_cut", "chars_removed"]
+    got_cuts = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{stream_state}/span_cuts")
+        .select(*cut_cols)
+        .collect()
+    )
+    want_cuts = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{direct}/span_cuts")
+        .select(*cut_cols)
+        .collect()
+    )
+    assert got_cuts == want_cuts and len(got_cuts) == 5
