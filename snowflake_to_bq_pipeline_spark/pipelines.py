@@ -700,6 +700,172 @@ def export_corpus(
     }
 
 
+def span_cut_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Per-run rollup of the daily span-cut accounting — the standing-
+    state analog of the batch ``span_cut_rollup`` query: one row per
+    ``__run`` with docs_touched / spans_cut / chars removed+kept and the
+    removal fraction, read straight off ``{state_dir}/span_cuts`` (no
+    text is re-read; the accounting table IS the evidence the
+    conservation pytest checks). Returns an empty frame with the same
+    schema for an uncut state dir."""
+    cuts = _read_state_or_empty(
+        spark,
+        f"{state_dir}/span_cuts",
+        "doc_id long, orig_chars long, spans_cut long, "
+        "chars_removed long, __run string",
+    )
+    return (
+        cuts.groupBy("__run")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum((F.col("spans_cut") > 0).cast("long")).alias(
+                "docs_touched"
+            ),
+            F.sum("spans_cut").alias("spans_cut"),
+            F.sum("orig_chars").alias("chars_in"),
+            F.sum("chars_removed").alias("chars_removed"),
+            (F.sum("orig_chars") - F.sum("chars_removed")).alias(
+                "chars_kept"
+            ),
+            F.round(
+                F.sum("chars_removed")
+                / F.greatest(F.sum("orig_chars"), F.lit(1)),
+                6,
+            ).alias("removed_frac"),
+        )
+        .orderBy("__run")
+    )
+
+
+def export_packed_corpus(
+    spark: SparkSession,
+    state_dir: str,
+    out_path: str,
+    budget: int = curation.PACK_BUDGET,
+) -> dict[str, int]:
+    """Materialize the standing corpus as PACKED fixed-length training
+    sequences — the actual LM-training handoff: GPT-style concat-and-
+    chunk per split (documents concatenated in doc_id order, sliced into
+    ``budget``-token windows; every pack but a split's last holds exactly
+    ``budget`` tokens, docs cross pack boundaries rather than pad).
+
+    Output rows: (split, pack_id, tokens array<string>, n_tokens,
+    doc_spans array<struct<doc_id, start, end>>) — doc_spans is the
+    provenance map (token half-open interval each doc occupies inside
+    the pack), so a loss-masking or attribution pass can recover doc
+    boundaries without re-reading the corpus. Conservation and exact
+    reconstruction (pack-order tokens == doc-order tokens, per split)
+    are pytest-pinned. Tokenization is the pipeline's own n_tokens rule
+    (whitespace split), so pack token mass equals the corpus n_tokens
+    mass it was sharded by.
+
+    Scale posture: NO token-level explode — each doc row computes its
+    global start offset with the TWO-PHASE grouped prefix sum
+    (operators/prefix.grouped_prefix_sum — the 90%-train split IS the
+    one-dominant-group shape a plain per-split window would serialize
+    into a single task), then emits only its ceil(spanned-packs) CHUNK
+    rows via an array slice (rows ~ docs + boundary crossings, never ~
+    tokens); one shuffle groups chunks into packs; output written
+    partitioned by split.
+    """
+    from .operators.prefix import grouped_prefix_sum
+
+    corpus = read_corpus_state(spark, state_dir).select(
+        "doc_id", "split", "text"
+    )
+    toks = F.split(F.col("text"), " ")
+    nt = F.array_size(toks).cast("long")
+    docs = grouped_prefix_sum(
+        corpus.select(
+            "doc_id", "split", toks.alias("__toks"), nt.alias("__nt")
+        ),
+        group_cols=["split"],
+        order_cols=["doc_id"],
+        value_col="__nt",
+        out_col="__cum",
+    ).withColumn("__start", F.col("__cum") - F.col("__nt"))
+    # each doc spans packs floor(start/B) .. floor((start+nt-1)/B); emit
+    # one CHUNK row per spanned pack with the doc's token slice for it
+    first_p = F.floor(F.col("__start") / budget)
+    last_p = F.floor((F.col("__start") + F.col("__nt") - 1) / budget)
+    chunks = (
+        docs.filter(F.col("__nt") > 0)
+        .select(
+            "doc_id",
+            "split",
+            "__toks",
+            "__nt",
+            "__start",
+            F.explode(F.sequence(first_p, last_p)).alias("pack_id"),
+        )
+        .select(
+            "split",
+            "pack_id",
+            "doc_id",
+            # token interval of THIS doc that lands in THIS pack,
+            # 0-based within the doc: [lo, hi)
+            F.greatest(
+                F.col("pack_id") * budget - F.col("__start"), F.lit(0)
+            ).alias("__lo"),
+            F.least(
+                (F.col("pack_id") + 1) * budget - F.col("__start"),
+                F.col("__nt"),
+            ).alias("__hi"),
+            # offset of the chunk inside the pack (orders chunks)
+            F.greatest(
+                F.col("__start") - F.col("pack_id") * budget, F.lit(0)
+            ).alias("__off"),
+            F.col("__toks"),
+        )
+        .select(
+            "split",
+            "pack_id",
+            "doc_id",
+            "__off",
+            F.slice(
+                F.col("__toks"),
+                (F.col("__lo") + 1).cast("int"),
+                (F.col("__hi") - F.col("__lo")).cast("int"),
+            ).alias("__chunk"),
+        )
+    )
+    packs = (
+        chunks.groupBy("split", "pack_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__off"), F.col("doc_id"), F.col("__chunk")
+                    )
+                )
+            ).alias("__parts")
+        )
+        .select(
+            "split",
+            "pack_id",
+            F.flatten(F.col("__parts.__chunk")).alias("tokens"),
+            F.transform(
+                F.col("__parts"),
+                lambda p: F.struct(
+                    p["doc_id"].alias("doc_id"),
+                    p["__off"].alias("start"),
+                    (p["__off"] + F.array_size(p["__chunk"])).alias(
+                        "end"
+                    ),
+                ),
+            ).alias("doc_spans"),
+        )
+        .withColumn("n_tokens", F.array_size(F.col("tokens")).cast("long"))
+    )
+    packs.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    back = spark.read.parquet(out_path)
+    agg = back.agg(
+        F.count(F.lit(1)).alias("packs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
+    ).collect()[0]
+    return {"packs": int(agg["packs"]), "tokens": int(agg["tokens"])}
+
+
 def compact_corpus(
     spark: SparkSession,
     state_dir: str,

@@ -844,3 +844,104 @@ def test_daily_span_cut_compaction_covers_span_tables(spark, tmp_path):
     )
     assert s2_again == s2
     assert span_rows() == before_span
+
+
+def test_export_packed_corpus_conserves_and_reconstructs(spark, tmp_path):
+    """The packed LM-training export: every pack but a split's last
+    holds exactly `budget` tokens, token mass is conserved per split,
+    pack-order tokens reconstruct doc-order tokens exactly, and the
+    doc_spans provenance tiles each pack."""
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b, _ = _span_fixture(spark)
+    state = str(tmp_path / "state")
+    pipelines.run_daily_increment(
+        spark, state, inc_a, "d1", model, cut_spans=True
+    )
+    pipelines.run_daily_increment(
+        spark, state, inc_b, "d2", model, cut_spans=True
+    )
+    out = str(tmp_path / "packed")
+    budget = 7
+    stats = pipelines.export_packed_corpus(spark, state, out, budget=budget)
+
+    corpus = spark.read.parquet(f"{state}/corpus").collect()
+    doc_toks = {
+        r["doc_id"]: r["text"].split(" ") for r in corpus
+    }
+    by_split: dict[str, list[int]] = {}
+    for r in corpus:
+        by_split.setdefault(r["split"], []).append(r["doc_id"])
+
+    packs = spark.read.parquet(out).collect()
+    assert stats["packs"] == len(packs)
+    assert stats["tokens"] == sum(len(p["tokens"]) for p in packs)
+    assert stats["tokens"] == sum(len(t) for t in doc_toks.values())
+
+    for split, ids in by_split.items():
+        want = [t for d in sorted(ids) for t in doc_toks[d]]
+        split_packs = sorted(
+            (p for p in packs if p["split"] == split),
+            key=lambda p: p["pack_id"],
+        )
+        assert [p["pack_id"] for p in split_packs] == list(
+            range(len(split_packs))
+        )
+        got = [t for p in split_packs for t in p["tokens"]]
+        assert got == want, f"reconstruction failed for split {split}"
+        # exact budget everywhere but the last pack
+        for p in split_packs[:-1]:
+            assert len(p["tokens"]) == budget
+        assert 0 < len(split_packs[-1]["tokens"]) <= budget
+        # doc_spans tile each pack: contiguous, in order, correct docs
+        for p in split_packs:
+            spans = sorted(p["doc_spans"], key=lambda s: s["start"])
+            assert spans[0]["start"] == 0
+            assert spans[-1]["end"] == len(p["tokens"])
+            for a, b in zip(spans, spans[1:]):
+                assert a["end"] == b["start"]
+            for s in spans:
+                seg = p["tokens"][s["start"]:s["end"]]
+                # the segment is a contiguous slice of that doc's tokens
+                joined = " ".join(seg)
+                assert joined in " ".join(doc_toks[s["doc_id"]])
+
+    # determinism: a second export reproduces the identical packs
+    out2 = str(tmp_path / "packed2")
+    stats2 = pipelines.export_packed_corpus(
+        spark, state, out2, budget=budget
+    )
+    assert stats2 == stats
+    a = sorted(
+        (p["split"], p["pack_id"], tuple(p["tokens"]))
+        for p in spark.read.parquet(out2).collect()
+    )
+    b = sorted(
+        (p["split"], p["pack_id"], tuple(p["tokens"])) for p in packs
+    )
+    assert a == b
+
+
+def test_span_cut_report_rolls_up_per_run(spark, tmp_path):
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b, _ = _span_fixture(spark)
+    state = str(tmp_path / "state")
+    # uncut / not-yet-run state dir: empty frame, stable schema
+    empty = pipelines.span_cut_report(spark, state)
+    assert empty.count() == 0 and "removed_frac" in empty.columns
+
+    pipelines.run_daily_increment(
+        spark, state, inc_a, "d1", model, cut_spans=True
+    )
+    s2 = pipelines.run_daily_increment(
+        spark, state, inc_b, "d2", model, cut_spans=True
+    )
+    rep = {r["__run"]: r for r in pipelines.span_cut_report(spark, state).collect()}
+    assert set(rep) == {"d1", "d2"}
+    assert rep["d1"]["spans_cut"] == 0 and rep["d1"]["chars_removed"] == 0
+    assert rep["d2"]["spans_cut"] == s2["spans_cut"] == 2
+    assert rep["d2"]["chars_removed"] == s2["chars_removed"]
+    assert rep["d2"]["docs_touched"] == 2          # 401 and 403
+    for r in rep.values():
+        assert r["chars_in"] == r["chars_kept"] + r["chars_removed"]

@@ -109,6 +109,10 @@ SMOKE_QUERIES = [
     # candidate-bounded (anchors ~ positions/band; candidates ~ true
     # duplication), measured here rather than asserted
     "substring_dup_spans",
+    # late r14: the daily-increment span probe — candidate volume must
+    # scale with true shared spans (anchor-hash bucket join against the
+    # standing slice), not with corpus x increment
+    "incremental_span_check",
     # r13: three memo-riding joins + the exact-hash groupBy + the
     # semantic CC over the embedding pair table (sign-flip replicas keep
     # within-replica cosines, cross-replica pairs collapse -> linear)
