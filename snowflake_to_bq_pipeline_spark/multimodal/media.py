@@ -331,7 +331,14 @@ def _fake_embed(content: bytes, dims: int) -> list[float]:
     for b in content:
         hist[b % dims] += 1.0
     norm = sum(x * x for x in hist) ** 0.5
-    return [x / norm for x in hist] if norm > 0 else hist
+    if norm == 0:
+        # empty blob: a fixed UNIT vector, never the zero vector — zero
+        # norms turn every cosine against the blob into 0/0=NaN, which a
+        # descending rank orders above every real neighbor (same guard
+        # as operators/text._default_chunk_encoder).
+        hist[0] = 1.0
+        return hist
+    return [x / norm for x in hist]
 
 
 def embed_media(media: DataFrame, dims: int = EMBED_DIMS) -> DataFrame:

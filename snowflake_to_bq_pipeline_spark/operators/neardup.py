@@ -1938,7 +1938,7 @@ def _star_spans(
     )
     remaining = anchors
     parts: list[DataFrame] = []
-    for _ in range(int(rescue_rounds) + 1):
+    for rnd in range(int(rescue_rounds) + 1):
         canon = (
             remaining.groupBy("__h")
             .agg(F.min(F.struct("doc_id", "i")).alias("__c"))
@@ -1957,6 +1957,14 @@ def _star_spans(
             "__h",
         ).filter(F.col("doc_a") < F.col("doc_b"))
         ext = attach_texts(cand).mapInPandas(_extend_flagged, schema=schema)
+        if rnd < int(rescue_rounds):
+            # ext feeds BOTH this round's ok-part and (through
+            # `remaining`) every later round's lineage: without a
+            # persist, materializing the final union re-executes round
+            # r's candidate join + Arrow extension once per later round
+            # (O(R²) stage work on the boilerplate corpora star mode
+            # exists for). The last round's ext has a single consumer.
+            ext = _swap_cache(f"neardup._star_spans.round{rnd}", ext)
         ok = ext.filter(F.col("span_len") >= min_len)
         parts.append(
             ok.select("doc_a", "doc_b", "start_a", "start_b", "span_len")

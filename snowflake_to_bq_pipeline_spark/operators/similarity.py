@@ -57,9 +57,15 @@ def _ivf_score_candidates(cand: DataFrame) -> DataFrame:
     n_queries × n_probe/n_centroids × corpus rows. Same lesson as the
     r14 NB scorer (operators/curation._score_docs_arrow, measured ~5×):
     move the per-element loop into one numpy batch per Arrow chunk.
-    Values round to 6 decimals like ``_cosine``; the IVF family is
-    rows-only (never oracle-hashed), and the brute-force baselines the
-    recall pytests compare against keep the exact JVM expression.
+    Values round to 6 decimals, but via numpy's pairwise summation and
+    scaled half-even rint — which can differ from the JVM left-fold +
+    HALF_UP ``_cosine`` by one ulp at a 6-decimal boundary. Callers
+    whose contract is the exact brute-force value (``lsh_topk``'s
+    pinned score-match) RESCORE their <=k survivors through ``_cosine``;
+    the IVF family is rows-only and recall-gated. A zero-norm vector
+    (an empty-content stub embedding) scores cosine 0.0 against
+    everything — never NaN, which Spark's descending sort would rank
+    ABOVE every real neighbor.
     """
 
     def run(batches):
@@ -71,8 +77,13 @@ def _ivf_score_candidates(cand: DataFrame) -> DataFrame:
                 continue
             q = np.array(pdf["qe"].tolist(), dtype=np.float64)
             v = np.array(pdf["e"].tolist(), dtype=np.float64)
-            cos = (q * v).sum(axis=1) / (
-                np.sqrt((q * q).sum(axis=1)) * np.sqrt((v * v).sum(axis=1))
+            den = np.sqrt((q * q).sum(axis=1)) * np.sqrt(
+                (v * v).sum(axis=1)
+            )
+            cos = np.where(
+                den > 0.0,
+                (q * v).sum(axis=1) / np.where(den > 0.0, den, 1.0),
+                0.0,
             )
             yield pd.DataFrame(
                 {
@@ -234,10 +245,31 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    return (
+    survivors = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
     )
+    # RESCORE the <=k survivors per query through the JVM ``_cosine``
+    # expression: the numpy candidate scorer is the selection fast path,
+    # but its pairwise summation + scaled half-even rounding can differ
+    # from the JVM left-fold + HALF_UP round by one ulp at a 6-decimal
+    # boundary — and this operator's contract (pytest-pinned) is that
+    # every REPORTED cosine equals the brute-force value for that pair.
+    # O(k * dims) per query — noise next to candidate scoring.
+    rescored = (
+        survivors.join(
+            v.select(F.col("vec_id").alias("neighbor_id"), "e"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("qe"), F.col("e")).alias("cosine"),
+        )
+    )
+    return rescored.withColumn("rank", F.row_number().over(w))
 
 
 def dup_candidate_pairs(

@@ -835,7 +835,15 @@ def _default_chunk_encoder(content: bytes, dims: int) -> list[float]:
     for b in content:
         hist[b % dims] += 1.0
     norm = sum(x * x for x in hist) ** 0.5
-    return [x / norm for x in hist] if norm > 0 else hist
+    if norm == 0:
+        # empty chunk content (whitespace-only doc): a fixed UNIT vector,
+        # never the zero vector — a zero norm makes every cosine against
+        # it 0/0=NaN, and Spark's descending rank orders NaN first, so
+        # one empty chunk would displace a true neighbor in every list
+        # it shares. All empties collapse to one deterministic point.
+        hist[0] = 1.0
+        return hist
+    return [x / norm for x in hist]
 
 
 def chunk_vectors(

@@ -184,6 +184,24 @@ def _read_state_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
         return spark.createDataFrame([], schema)
 
 
+def _require_local_state_dir(op: str, state_dir: str) -> None:
+    """The incremental state machinery tracks schema evolution
+    (``_schema.json``) and the cut_spans mode guard with LOCAL-file
+    metadata (os.path / os.listdir) next to the Spark-written tables. On
+    a URI-scheme dir (hdfs://, s3a://) those checks would silently
+    no-op — schema flips slipping through unchecked and mixed cut/uncut
+    states mis-deduping — in a module whose contract is loud refusal.
+    Refuse the path instead; a distributed-fs state dir needs these
+    probes ported to the Hadoop FileSystem API first."""
+    if "://" in state_dir:
+        raise ValueError(
+            f"{op}: state_dir {state_dir!r} uses a URI scheme — the "
+            "standing-state metadata (schema evolution, span-cut mode "
+            "guard) is tracked with local-filesystem probes; use a "
+            "local path or port the probes to the Hadoop FS API"
+        )
+
+
 def _schema_state_path(state_dir: str) -> str:
     return f"{state_dir}/_schema.json"
 
@@ -226,6 +244,7 @@ def read_corpus_state(spark: SparkSession, state_dir: str) -> DataFrame:
         StructType,
     )
 
+    _require_local_state_dir("read_corpus_state", state_dir)
     evolved = _load_state_schema(state_dir)
     path = f"{state_dir}/corpus"
     if evolved is None:  # pre-evolution state dir: files share one schema
@@ -340,6 +359,25 @@ def run_daily_increment(
                 f"run_daily_increment: increment is missing required "
                 f"column {col!r}"
             )
+    # pipeline-reserved names: schema evolution admits arbitrary
+    # increment columns into the standing schema, and these collide with
+    # the columns the pipeline itself adds — 'log_odds' would make the
+    # scored join ambiguous AFTER the evolved schema persisted (every
+    # later read then carries a duplicate-named field), 'n_tokens' would
+    # be silently overwritten in corpus while seen keeps the original.
+    # Refuse up front, before any state is touched.
+    clash = {
+        "log_odds", "split", "n_tokens", "shard_id",
+        "__run", "__rn", "__neg_nt",
+    }.intersection(increment.columns)
+    if clash:
+        raise ValueError(
+            f"run_daily_increment: increment column(s) {sorted(clash)} "
+            "collide with pipeline-reserved names (log_odds/split/"
+            "n_tokens/shard_id/__run and internals) — rename them "
+            "upstream; schema evolution would otherwise corrupt the "
+            "standing corpus schema"
+        )
     # schema evolution against the STANDING corpus schema (the
     # reference's daily sync re-derives/reuses the target schema per
     # run, client_dimension_sync_full/main.py:94-104): a new nullable
@@ -348,10 +386,15 @@ def run_daily_increment(
     # raises SchemaDriftError before any state is touched. The evolved
     # schema persists as _schema.json next to the state tables, so
     # every later read — including an old day's re-run — aligns to it.
+    _require_local_state_dir("run_daily_increment", state_dir)
     target_schema = _load_state_schema(state_dir)
     inc, _drift = schema_drift.full_sync_evolve(increment, target_schema)
     evolved = inc.schema
-    _store_state_schema(state_dir, evolved)
+    # NOTE: the evolved schema is PERSISTED only after every contract
+    # guard below (id-interval, cut_spans mode) has passed — a rejected
+    # run must leave the standing schema exactly as committed runs built
+    # it (only SchemaDriftError, raised inside full_sync_evolve above,
+    # precedes this point, and it stores nothing).
     inc_cols = [f.name for f in evolved.fields]
     n_inc = inc.count()
 
@@ -407,6 +450,42 @@ def run_daily_increment(
                 )
         seen = seen.filter(F.col("doc_id") < min_inc)
 
+    # mode guard: span cutting is a property of the WHOLE state dir, not
+    # of one run — a cut run over uncut history would silently miss every
+    # span whose carrier predates the flag (no standing anchors), and an
+    # uncut run over cut history would emit uncut text a rebuild would
+    # have cut. Either mix refuses loudly, BEFORE any compute or write.
+    anchors_path = f"{state_dir}/span_anchors"
+    import os as _os
+
+    def _run_parts(path: str) -> set[str]:
+        if not _os.path.isdir(path):
+            return set()
+        return {
+            d
+            for d in _os.listdir(path)
+            if d.startswith("__run=") and ".old." not in d
+        }
+
+    prior_seen_runs = _run_parts(seen_path) - {f"__run={run_id}"}
+    prior_anchor_runs = _run_parts(anchors_path) - {f"__run={run_id}"}
+    if cut_spans and (missing := prior_seen_runs - prior_anchor_runs):
+        raise ValueError(
+            "run_daily_increment: cut_spans=True over a state dir with "
+            f"{len(missing)} prior run(s) that carry no span-anchor "
+            "slice — the standing corpus was built WITHOUT span cutting "
+            "and its spans cannot be probed; rebuild the state with "
+            "cut_spans or keep it uncut"
+        )
+    if not cut_spans and prior_anchor_runs:
+        raise ValueError(
+            "run_daily_increment: cut_spans=False over a state dir "
+            "whose prior runs carry span-anchor slices — the standing "
+            "corpus was built WITH span cutting; pass cut_spans=True"
+        )
+    # every contract guard has passed: NOW the evolved schema may persist
+    _store_state_schema(state_dir, evolved)
+
     # 1. standing-model quality gate (row-local, shuffle-free scorer)
     scored = curation.score_docs_with_model(inc, model).select(
         "doc_id", "n_grams", "log_odds", "pred_curated"
@@ -460,40 +539,7 @@ def run_daily_increment(
     # accepted doc of this increment. Anchor work is O(increment); the
     # standing side contributes one text-attach join keyed by the
     # candidates the anchor hash join survives.
-    anchors_path = f"{state_dir}/span_anchors"
     cut = None
-    # mode guard: span cutting is a property of the WHOLE state dir, not
-    # of one run — a cut run over uncut history would silently miss every
-    # span whose carrier predates the flag (no standing anchors), and an
-    # uncut run over cut history would emit uncut text a rebuild would
-    # have cut. Either mix refuses loudly.
-    import os as _os
-
-    def _run_parts(path: str) -> set[str]:
-        if not _os.path.isdir(path):
-            return set()
-        return {
-            d
-            for d in _os.listdir(path)
-            if d.startswith("__run=") and ".old." not in d
-        }
-
-    prior_seen_runs = _run_parts(seen_path) - {f"__run={run_id}"}
-    prior_anchor_runs = _run_parts(anchors_path) - {f"__run={run_id}"}
-    if cut_spans and (missing := prior_seen_runs - prior_anchor_runs):
-        raise ValueError(
-            "run_daily_increment: cut_spans=True over a state dir with "
-            f"{len(missing)} prior run(s) that carry no span-anchor "
-            "slice — the standing corpus was built WITHOUT span cutting "
-            "and its spans cannot be probed; rebuild the state with "
-            "cut_spans or keep it uncut"
-        )
-    if not cut_spans and prior_anchor_runs:
-        raise ValueError(
-            "run_daily_increment: cut_spans=False over a state dir "
-            "whose prior runs carry span-anchor slices — the standing "
-            "corpus was built WITH span cutting; pass cut_spans=True"
-        )
     if cut_spans:
         acc_docs = accepted.select("doc_id", "text").persist(
             StorageLevel.MEMORY_AND_DISK
@@ -894,6 +940,8 @@ def compact_corpus(
     import os
 
     from .sinks.writers import _recover_dangling_swap, compact_path
+
+    _require_local_state_dir("compact_corpus", state_dir)
 
     def _n_parquet(root: str) -> int:
         return sum(

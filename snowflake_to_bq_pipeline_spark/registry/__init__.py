@@ -533,10 +533,12 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 #: Names whose engine code is new or changed THIS round: each needs a fresh
 #: driver hash verdict, so each must sit inside the 50-slot window.  Update
 #: this set whenever a round touches a query's plan or oracle.
-# r14: one NEW oracle-gated op — the ExactSubstr span-CUT accounting
-# rollup (span_cut_rollup). substring_dup_spans' plan also changed (it
-# now rides the per-snapshot spans memo) but it is rows-only and cannot
-# hold a window slot; its gate is the pytest pin vs the naive reference.
+# r14: three ⊕ span-family entries — span_cut_rollup (the NEW
+# ExactSubstr span-CUT accounting), substring_dup_spans (PROMOTED from
+# rows-only to oracle-gated late r14: the span set is hash-independent,
+# so the DuckDB diagonal-runs chain emits the span rows themselves), and
+# incremental_span_check (NEW — the daily-increment probe, same oracle
+# family). All three hold window slots 1-3.
 _WINDOW_CRITICAL = {
     "span_cut_rollup",
     "substring_dup_spans",

@@ -158,3 +158,30 @@ def test_chunk_ann_registry_query_shape(spark, sf_dir):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_empty_content_embeds_to_unit_vector_never_nan(spark):
+    """Self-review fix: empty chunk/blob content must embed to a unit
+    vector, and the Arrow candidate scorer must never emit NaN — a NaN
+    cosine would rank ABOVE every real neighbor under the descending
+    sort."""
+    import math
+
+    from snowflake_to_bq_pipeline_spark.multimodal.media import _fake_embed
+    from snowflake_to_bq_pipeline_spark.operators import similarity
+    from snowflake_to_bq_pipeline_spark.operators.text import (
+        _default_chunk_encoder,
+    )
+
+    for enc in (_default_chunk_encoder, _fake_embed):
+        v = enc(b"", 8)
+        assert v[0] == 1.0 and sum(x * x for x in v) == 1.0
+    # zero-norm vectors (a hand-built embedding table can still carry
+    # them) score 0.0, not NaN, through the Arrow scorer
+    cand = spark.createDataFrame(
+        [(1, [0.0, 0.0], 2, [1.0, 0.0]), (1, [1.0, 0.0], 3, [0.0, 0.0])],
+        "query_id long, qe array<double>, vec_id long, e array<double>",
+    )
+    rows = similarity._ivf_score_candidates(cand).collect()
+    assert {r["neighbor_id"]: r["cosine"] for r in rows} == {2: 0.0, 3: 0.0}
+    assert not any(math.isnan(r["cosine"]) for r in rows)

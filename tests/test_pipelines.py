@@ -945,3 +945,56 @@ def test_span_cut_report_rolls_up_per_run(spark, tmp_path):
     assert rep["d2"]["docs_touched"] == 2          # 401 and 403
     for r in rep.values():
         assert r["chars_in"] == r["chars_kept"] + r["chars_removed"]
+
+
+def test_daily_increment_refuses_reserved_columns_and_uri_state(
+    spark, tmp_path
+):
+    """Self-review fixes: an increment carrying a pipeline-reserved
+    column (schema evolution would admit it and corrupt the standing
+    schema) and a URI-scheme state dir (the local-file metadata probes
+    would silently no-op) both refuse loudly."""
+    import pytest
+
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, _ = _fixture(spark)
+    state = str(tmp_path / "state")
+    bad = inc_a.withColumn("log_odds", F.lit(1.0))
+    with pytest.raises(ValueError, match="pipeline-reserved"):
+        pipelines.run_daily_increment(spark, state, bad, "d1", model)
+    bad2 = inc_a.withColumn("n_tokens", F.lit(7))
+    with pytest.raises(ValueError, match="pipeline-reserved"):
+        pipelines.run_daily_increment(spark, state, bad2, "d1", model)
+    with pytest.raises(ValueError, match="URI scheme"):
+        pipelines.run_daily_increment(
+            spark, "s3a://bucket/state", inc_a, "d1", model
+        )
+    with pytest.raises(ValueError, match="URI scheme"):
+        pipelines.read_corpus_state(spark, "hdfs://nn/state")
+    with pytest.raises(ValueError, match="URI scheme"):
+        pipelines.compact_corpus(spark, "s3a://bucket/state")
+
+
+def test_rejected_run_leaves_standing_schema_untouched(spark, tmp_path):
+    """Self-review fix: the evolved schema persists only after every
+    contract guard passes — a run rejected by the id-interval contract
+    must not leave its new column in _schema.json."""
+    import pytest
+
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b = _fixture(spark)
+    state = str(tmp_path / "state")
+    pipelines.run_daily_increment(spark, state, inc_a, "d1", model)
+    schema_before = pipelines._load_state_schema(state)
+    # new run BELOW the seen interval AND carrying a new column: the
+    # interval contract rejects it — the column must not persist
+    low_ids = inc_b.withColumn(
+        "doc_id", F.col("doc_id") - 200
+    ).withColumn("url", F.lit("http://x"))
+    with pytest.raises(ValueError, match="must take ids above"):
+        pipelines.run_daily_increment(spark, state, low_ids, "d9", model)
+    schema_after = pipelines._load_state_schema(state)
+    assert schema_after.jsonValue() == schema_before.jsonValue()
+    assert "url" not in [f.name for f in schema_after.fields]
