@@ -746,6 +746,170 @@ def export_corpus(
     }
 
 
+def validate_corpus_state(
+    spark: SparkSession, state_dir: str, strict: bool = False
+) -> dict[str, list[str]]:
+    """Integrity audit of a standing incremental state dir — the check a
+    corpus owner runs before trusting a year of daily runs (the engine
+    analog of the reference's reconciliation validators,
+    snowflake_bq_deduplication_sync.py:270 and the diagnostic SQL pack):
+    every invariant the pipeline RELIES on is re-verified from the
+    tables themselves, not from bookkeeping.
+
+    Checks (key -> list of human-readable violations, empty == healthy):
+
+    - ``runs``: every corpus/audit ``__run`` partition has a seen slice
+      (seen is the dedup index — a corpus run without one would be
+      invisible to future dedup); span tables are either absent (uncut
+      state) or cover exactly the seen runs (cut state).
+    - ``intervals``: per-run [min,max] doc_id intervals are pairwise
+      disjoint across seen runs — the keep-first contract.
+    - ``membership``: corpus doc_ids are unique and a subset of seen;
+      audit rows cover every seen doc of their run.
+    - ``splits``: each corpus doc's stored split equals the
+      deterministic hash assignment (split stability re-derived).
+    - ``conservation`` (cut state only): for every corpus doc,
+      len(text) == orig_chars - chars_removed from its span_cuts row.
+
+    ``strict=True`` raises ValueError listing every violation instead of
+    returning them. Scale: one pass over each state table; per-run
+    reductions land O(runs) rows on the driver, never documents.
+    """
+    _require_local_state_dir("validate_corpus_state", state_dir)
+    report: dict[str, list[str]] = {
+        "runs": [], "intervals": [], "membership": [],
+        "splits": [], "conservation": [],
+    }
+
+    def _tbl_runs(table: str) -> set[str]:
+        import os
+
+        tdir = f"{state_dir}/{table}"
+        if not os.path.isdir(tdir):
+            return set()
+        return {
+            p.split("=", 1)[1]
+            for p in os.listdir(tdir)
+            if p.startswith("__run=") and ".old." not in p
+        }
+
+    seen_runs = _tbl_runs("seen")
+    corpus_runs, audit_runs = _tbl_runs("corpus"), _tbl_runs("audit")
+    anchor_runs, cuts_runs = _tbl_runs("span_anchors"), _tbl_runs("span_cuts")
+    for tbl, runs in (("corpus", corpus_runs), ("audit", audit_runs)):
+        for r in sorted(runs - seen_runs):
+            report["runs"].append(f"{tbl} run {r!r} has no seen slice")
+    cut_mode = bool(anchor_runs or cuts_runs)
+    if cut_mode:
+        for name, runs in (
+            ("span_anchors", anchor_runs), ("span_cuts", cuts_runs)
+        ):
+            missing = seen_runs - runs
+            extra = runs - seen_runs
+            for r in sorted(missing):
+                report["runs"].append(f"{name} missing run {r!r}")
+            for r in sorted(extra):
+                report["runs"].append(f"{name} has orphan run {r!r}")
+
+    seen = _read_state_or_empty(
+        spark, f"{state_dir}/seen", "doc_id long, __run string"
+    ).select("doc_id", "__run")
+    bounds = (
+        seen.groupBy("__run")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    )
+    # idle-day runs write an empty seen slice (lo/hi NULL) — no interval
+    ordered = sorted(
+        (r for r in bounds if r["lo"] is not None),
+        key=lambda r: (r["lo"], r["hi"]),
+    )
+    for a, b in zip(ordered, ordered[1:]):
+        if b["lo"] <= a["hi"]:
+            report["intervals"].append(
+                f"runs {a['__run']!r} [{a['lo']},{a['hi']}] and "
+                f"{b['__run']!r} [{b['lo']},{b['hi']}] overlap"
+            )
+
+    corpus = read_corpus_state(spark, state_dir)
+    n_corpus = corpus.count()
+    n_ids = corpus.select("doc_id").distinct().count()
+    if n_ids != n_corpus:
+        report["membership"].append(
+            f"corpus carries {n_corpus - n_ids} duplicate doc_id row(s)"
+        )
+    orphans = corpus.join(
+        seen.select("doc_id"), "doc_id", "left_anti"
+    ).count()
+    if orphans:
+        report["membership"].append(
+            f"{orphans} corpus doc(s) absent from the seen index"
+        )
+    audit = _read_state_or_empty(
+        spark, f"{state_dir}/audit", "doc_id long, __run string"
+    )
+    # audit covers every seen doc of its run (seen keeps only
+    # quality-passing docs; the audit additionally has quality rejects,
+    # so seen \ audit must be empty per run)
+    uncovered = seen.join(
+        audit.select("doc_id"), "doc_id", "left_anti"
+    ).count()
+    if uncovered:
+        report["membership"].append(
+            f"{uncovered} seen doc(s) missing from the audit"
+        )
+
+    expected = curation.dataset_split(
+        corpus.select("doc_id", F.col("split").alias("__stored")), "doc_id"
+    )
+    drifted = expected.filter(F.col("split") != F.col("__stored")).count()
+    if drifted:
+        report["splits"].append(
+            f"{drifted} corpus doc(s) whose stored split differs from "
+            "the deterministic hash assignment"
+        )
+
+    if cut_mode:
+        cuts = _read_state_or_empty(
+            spark,
+            f"{state_dir}/span_cuts",
+            "doc_id long, orig_chars long, spans_cut long, "
+            "chars_removed long, __run string",
+        )
+        joined = corpus.select(
+            "doc_id", F.length("text").cast("long").alias("__len")
+        ).join(
+            cuts.select("doc_id", "orig_chars", "chars_removed"),
+            "doc_id",
+            "left",
+        )
+        missing_cut = joined.filter(F.col("orig_chars").isNull()).count()
+        if missing_cut:
+            report["conservation"].append(
+                f"{missing_cut} corpus doc(s) with no span_cuts "
+                "accounting row"
+            )
+        broken = joined.filter(
+            F.col("orig_chars").isNotNull()
+            & (
+                F.col("__len")
+                != F.col("orig_chars") - F.col("chars_removed")
+            )
+        ).count()
+        if broken:
+            report["conservation"].append(
+                f"{broken} corpus doc(s) violating chars_kept == "
+                "orig_chars - chars_removed"
+            )
+
+    if strict and any(report.values()):
+        lines = [v for vs in report.values() for v in vs]
+        raise ValueError(
+            "validate_corpus_state: " + "; ".join(lines)
+        )
+    return report
+
+
 def span_cut_report(spark: SparkSession, state_dir: str) -> DataFrame:
     """Per-run rollup of the daily span-cut accounting — the standing-
     state analog of the batch ``span_cut_rollup`` query: one row per

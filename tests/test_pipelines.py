@@ -998,3 +998,84 @@ def test_rejected_run_leaves_standing_schema_untouched(spark, tmp_path):
     schema_after = pipelines._load_state_schema(state)
     assert schema_after.jsonValue() == schema_before.jsonValue()
     assert "url" not in [f.name for f in schema_after.fields]
+
+
+def test_validate_corpus_state_healthy_and_corrupted(spark, tmp_path):
+    """The state-dir integrity audit: healthy cut and uncut states
+    report no violations; each seeded corruption (orphaned anchor run,
+    tampered corpus text, drifted split, corpus doc missing from seen)
+    is caught by its own check, and strict mode raises."""
+    import os
+    import shutil
+
+    import pytest
+
+    from snowflake_to_bq_pipeline_spark import pipelines
+
+    model, inc_a, inc_b, _ = _span_fixture(spark)
+    state = str(tmp_path / "state")
+    pipelines.run_daily_increment(
+        spark, state, inc_a, "d1", model, cut_spans=True
+    )
+    pipelines.run_daily_increment(
+        spark, state, inc_b, "d2", model, cut_spans=True
+    )
+    assert all(
+        not v
+        for v in pipelines.validate_corpus_state(spark, state).values()
+    )
+
+    m2, a2, b2 = _fixture(spark)
+    uncut = str(tmp_path / "uncut")
+    pipelines.run_daily_increment(spark, uncut, a2, "d1", m2)
+    pipelines.run_daily_increment(spark, uncut, b2, "d2", m2)
+    assert all(
+        not v
+        for v in pipelines.validate_corpus_state(spark, uncut).values()
+    )
+
+    # corruption 1: a span_anchors run vanishes (partial delete)
+    broken1 = str(tmp_path / "b1")
+    shutil.copytree(state, broken1)
+    shutil.rmtree(f"{broken1}/span_anchors/__run=d1")
+    rep = pipelines.validate_corpus_state(spark, broken1)
+    assert any("span_anchors missing run 'd1'" in v for v in rep["runs"])
+    with pytest.raises(ValueError, match="span_anchors missing"):
+        pipelines.validate_corpus_state(spark, broken1, strict=True)
+
+    # corruption 2: corpus text tampered after the cut — conservation
+    broken2 = str(tmp_path / "b2")
+    shutil.copytree(state, broken2)
+    cdir = f"{broken2}/corpus/__run=d2"
+    df = spark.read.parquet(cdir)
+    tampered = df.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extra"))
+    )
+    tampered.write.mode("overwrite").parquet(f"{cdir}.tmp")
+    shutil.rmtree(cdir)
+    os.rename(f"{cdir}.tmp", cdir)
+    rep = pipelines.validate_corpus_state(spark, broken2)
+    assert any("violating chars_kept" in v for v in rep["conservation"])
+
+    # corruption 3: a stored split flipped — split stability
+    broken3 = str(tmp_path / "b3")
+    shutil.copytree(state, broken3)
+    cdir = f"{broken3}/corpus/__run=d1"
+    df = spark.read.parquet(cdir)
+    flipped = df.withColumn(
+        "split",
+        F.when(F.col("split") == "train", "test").otherwise("train"),
+    )
+    flipped.write.mode("overwrite").parquet(f"{cdir}.tmp")
+    shutil.rmtree(cdir)
+    os.rename(f"{cdir}.tmp", cdir)
+    rep = pipelines.validate_corpus_state(spark, broken3)
+    assert rep["splits"], rep
+
+    # corruption 4: seen slice deleted — corpus orphans + run check
+    broken4 = str(tmp_path / "b4")
+    shutil.copytree(state, broken4)
+    shutil.rmtree(f"{broken4}/seen/__run=d1")
+    rep = pipelines.validate_corpus_state(spark, broken4)
+    assert any("no seen slice" in v for v in rep["runs"])
+    assert any("absent from the seen index" in v for v in rep["membership"])
