@@ -43,13 +43,58 @@ DIMENSIONS = frozenset({"region", "nation", "customer", "supplier", "part"})
 NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+#: Reader-handle memo: (applicationId, path, file fingerprint) -> the
+#: analyzed DataFrame.  ``spark.read.parquet`` costs a JVM round trip per
+#: call for footer/schema resolution (~80 ms locally) and EVERY registry
+#: query pays it per referenced table per invocation — a pure
+#: plan-construction tax, since the returned DataFrame is an immutable
+#: logical plan that is safe to share between queries of one session.
+#: This caches analysis METADATA only (the engine-level analog of
+#: ``spark.sql.hive.filesourcePartitionFileCacheSize``): no rows are
+#: materialized, every action still scans the parquet files.  The
+#: fingerprint (per-file mtime_ns + size, recursive for directory
+#: tables) is re-stat'ed on every call, so a rewritten dataset gets a
+#: fresh reader — the same freshness rule as the registry memos — and
+#: superseded entries for the same path are evicted to keep the dict
+#: bounded.  Keyed by applicationId so a restarted session never sees
+#: another JVM's plan handles.
+_TABLE_CACHE: dict[tuple[str, str, tuple], DataFrame] = {}
+
+
+def _table_fingerprint(path: str) -> tuple:
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    parts = [(st.st_mtime_ns, st.st_size)]
+    for root, _dirs, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            fst = os.stat(os.path.join(root, f))
+            parts.append((f, fst.st_mtime_ns, fst.st_size))
+    return tuple(parts)
+
+
+def clear_table_cache() -> None:
+    """Drop every memoized reader handle (wired into the registry's
+    ``clear_model_caches`` hard reset)."""
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    cache_key = (
+        spark.sparkContext.applicationId,
+        path,
+        _table_fingerprint(path),
+    )
+    cached = _TABLE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     nano_cols = NANO_TS_COLS.get(name, ())
     if nano_cols:
         # Runtime-settable; required whether or not the session factory set it
         # (the correctness driver hands us its own SparkSession).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     for c in nano_cols:
         dt = df.schema[c].dataType
         if isinstance(dt, LongType):
@@ -57,6 +102,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(dt, TimestampNTZType):
             # Wall-clock-exact under the UTC session timezone.
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    for old in [
+        k for k in _TABLE_CACHE if k[0] == cache_key[0] and k[1] == path
+    ]:
+        del _TABLE_CACHE[old]
+    _TABLE_CACHE[cache_key] = df
     return df
 
 

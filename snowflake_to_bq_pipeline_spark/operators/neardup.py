@@ -1339,15 +1339,35 @@ def source_ngram_overlap(
             ),
         )
     )
-    inter = (
-        per_h.select(F.explode(pairs).alias("p"))
+    # ONE consumer pass over per_h (r14): the pair rows and the
+    # per-source singleton rows ride the same explode — source_b NULL
+    # marks a singleton — so the corpus-scale shingle join + collect_set
+    # aggregate executes exactly once per call.  The r13 shape ran it
+    # twice (separate `inter` and `sizes` aggregates; Spark reuses no
+    # exchange between them), and a MEMORY_AND_DISK persist of per_h
+    # measured SLOWER than the double compute at sf0.1 (cache write +
+    # pre-AQE layout pinning) — folding both rollups into one explode
+    # beats both.  Fan-out per shingle stays bounded: C(s,2) + s rows.
+    singles = F.transform(
+        a,
+        lambda x: F.struct(
+            x.alias("source_a"), F.lit(None).cast("string").alias("source_b")
+        ),
+    )
+    counts = (
+        per_h.select(F.explode(F.concat(pairs, singles)).alias("p"))
         .groupBy(F.col("p.source_a"), F.col("p.source_b"))
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
     )
-    sizes = (
-        per_h.select(F.explode(a).alias("source"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("sz"))
+    from ._cache import swap_cache
+
+    # Tiny (<= |sources|^2 rows) but consumed twice below — persist so
+    # the corpus pass doesn't re-execute for the sizes split.
+    counts = swap_cache("source_ngram_overlap_counts", counts)
+    inter = counts.filter(F.col("source_b").isNotNull())
+    sizes = counts.filter(F.col("source_b").isNull()).select(
+        F.col("source_a").alias("source"),
+        F.col("shared_shingles").alias("sz"),
     )
     shared = F.col("shared_shingles")
     union_sz = F.col("size_a") + F.col("size_b") - shared

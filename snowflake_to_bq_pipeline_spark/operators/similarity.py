@@ -579,7 +579,13 @@ def ivf_topk(
     registry's persisted per-(snapshot, model) assignment memo) to skip
     the corpus-scale assignment pass: the inverted-list table is the
     standing index of a deployed IVF, built once per model, not per
-    query.
+    query.  ``assigned`` must hold exactly ONE row per vec_id (the
+    ``keep=1`` standing-index shape every caller in this repo
+    materializes): each query then meets each vector through at most
+    one probed list, so candidate (query, neighbor) pairs are unique by
+    construction — the r13 ``dropDuplicates`` pass (a full shuffle +
+    aggregate of the scored candidate table per query) removed in r14
+    was provably a no-op under that contract.
     """
     v = _vectors(embeddings)
     cents = (
@@ -603,7 +609,7 @@ def ivf_topk(
         probes.join(assigned, "cent_id").filter(
             F.col("vec_id") != F.col("query_id")
         )
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -647,7 +653,11 @@ def ivf_incremental_topk(
     ``assigned`` (vec_id, e, cent_id for the same base-trained model)
     skips the full-corpus assignment pass — the maintained index IS a
     standing table, so consumers share one materialization per
-    (snapshot, model) instead of re-deriving it per query.
+    (snapshot, model) instead of re-deriving it per query.  Like
+    :func:`ivf_topk`, ``assigned`` must hold exactly one row per
+    vec_id (base and increment rows alike — the maintenance pass
+    assigns each increment vector once), which makes candidate pairs
+    unique without a dedup shuffle.
     """
     v = _vectors(embeddings)
     cents = (
@@ -672,7 +682,7 @@ def ivf_incremental_topk(
         probes.join(assigned, "cent_id").filter(
             F.col("vec_id") != F.col("query_id")
         )
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -1069,8 +1079,6 @@ def ivf_recall_curve(
     the ground truth is that query's exact output, so recomputing it
     here would double the curve's dominant brute-force cost).
     """
-    from functools import reduce
-
     from ._cache import swap_cache
 
     probes = tuple(sorted(set(probes)))
@@ -1145,31 +1153,63 @@ def ivf_recall_curve(
         F.count(F.lit(1)).alias("possible"),
         F.countDistinct("query_id").alias("n_queries"),
     )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), "neighbor_id"
+    # Single-pass ladder (r14): the per-rung top-k is the prefix of the
+    # GLOBAL (cosine desc, neighbor_id) candidate order restricted to
+    # probe_rank <= p — (query_id, neighbor_id) is unique in `scored`
+    # (each vector lives in exactly one list, each query probes distinct
+    # lists), so that order is total per query and a running conditional
+    # count over it IS the row_number of the filtered subset.  One
+    # window pass evaluates every rung's membership flag at once, one
+    # inner join against the ground truth scores them, one global
+    # aggregate sums the ladder, and an explode reshapes to one row per
+    # n_probe.  Replaces the r13 shape — len(probes) × (window + join +
+    # aggregate) unioned — which paid plan analysis and a window
+    # shuffle per rung for the same answer (measured: construct 4.0s +
+    # exec 1.4s → well under a second each at sf0.1; plan drops from 5
+    # window subtrees to 1).
+    wrun = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("cosine").desc(), "neighbor_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    parts = []
+    flagged = scored
     for p in probes:
-        topk = (
-            scored.where(F.col("probe_rank") <= p)
-            .withColumn("__rk", F.row_number().over(wk))
-            .where(F.col("__rk") <= k)
+        eligible = F.col("probe_rank") <= p
+        rank_in_prefix = F.sum(
+            F.when(eligible, F.lit(1)).otherwise(F.lit(0))
+        ).over(wrun)
+        flagged = flagged.withColumn(
+            f"__hit_{p}",
+            (eligible & (rank_in_prefix <= k)).cast("long"),
         )
-        hits = topk.join(exact, ["query_id", "neighbor_id"]).agg(
-            F.count(F.lit(1)).alias("hits")
-        )
-        parts.append(
-            hits.crossJoin(totals).select(
+    ladder = flagged.join(exact, ["query_id", "neighbor_id"]).agg(
+        *[
+            F.coalesce(F.sum(f"__hit_{p}"), F.lit(0).cast("long")).alias(
+                f"__hits_{p}"
+            )
+            for p in probes
+        ]
+    )
+    rungs = F.array(
+        *[
+            F.struct(
                 F.lit(p).alias("n_probe"),
                 F.round(F.lit(p) / F.lit(float(n_lists)), 4).alias(
                     "lists_scanned_share"
                 ),
-                "n_queries",
-                "hits",
-                "possible",
+                F.col("n_queries").alias("n_queries"),
+                F.col(f"__hits_{p}").alias("hits"),
+                F.col("possible").alias("possible"),
                 F.round(
-                    F.col("hits").cast("double") / F.col("possible"), 6
+                    F.col(f"__hits_{p}").cast("double") / F.col("possible"),
+                    6,
                 ).alias("recall_at_k"),
             )
-        )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+            for p in probes
+        ]
+    )
+    return (
+        ladder.crossJoin(totals)
+        .select(F.explode(rungs).alias("__r"))
+        .select("__r.*")
+    )

@@ -279,16 +279,30 @@ def global_row_number(
     Every stage is fully parallel; the only driver state is the
     O(partitions) offset array.
 
-    The ranged intermediate is persisted before counting: the count job
-    and the rank job MUST see identical partition boundaries, and
+    The ranged intermediate is persisted before counting: the offset
+    pass and the rank pass MUST see identical partition boundaries, and
     re-executing the range partitioner re-samples (correct but possibly
     different) split points, which would desynchronize the offsets.
 
-    ``order_cols`` must be a total order (include a unique key) — the
-    same requirement LIMIT/OFFSET pagination has in any engine.
-    """
-    from pyspark.sql import Window
+    r14 shape: the within-partition rank rides the persisted
+    ``monotonically_increasing_id`` (partition ordinal in the high
+    bits, 0-based row index within the sorted partition in the low 33)
+    instead of a ``Window.partitionBy(__pid)`` — the window required a
+    full-table hash Exchange on ``__pid`` that moved every row a
+    SECOND time after the range exchange; the id is computed during
+    the one materialization of the sorted ranged table, so the rank
+    pass is now map-side only (no second exchange, no window sort).
+    The prefix offsets stay a bounded driver collect (O(partitions)
+    rows off the already-persisted table — one tiny job) folded in as
+    a map literal: an in-plan broadcast-join variant was measured
+    SLOWER at sf0.1 (the broadcast build is an extra job per call) for
+    zero scale benefit over the collect, which this operator's contract
+    already bounds to O(partitions).
 
+    ``order_cols`` must be a total order (include a unique key) — the
+    same requirement LIMIT/OFFSET pagination has in any engine (and
+    what makes the sorted row index deterministic under recompute).
+    """
     from ._cache import swap_cache
 
     spark = df.sparkSession
@@ -296,8 +310,12 @@ def global_row_number(
     order = [F.col(c) for c in order_cols]
     ranged = swap_cache(
         "sync.global_row_number",
-        df.repartitionByRange(n, *order).withColumn(
-            "__pid", F.spark_partition_id()
+        df.repartitionByRange(n, *order)
+        .sortWithinPartitions(*order)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id().alias("__mid"),
         ),
     )
     counts = ranged.groupBy("__pid").count().collect()
@@ -306,22 +324,16 @@ def global_row_number(
     for r in sorted(counts, key=lambda r: r["__pid"]):
         offsets.append((r["__pid"], acc))
         acc += r["count"]
-    off_map = F.create_map(
-        *[F.lit(v) for pair in offsets for v in pair]
+    off_map = F.create_map(*[F.lit(v) for pair in offsets for v in pair])
+    local_rank = F.col("__mid") - F.shiftleft(
+        F.col("__pid").cast("bigint"), 33
     )
-    w = Window.partitionBy("__pid").orderBy(*order)
-    return (
-        ranged.withColumn(
-            row_col,
-            (
-                F.row_number().over(w).cast("bigint")
-                + F.coalesce(
-                    off_map[F.col("__pid")].cast("bigint"), F.lit(0)
-                )
-            ),
-        )
-        .drop("__pid")
-    )
+    return ranged.withColumn(
+        row_col,
+        local_rank
+        + F.coalesce(off_map[F.col("__pid")].cast("bigint"), F.lit(0))
+        + F.lit(1).cast("bigint"),
+    ).select(*df.columns, row_col)
 
 
 def paginated_extract_scalable(

@@ -314,6 +314,9 @@ def clear_model_caches() -> None:
             if hasattr(v, "unpersist"):
                 v.unpersist(blocking=False)
         cache.clear()
+    from ..catalog import clear_table_cache
+
+    clear_table_cache()
 
 
 # ---------------------------------------------------------------------------
