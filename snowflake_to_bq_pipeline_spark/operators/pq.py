@@ -135,6 +135,8 @@ def pq_topk(
     k: int = 5,
     m: int = M_SUBSPACES,
     k_codes: int = K_CODES,
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: (query_id, neighbor_id, adc_score, rank).
 
@@ -145,10 +147,20 @@ def pq_topk(
     (n_queries × M·K) and broadcast; the scan over codes is row-local
     zip_with/aggregate (JVM, no Python); only the top-k window shuffles,
     keyed by query. Exactness is NOT claimed — recall against the
-    brute-force baseline is asserted in tests (the ANN contract)."""
-    codebooks = train_codebooks(embeddings, m, k_codes)
+    brute-force baseline is asserted in tests (the ANN contract).
+
+    ``codebooks`` (the trained model tensor) and ``codes`` (that model's
+    (vec_id, codes) encoding of the corpus — e.g. the registry's
+    per-snapshot memo) skip the train collect and the corpus-scale
+    encode pass: a deployed PQ index encodes the corpus once per model,
+    not once per search — the same standing-index discipline as
+    ``ivf_topk``'s ``assigned``. ``codes`` must be the encoding UNDER
+    ``codebooks`` (callers memoize them as one unit)."""
+    if codebooks is None:
+        codebooks = train_codebooks(embeddings, m, k_codes)
     sub_d = codebooks.shape[2]
-    codes = pq_encode(embeddings, codebooks)
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks)
 
     q = (
         embeddings.filter(query_pred)
@@ -210,13 +222,20 @@ def pq_topk(
 
 
 def pq_compression_stats(
-    embeddings: DataFrame, m: int = M_SUBSPACES, k_codes: int = K_CODES
+    embeddings: DataFrame,
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """Corpus-level PQ fidelity report: one row with vector count, raw vs
     coded bytes, and mean reconstruction cosine (how much ranking signal
     the compression keeps). The mean accumulates in exact decimal from
-    per-row rounded cosines, so the number is partitioning-independent."""
-    codebooks = train_codebooks(embeddings, m, k_codes)
+    per-row rounded cosines, so the number is partitioning-independent.
+    ``codebooks`` reuses an already-trained model (the registry memo) —
+    the report scores fidelity OF that model, so sharing it with the
+    search path is the semantically correct pairing, not just cheaper."""
+    if codebooks is None:
+        codebooks = train_codebooks(embeddings, m, k_codes)
     sub_d = codebooks.shape[2]
 
     def recon(batches):
@@ -269,39 +288,20 @@ def pq_compression_stats(
     )
 
 
-def ivfpq_topk(
+def train_ivfpq_model(
     embeddings: DataFrame,
-    query_pred: Column,
-    k: int = 5,
     n_centroids: int = 16,
-    n_probe: int = 6,
     m: int = M_SUBSPACES,
     k_codes: int = K_CODES,
-) -> DataFrame:
-    """IVF-PQ: coarse inverted lists + PQ-coded residuals — the layout
-    billion-scale ANN systems actually deploy (FAISS IndexIVFPQ).
-
-    The ENTIRE model — coarse centroids and residual codebooks — trains
-    driver-side on the bounded keyspace sample (FAISS trains IVFPQ's
-    coarse quantizer on a sample too): the coarse quantizer routes each
-    vector to a list, and PQ codebooks train on RESIDUALS (vector − its
-    centroid), which are far better-centered than raw vectors, so the
-    same code budget keeps more ranking signal. Index build is then ONE
-    Arrow map pass that assigns and residual-encodes together — no
-    distributed k-means iterations, no shuffle. A query probes its
-    ``n_probe`` nearest lists and scores only those lists' codes:
-    score = <q, centroid> + Σ_m LUT_m[code_m] with
-    LUT_m[j] = <q_m, residual_codebook_m[j]> — the <q, centroid> bias is
-    one scalar per (query, probed list). Per-query work is
-    ~n_probe/n_centroids of the corpus, each row an M-lookup sum over
-    8 bytes of state; the only shuffle is the final top-k window.
-    """
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the composed IVF-PQ model — (coarse centroids, residual
+    codebooks) — on the bounded keyspace sample. One collect
+    (O(sample × dims), corpus-size independent) + driver-side numpy
+    Lloyd's; factored out of :func:`ivfpq_topk` so the registry can
+    memoize the model per snapshot (a deployed index trains once)."""
     v = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    # Model training: one bounded sample collect (O(sample × dims),
-    # corpus-size independent); everything on L2-normalized vectors so
-    # cosine ranking == inner-product ranking.
     sample_rows = (
         v.filter(F.col("vec_id") < TRAIN_SAMPLE_IDS).select("e").collect()
     )
@@ -319,10 +319,25 @@ def ivfpq_topk(
     res_sample = smat - cmat[sd.argmin(axis=1)]
     books = np.stack(
         [
-            _lloyd(res_sample[:, i * sub_d : (i + 1) * sub_d], k_codes, TRAIN_ITERS)
+            _lloyd(
+                res_sample[:, i * sub_d : (i + 1) * sub_d], k_codes, TRAIN_ITERS
+            )
             for i in range(m)
         ]
     )
+    return cmat, books
+
+
+def ivfpq_encode(
+    embeddings: DataFrame, cmat: np.ndarray, books: np.ndarray
+) -> DataFrame:
+    """(vec_id, cent_id, codes): route each vector to its coarse list and
+    PQ-encode its residual — the standing IVF-PQ index build. One
+    Arrow-batched map pass, no shuffle; factored out of
+    :func:`ivfpq_topk` so the registry can persist the coded corpus per
+    (snapshot, model) like the plain-IVF ``assigned`` memo."""
+    m = books.shape[0]
+    sub_d = books.shape[2]
 
     def encode(batches):
         import pandas as pd
@@ -356,9 +371,64 @@ def ivfpq_topk(
                 }
             )
 
-    coded = v.mapInPandas(
+    v = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return v.mapInPandas(
         encode, "vec_id long, cent_id long, codes array<int>"
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    model: tuple[np.ndarray, np.ndarray] | None = None,
+    coded: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: coarse inverted lists + PQ-coded residuals — the layout
+    billion-scale ANN systems actually deploy (FAISS IndexIVFPQ).
+
+    The ENTIRE model — coarse centroids and residual codebooks — trains
+    driver-side on the bounded keyspace sample (FAISS trains IVFPQ's
+    coarse quantizer on a sample too): the coarse quantizer routes each
+    vector to a list, and PQ codebooks train on RESIDUALS (vector − its
+    centroid), which are far better-centered than raw vectors, so the
+    same code budget keeps more ranking signal. Index build is then ONE
+    Arrow map pass that assigns and residual-encodes together — no
+    distributed k-means iterations, no shuffle. A query probes its
+    ``n_probe`` nearest lists and scores only those lists' codes:
+    score = <q, centroid> + Σ_m LUT_m[code_m] with
+    LUT_m[j] = <q_m, residual_codebook_m[j]> — the <q, centroid> bias is
+    one scalar per (query, probed list). Per-query work is
+    ~n_probe/n_centroids of the corpus, each row an M-lookup sum over
+    8 bytes of state; the only shuffle is the final top-k window.
+
+    ``model`` ((cmat, books) from :func:`train_ivfpq_model`) and
+    ``coded`` (that model's :func:`ivfpq_encode` output, e.g. the
+    registry's persisted per-snapshot index) skip the train collect and
+    the corpus-scale encode pass — the same standing-index discipline
+    as ``ivf_topk``'s ``assigned``. ``coded`` must be the encoding
+    UNDER ``model``.
+    """
+    v = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # Model training: one bounded sample collect (O(sample × dims),
+    # corpus-size independent); everything on L2-normalized vectors so
+    # cosine ranking == inner-product ranking.
+    if model is None:
+        model = train_ivfpq_model(embeddings, n_centroids, m, k_codes)
+    cmat, books = model
+    # Geometry comes from the model tensor itself so a caller-supplied
+    # model can never silently disagree with the m/k_codes arguments.
+    m, k_codes, sub_d = books.shape
+    if coded is None:
+        coded = ivfpq_encode(embeddings, cmat, books)
 
     # Per-(query, probed list) LUT + bias rows — O(n_queries × n_probe).
     q = (

@@ -211,6 +211,7 @@ def lsh_topk(
     k: int = 5,
     n_tables: int = 16,
     n_planes: int = 4,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
@@ -224,9 +225,20 @@ def lsh_topk(
     Scale: the bucket join shuffles only (table, bucket) cells, never the
     cross product; per-bucket population bounds worst-case work, and skewed
     buckets split under AQE.
+
+    ``buckets`` supplies a precomputed corpus (vec_id, table, bucket)
+    table for the SAME (n_tables, n_planes) — the standing hash index a
+    deployed LSH maintains (e.g. the registry's per-snapshot memo),
+    skipping the corpus-scale bucketize pass per search. The hyperplanes
+    are deterministic per (table, plane, dims), so any two bucketize
+    passes over the same corpus agree.
     """
     v = _vectors(embeddings)
-    vb = _lsh_buckets(v, n_tables, n_planes)
+    vb = (
+        buckets
+        if buckets is not None
+        else _lsh_buckets(v, n_tables, n_planes)
+    )
     qb = _lsh_buckets(v.filter(query_pred), n_tables, n_planes).select(
         F.col("vec_id").alias("query_id"), "table", "bucket"
     )

@@ -223,9 +223,14 @@ from .section_e_similarity import (  # noqa: F401
     _spans_for,
     _span_anchors_for,
     _incr_bloom_for,
+    _ivfpq_coded_for,
+    _ivfpq_model_for,
     _jaccard_pairs_for,
+    _lsh_buckets_for,
     _minhash_pairs_for,
     _minhash_sigs_for,
+    _pq_codes_for,
+    _pq_model_for,
     _semdedup_for,
     _shingles_for,
     _simhash_sigs_for,
@@ -602,6 +607,11 @@ _MEMO_HELPERS = (
     "_budget_rollup_for",
     "_incr_bloom_for",
     "_tfidf_topk_for",
+    "_lsh_buckets_for",
+    "_pq_model_for",
+    "_pq_codes_for",
+    "_ivfpq_model_for",
+    "_ivfpq_coded_for",
 )
 
 def _memo_helpers_called(fn) -> frozenset:

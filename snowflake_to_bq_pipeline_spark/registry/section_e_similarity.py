@@ -557,12 +557,50 @@ def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _brute_topk_for(spark, sf_dir, k=5)
 
 
+#: Standing LSH bucket index per embeddings snapshot (r14): the corpus
+#: (vec_id, table, bucket) table under the deterministic hyperplanes —
+#: a deployed LSH maintains exactly this table and probes it per query;
+#: r13 re-bucketized the whole corpus (an Arrow map pass) per search.
+#: Same single-live-snapshot lifecycle as _ASSIGN_CACHE.
+_LSH_BUCKETS_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+
+
+def _lsh_buckets_for(
+    spark: SparkSession, sf_dir: str, n_tables: int = 16, n_planes: int = 4
+) -> DataFrame:
+    fp = _corpus_fingerprint(sf_dir, "embeddings")
+    key = (sf_dir, fp, n_tables, n_planes)
+    df = _LSH_BUCKETS_CACHE.get(key)
+    if df is None:
+        for old_key in [
+            o for o in _LSH_BUCKETS_CACHE if (o[0], o[1]) != (sf_dir, fp)
+        ]:
+            _LSH_BUCKETS_CACHE.pop(old_key).unpersist(blocking=False)
+        from pyspark.storagelevel import StorageLevel
+
+        v = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        df = similarity._lsh_buckets(v, n_tables, n_planes).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _LSH_BUCKETS_CACHE[key] = df
+    return df
+
+
 @query("ann_lsh_topk")  # rows-only: hyperplanes derive from Spark xxhash64
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (the 100 TB scale path; recall vs
-    brute force asserted in tests/test_similarity.py)."""
+    brute force asserted in tests/test_similarity.py). Probes the
+    per-snapshot standing bucket index (_lsh_buckets_for) instead of
+    re-bucketizing the corpus per search; the hyperplanes are
+    deterministic, so the memoized table is identical to an inline
+    pass (equality pytest-pinned in tests/test_similarity.py)."""
     df = similarity.lsh_topk(
-        load_table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < 10,
+        k=5,
+        buckets=_lsh_buckets_for(spark, sf_dir),
     )
     return df.withColumn("rank", F.col("rank").cast("long"))
 
@@ -737,14 +775,94 @@ def ann_ivf_list_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Standing PQ / IVF-PQ index memos per embeddings snapshot (r14):
+#: the trained model tensors are driver-held O(model) state (_ModelMemo
+#: lifecycle like the k-means centroid memo) and the coded corpus —
+#: 8 ints per vector, the compressed index a deployed PQ system stores
+#: INSTEAD of the raw vectors — persists once per (snapshot, model)
+#: with the same single-live-snapshot eviction as _ASSIGN_CACHE.
+#: r13 retrained + re-encoded per CALL: one sample collect + 64-128
+#: driver Lloyd iterations + a corpus Arrow encode pass per invocation,
+#: which is neither the deployed posture nor cheap (the train collect
+#: and encode stage dominated both queries' warm bench time).
+_PQ_MODEL_CACHE = _ModelMemo()
+_PQ_CODES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_IVFPQ_MODEL_CACHE = _ModelMemo()
+_IVFPQ_CODED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _pq_model_for(spark: SparkSession, sf_dir: str):
+    """Memoized PQ codebook tensor (m, k, d/m) for the snapshot."""
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "embeddings"))
+    cb = _PQ_MODEL_CACHE.get(key)
+    if cb is None:
+        cb = pq.train_codebooks(load_table(spark, sf_dir, "embeddings"))
+        _PQ_MODEL_CACHE.put(key, cb)
+    return cb
+
+
+def _pq_codes_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (vec_id, codes) corpus encoding under the memoized PQ
+    model — the standing compressed index ADC search scans."""
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "embeddings"))
+    df = _PQ_CODES_CACHE.get(key)
+    if df is None:
+        for old_key in [o for o in _PQ_CODES_CACHE if o != key]:
+            _PQ_CODES_CACHE.pop(old_key).unpersist(blocking=False)
+        from pyspark.storagelevel import StorageLevel
+
+        df = pq.pq_encode(
+            load_table(spark, sf_dir, "embeddings"),
+            _pq_model_for(spark, sf_dir),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _PQ_CODES_CACHE[key] = df
+    return df
+
+
+def _ivfpq_model_for(spark: SparkSession, sf_dir: str):
+    """Memoized IVF-PQ model (coarse centroids, residual codebooks)."""
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "embeddings"))
+    model = _IVFPQ_MODEL_CACHE.get(key)
+    if model is None:
+        model = pq.train_ivfpq_model(
+            load_table(spark, sf_dir, "embeddings"), n_centroids=16
+        )
+        _IVFPQ_MODEL_CACHE.put(key, model)
+    return model
+
+
+def _ivfpq_coded_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (vec_id, cent_id, codes) IVF-PQ index under the
+    memoized model — the standing inverted-list + residual-code table."""
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "embeddings"))
+    df = _IVFPQ_CODED_CACHE.get(key)
+    if df is None:
+        for old_key in [o for o in _IVFPQ_CODED_CACHE if o != key]:
+            _IVFPQ_CODED_CACHE.pop(old_key).unpersist(blocking=False)
+        from pyspark.storagelevel import StorageLevel
+
+        cmat, books = _ivfpq_model_for(spark, sf_dir)
+        df = pq.ivfpq_encode(
+            load_table(spark, sf_dir, "embeddings"), cmat, books
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _IVFPQ_CODED_CACHE[key] = df
+    return df
+
+
 @query("ann_pq_topk")  # rows-only: scores rank by the trained PQ model
 def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (Jégou 2011): 8×16 codebooks, 32×
     embedding compression, search over codes via broadcast LUTs — the
     memory-bound scale path next to IVF; recall vs brute force asserted
-    in tests/test_pq.py."""
+    in tests/test_pq.py. Rides the per-snapshot model + coded-corpus
+    memos (the standing compressed index), so a search trains nothing
+    and encodes nothing."""
     return pq.pq_topk(
-        load_table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < 10,
+        k=5,
+        codebooks=_pq_model_for(spark, sf_dir),
+        codes=_pq_codes_for(spark, sf_dir),
     )
 
 
@@ -754,9 +872,14 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists route queries to n_probe lists, PQ codes on RESIDUALS score
     candidates via broadcast LUT + per-list bias — the deployable
     billion-scale configuration; recall vs brute force in
-    tests/test_pq.py."""
+    tests/test_pq.py. Rides the per-snapshot model + coded-index memos
+    (the standing IVF-PQ index)."""
     return pq.ivfpq_topk(
-        load_table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < 10,
+        k=5,
+        model=_ivfpq_model_for(spark, sf_dir),
+        coded=_ivfpq_coded_for(spark, sf_dir),
     )
 
 
@@ -764,8 +887,13 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_compression_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ fidelity report: raw vs coded bytes per vector and mean
     reconstruction cosine — the go/no-go number for enabling PQ on a
-    corpus (near 1.0 = ranking survives compression)."""
-    return pq.pq_compression_stats(load_table(spark, sf_dir, "embeddings"))
+    corpus (near 1.0 = ranking survives compression). Scores the SAME
+    memoized model the search path serves (that pairing is the
+    semantics: the report grades the deployed model)."""
+    return pq.pq_compression_stats(
+        load_table(spark, sf_dir, "embeddings"),
+        codebooks=_pq_model_for(spark, sf_dir),
+    )
 
 
 @query(

@@ -72,3 +72,37 @@ def test_ivfpq_topk_recall_vs_brute_force(spark, sf_dir):
     recall = len(truth & approx) / len(truth)
     # Residual coding + 6/16 probes: expect at least the flat-PQ bar.
     assert recall >= 0.5, recall
+
+
+def test_pq_registry_memo_equals_unmemoized(spark, sf_dir):
+    """The standing-index memo path (registry) must return exactly the
+    rows the per-call train+encode path returns — the memo is a reuse of
+    identical work, never a different model."""
+    from snowflake_to_bq_pipeline_spark.registry import (
+        QUERIES,
+        clear_model_caches,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 10
+    clear_model_caches()
+    direct_pq = {
+        tuple(r) for r in pq.pq_topk(emb, pred, k=5).collect()
+    }
+    memo_pq = {
+        tuple(r) for r in QUERIES["ann_pq_topk"](spark, sf_dir).collect()
+    }
+    assert memo_pq == direct_pq
+    direct_ivfpq = {
+        tuple(r) for r in pq.ivfpq_topk(emb, pred, k=5).collect()
+    }
+    memo_ivfpq = {
+        tuple(r)
+        for r in QUERIES["ann_ivfpq_topk"](spark, sf_dir).collect()
+    }
+    assert memo_ivfpq == direct_ivfpq
+    # Second invocation rides the warm memo and still matches.
+    memo_pq2 = {
+        tuple(r) for r in QUERIES["ann_pq_topk"](spark, sf_dir).collect()
+    }
+    assert memo_pq2 == direct_pq

@@ -210,3 +210,32 @@ def test_cluster_quality_report_invariants(spark, sf_dir):
         assert r["tokens_total"] >= 0
     cents = [r["cent_id"] for r in rows]
     assert cents == sorted(cents) and len(set(cents)) == len(cents)
+
+
+def test_lsh_registry_memo_equals_unmemoized(spark, sf_dir):
+    """The standing bucket-index memo path (registry) must return exactly
+    the rows the per-call bucketize path returns — the hyperplanes are
+    deterministic, so the memo is a reuse of identical work."""
+    from snowflake_to_bq_pipeline_spark.registry import (
+        QUERIES,
+        clear_model_caches,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 10
+    clear_model_caches()
+    direct = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.lsh_topk(emb, pred, k=5).collect()
+    }
+    memo = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
+    }
+    assert memo == direct
+    # Second invocation rides the warm memo and still matches.
+    memo2 = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
+    }
+    assert memo2 == direct
