@@ -1331,10 +1331,8 @@ def dedup_savings_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (non-canonical Jaccard-cluster members among the exact survivors —
     the same two stages, in the same order, as the composed training
     pipeline). The number a corpus owner checks before paying for a
-    dedup pass; consumes the memoized pair table, so it adds one tiny
+    dedup pass; consumes the memoized cluster table, so it adds one tiny
     rollup to work the dedup queries already did."""
-    from ..operators import graph
-
     docs = load_table(spark, sf_dir, "documents")
     toks = F.array_size(F.split(F.col("text"), " ")).cast("long")
     base = docs.select(
@@ -1343,8 +1341,19 @@ def dedup_savings_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.alias("toks"),
     )
     g = base.groupBy("ch").agg(F.min("doc_id").alias("cid"))
-    hd = base.join(g, "ch").withColumn(
-        "is_dup", F.col("doc_id") != F.col("cid")
+    # Four consumers read hd (the exact rollup, both sides of the
+    # survivor-pair semi-joins, and the fuzzy rollup's token attach) and
+    # Spark reuses no exchange between them — unpersisted, the md5 +
+    # hash-groupBy + join subtree executed 4× (8 parquet scans of
+    # documents in the r13 plan). One managed persist of the narrow
+    # (doc_id, ch, toks, is_dup) table fills once and serves all four.
+    from ..operators._cache import swap_cache
+
+    hd = swap_cache(
+        "dedup_savings_hd",
+        base.join(g, "ch").withColumn(
+            "is_dup", F.col("doc_id") != F.col("cid")
+        ),
     )
     ex = hd.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1356,11 +1365,21 @@ def dedup_savings_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exact_dup_tokens"),
     )
     surv = hd.filter(~F.col("is_dup")).select("doc_id", "toks")
-    pairs = _jaccard_pairs_for(spark, sf_dir).select("doc_a", "doc_b")
-    spairs = pairs.join(
-        surv.select(F.col("doc_id").alias("doc_a")), "doc_a"
-    ).join(surv.select(F.col("doc_id").alias("doc_b")), "doc_b")
-    labels = graph.dup_clusters(spairs)
+    # Fuzzy stage rides the MEMOIZED full-corpus cluster table instead of
+    # re-running pointer-jumping CC on the survivor-restricted pair set
+    # per call (r14; the CC loop's eager jobs were ~2.1s of warm
+    # construct time at sf0.1). Equivalence: an exact-dup non-survivor x
+    # has text identical to its surviving canonical c (c < x by the
+    # min-doc_id rule), so jaccard(a, x) = jaccard(a, c) for every a —
+    # every pair edge through x exists through c too (same shingles,
+    # same threshold verdict, same df-cap verdict). Dropping x therefore
+    # never disconnects a component, never changes a component's minimum
+    # (the minimum is always a survivor: c < x for every non-survivor
+    # x), and never removes a survivor's only pair edge. So the
+    # survivor-restricted CC labels are exactly the full-CC labels
+    # joined to the survivor set — which is what the oracle's
+    # survivor-pairs recursive CTE computes (hash-match green).
+    labels = _dup_clusters_for(spark, sf_dir)
     fz = (
         labels.filter(~F.col("is_canonical"))
         .join(surv, "doc_id")

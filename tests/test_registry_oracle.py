@@ -42,7 +42,14 @@ def test_memo_consumers_introspection_is_complete():
         # consumes the shingle memo
         "ngram_jaccard_dups": {"_jaccard_pairs_for", "_shingles_for"},
         "dedup_clusters": {"_jaccard_pairs_for", "_shingles_for"},
-        "dedup_savings_report": {"_jaccard_pairs_for", "_shingles_for"},
+        # r14: the fuzzy stage reads the memoized full-corpus cluster
+        # table (equivalence argument in the query docstring) instead of
+        # re-running CC per call
+        "dedup_savings_report": {
+            "_dup_clusters_for",
+            "_jaccard_pairs_for",
+            "_shingles_for",
+        },
         "kmeans_doc_clusters": {"_assigned_for", "_centroids_for"},
         "semdedup_prune": {"_assigned_for", "_centroids_for"},
         # r12: the IVF family rides the shared assignment memo (and the
@@ -131,3 +138,45 @@ def test_bench_mc_probe_runs_and_is_deterministic(spark):
     rows = calibration_probe_mc(spark, n_rows=100_000).collect()
     assert len(rows) == 100_000
     assert rows == calibration_probe_mc(spark, n_rows=100_000).collect()
+
+
+def test_dedup_savings_fuzzy_stage_equals_restricted_cc(spark, sf_dir):
+    """The r14 dedup_savings_report rewrite reads the memoized
+    FULL-corpus cluster table and filters to exact-dedup survivors; pin
+    it equal to the r13 shape (pointer-jumping CC over the
+    survivor-restricted pair set). The equivalence argument (identical
+    text => identical pair edges, so dropping exact-dup non-survivors
+    never disconnects a component or changes its minimum) lives in the
+    query docstring; this test is its executable form."""
+    from pyspark.sql import functions as F
+
+    from snowflake_to_bq_pipeline_spark.catalog import load_table
+    from snowflake_to_bq_pipeline_spark.operators import graph
+    from snowflake_to_bq_pipeline_spark.registry import QUERIES
+    from snowflake_to_bq_pipeline_spark.registry.section_e_similarity import (
+        _jaccard_pairs_for,
+    )
+
+    row = QUERIES["dedup_savings_report"](spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("ch")
+    )
+    g = base.groupBy("ch").agg(F.min("doc_id").alias("cid"))
+    surv = (
+        base.join(g, "ch")
+        .filter(F.col("doc_id") == F.col("cid"))
+        .select("doc_id")
+    )
+    pairs = _jaccard_pairs_for(spark, sf_dir).select("doc_a", "doc_b")
+    spairs = pairs.join(
+        surv.select(F.col("doc_id").alias("doc_a")), "doc_a"
+    ).join(surv.select(F.col("doc_id").alias("doc_b")), "doc_b")
+    old_fuzzy = (
+        graph.dup_clusters(spairs)
+        .filter(~F.col("is_canonical"))
+        .join(surv, "doc_id")
+        .count()
+    )
+    assert row["fuzzy_dup_docs"] == old_fuzzy
+    assert old_fuzzy > 0, "fixture must exercise the fuzzy stage"
