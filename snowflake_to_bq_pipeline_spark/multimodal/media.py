@@ -75,8 +75,14 @@ def extract_features(
     (default `_fake_decode`); production injects Pillow/torchaudio/ffmpeg
     here without touching the plan. It must be picklable (module-level
     function) — it ships to executors inside the mapInPandas closure.
+
+    Only the three columns the featurizer reads cross the Python
+    boundary (guide §4: Spark cannot see inside an opaque map, so an
+    explicit select is what keeps mime_type/width/height/duration_ms
+    out of the Arrow stream AND out of the parquet scan).
     """
     decode = decode or _fake_decode
+    media = media.select("media_id", "media_type", "content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -276,7 +282,10 @@ def sample_frames(media: DataFrame, every_ms: int = 250, frame_bytes: int = 16) 
     ffmpeg seek+decode). The one-to-many emission happens INSIDE the
     Arrow batch loop — no explode of pre-materialized frame arrays, so
     peak memory is one batch of frames, not one row's full frame set.
+    Only the four columns the sampler reads cross the Arrow boundary
+    (explicit select — guide §4).
     """
+    media = media.select("media_id", "media_type", "content", "duration_ms")
 
     def run(batches):
         for pdf in batches:
@@ -347,8 +356,10 @@ def embed_media(media: DataFrame, dims: int = EMBED_DIMS) -> DataFrame:
     The multimodal half of the similarity stack: output plugs straight
     into operators.similarity (ANN top-k, LSH candidate pairs, IVF) with
     ``embedding`` as the vector column. Python touches each blob once per
-    batch; no per-row UDF.
+    batch; no per-row UDF. Only the columns the encoder reads cross the
+    Arrow boundary (explicit select — guide §4).
     """
+    media = media.select("media_id", "media_type", "content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
