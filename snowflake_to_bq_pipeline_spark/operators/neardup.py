@@ -191,6 +191,28 @@ def _df_guard_stats(sh: DataFrame, sizes: DataFrame, df_cap: int | None):
     return df_tab, cap, stats["n_over_thr"], fires
 
 
+def probe_guard_stats(
+    sh: DataFrame, df_cap: int | None = None
+) -> tuple[int, int, bool]:
+    """Run the hot-shingle guard's ONE bounded stats job over a shingle
+    index and return its collected verdict ``(cap, n_over_thr, fires)``
+    — the injectable form of the per-call probe.
+
+    The verdict is a pure function of (index contents, ``df_cap``), so
+    a caller holding a STANDING index (the registry's per-snapshot
+    shingle memo, a persisted daily-increment index) can probe it once
+    and hand the verdict to every guard consumer via ``guard_stats=``
+    instead of re-running the same two-aggregate job per plan build
+    (guide §1.2: don't recompute what a standing asset already knows).
+    ``n_over_thr`` counts df > the min-possible cap, so the verdict is
+    threshold-independent and one probe serves Jaccard, containment and
+    incremental consumers alike.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    _, cap, n_over_thr, fires = _df_guard_stats(sh, sizes, df_cap)
+    return int(cap), int(n_over_thr or 0), bool(fires)
+
+
 def _df_guard_probe(
     df_tab: DataFrame, sizes, size_col: str, cap: int, exempt_sz: float
 ) -> tuple[list, int]:
@@ -218,6 +240,7 @@ def _df_guard_pair_table(
     sh: DataFrame,
     threshold: float,
     df_cap: int | None,
+    guard_stats: tuple[int, int, bool] | None = None,
 ) -> DataFrame | None:
     """Exact (doc_a, doc_b, intersection_size, size_a, size_b) computed
     hot-shingle-safely, or None when no shingle's document frequency
@@ -268,7 +291,15 @@ def _df_guard_pair_table(
         # crashing — instead of guarding.
         return None
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    df_tab, cap, n_hot_ub, fires = _df_guard_stats(sh, sizes, df_cap)
+    if guard_stats is None:
+        df_tab, cap, n_hot_ub, fires = _df_guard_stats(sh, sizes, df_cap)
+    else:
+        # standing-index verdict injected by the caller (same contract
+        # as probe_guard_stats over THIS sh/df_cap): skip the stats job;
+        # df_tab is only consumed below when the guard fires, and its
+        # lazy declaration costs nothing otherwise.
+        cap, n_hot_ub, fires = guard_stats
+        df_tab = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
     if not fires or n_hot_ub > _HOT_LIST_MAX:
         return None
     exempt_sz = n_hot_ub / threshold
@@ -355,6 +386,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     sh: DataFrame | None = None,
     df_cap: int | None = None,
+    guard_stats: tuple[int, int, bool] | None = None,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold (exact, via shingle join).
 
@@ -376,13 +408,15 @@ def ngram_jaccard_pairs(
     NOTE: constructing the plan runs ONE bounded Spark job (the
     hot-shingle guard's two-aggregate stats probe) — the repo's
     established one-bounded-job guard pattern — so this call is not
-    lazy the way a pure plan builder is.
+    lazy the way a pure plan builder is. Pass ``guard_stats`` (the
+    :func:`probe_guard_stats` verdict for the SAME ``sh``/``df_cap``,
+    e.g. the registry's per-snapshot memo) to skip that job too.
     """
     if sh is None:
         sh = _swap_cache("jaccard", hashed_shingles(documents, text_col, k))
     else:
         _require_shingle_table(sh, text_col, k, "ngram_jaccard_pairs")
-    scored = _df_guard_pair_table(sh, threshold, df_cap)
+    scored = _df_guard_pair_table(sh, threshold, df_cap, guard_stats)
     if scored is None:
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
         a = sh.select(F.col("doc_id").alias("doc_a"), "__h")
@@ -844,6 +878,7 @@ def incremental_neardup_check(
     df_cap: int | None = None,
     corpus_bloom: list[int] | None = None,
     bloom_bits: int | None = None,
+    guard_stats: tuple[int, int, bool] | None = None,
 ) -> DataFrame:
     """Check INCOMING docs against an EXISTING corpus (daily-increment
     dedup: the batch flow of "is today's crawl already in the training
@@ -861,7 +896,10 @@ def incremental_neardup_check(
 
     NOTE: constructing the plan runs ONE bounded Spark job (the
     hot-shingle guard's stats probe over the corpus index, skipped when
-    ``threshold <= 0``); see :func:`ngram_jaccard_pairs`.
+    ``threshold <= 0`` or when the caller injects ``guard_stats`` — the
+    :func:`probe_guard_stats` verdict for the SAME corpus-side index,
+    e.g. the registry's per-snapshot memo); see
+    :func:`ngram_jaccard_pairs`.
     """
     from pyspark.sql import Window
 
@@ -933,9 +971,18 @@ def incremental_neardup_check(
     # skips the guard — and its stats job — entirely (exempt_sz would be
     # undefined; the naive probe join below accepts it without crashing).
     if threshold > 0:
-        df_old_tab, cap, n_hot_ub, fires = _df_guard_stats(
-            sh_old, sz_old, df_cap
-        )
+        if guard_stats is None:
+            df_old_tab, cap, n_hot_ub, fires = _df_guard_stats(
+                sh_old, sz_old, df_cap
+            )
+        else:
+            # injected standing-index verdict: skip the stats job; the
+            # df table is declared lazily and only executes when the
+            # guard fires (inside _df_guard_probe's collect).
+            cap, n_hot_ub, fires = guard_stats
+            df_old_tab = sh_old.groupBy("__h").agg(
+                F.count(F.lit(1)).alias("__df")
+            )
     else:
         fires, n_hot_ub = False, 0
     if fires and n_hot_ub <= _HOT_LIST_MAX:
@@ -1153,6 +1200,7 @@ def ngram_containment_pairs(
     k: int = 3,
     sh: DataFrame | None = None,
     df_cap: int | None = None,
+    guard_stats: tuple[int, int, bool] | None = None,
 ) -> DataFrame:
     """Pairs where one doc's shingle set is largely CONTAINED in the
     other's: max(|A∩B|/|A|, |A∩B|/|B|) ≥ threshold.
@@ -1171,13 +1219,14 @@ def ngram_containment_pairs(
     the shingle build.
 
     NOTE: constructing the plan runs ONE bounded Spark job (the
-    hot-shingle guard's stats probe); see :func:`ngram_jaccard_pairs`.
+    hot-shingle guard's stats probe), skippable via ``guard_stats``;
+    see :func:`ngram_jaccard_pairs`.
     """
     if sh is None:
         sh = _swap_cache("jaccard", hashed_shingles(documents, text_col, k))
     else:
         _require_shingle_table(sh, text_col, k, "ngram_containment_pairs")
-    scored = _df_guard_pair_table(sh, threshold, df_cap)
+    scored = _df_guard_pair_table(sh, threshold, df_cap, guard_stats)
     if scored is None:
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
         a = sh.select(F.col("doc_id").alias("doc_a"), "__h")

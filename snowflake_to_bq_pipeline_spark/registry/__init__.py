@@ -197,6 +197,7 @@ from .section_e_similarity import (  # noqa: F401
     _DUP_COS_TAU,
     _EMBDOC_PAIRS_CACHE,
     _EVAL_SOURCE,
+    _GUARD_STATS_CACHE,
     _INCR_BLOOM_CACHE,
     _JACCARD_PAIRS_CACHE,
     _JACCARD_TAU,
@@ -219,6 +220,7 @@ from .section_e_similarity import (  # noqa: F401
     _chunk_index_for,
     _dup_clusters_for,
     _embdoc_pairs_for,
+    _guard_stats_for,
     _sem_groups_for,
     _spans_for,
     _span_anchors_for,
@@ -585,6 +587,7 @@ _MEMO_HELPERS = (
     "_span_anchors_for",
     "_shingles_for",
     "_simhash_sigs_for",
+    "_guard_stats_for",
     "_jaccard_pairs_for",
     "_dup_clusters_for",
     "_embdoc_pairs_for",

@@ -246,6 +246,94 @@ def test_df_guard_incremental_output_identical(spark, sf_dir):
     assert guarded == naive and naive
 
 
+def test_guard_stats_injected_equals_probed(spark, sf_dir):
+    """Injecting the probe_guard_stats verdict (the standing-index memo
+    path) must be invisible in the OUTPUT, both when the guard fires
+    (hot corpus, tiny cap) and when it stays off (clean corpus): the
+    injected branch skips the stats JOB, never changes the plan the
+    verdict selects."""
+    from pyspark.sql import functions as F
+
+    # firing case: hot corpus + df_cap=2
+    docs = _hot_phrase_docs(spark, sf_dir)
+    sh = neardup.hashed_shingles(docs)
+    verdict = neardup.probe_guard_stats(sh, df_cap=2)
+    assert verdict[2] is True  # the hot phrase must trip the guard
+    for op, extra_cols in (
+        (neardup.ngram_jaccard_pairs, ("jaccard",)),
+        (neardup.ngram_containment_pairs, ("containment_a", "containment_b")),
+    ):
+        key = lambda r: (
+            r.doc_a, r.doc_b, r.intersection_size, r.size_a, r.size_b,
+        ) + tuple(getattr(r, c) for c in extra_cols)
+        probed = {key(r) for r in op(docs, 0.6, df_cap=2).collect()}
+        injected = {
+            key(r)
+            for r in op(docs, 0.6, df_cap=2, guard_stats=verdict).collect()
+        }
+        assert injected == probed and probed
+    # incremental form: verdict probed over the CORPUS-side slice
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    cv = neardup.probe_guard_stats(
+        neardup.hashed_shingles(corpus), df_cap=2
+    )
+    ikey = lambda r: (r.doc_id, r.best_match_id, r.best_jaccard, r.is_duplicate)
+    probed = {
+        ikey(r)
+        for r in neardup.incremental_neardup_check(
+            corpus, incoming, 0.6, df_cap=2
+        ).collect()
+    }
+    injected = {
+        ikey(r)
+        for r in neardup.incremental_neardup_check(
+            corpus, incoming, 0.6, df_cap=2, guard_stats=cv
+        ).collect()
+    }
+    assert injected == probed and probed
+    # non-firing case: clean corpus at the default cap
+    clean = load_table(spark, sf_dir, "documents")
+    off = neardup.probe_guard_stats(neardup.hashed_shingles(clean))
+    assert off[2] is False
+    a = {
+        (r.doc_a, r.doc_b)
+        for r in neardup.ngram_jaccard_pairs(clean, 0.6).collect()
+    }
+    b = {
+        (r.doc_a, r.doc_b)
+        for r in neardup.ngram_jaccard_pairs(
+            clean, 0.6, guard_stats=off
+        ).collect()
+    }
+    assert a == b
+
+
+def test_guard_stats_registry_memo(spark, sf_dir):
+    """_guard_stats_for memoizes the verdict per (snapshot, slice) and
+    clear_model_caches drops it; the memoized verdict equals a direct
+    operator-level probe of the same slice."""
+    from pyspark.sql import functions as F
+
+    from snowflake_to_bq_pipeline_spark import registry
+
+    registry.clear_model_caches()
+    v1 = registry._guard_stats_for(spark, sf_dir)
+    assert v1 == registry._guard_stats_for(spark, sf_dir)  # warm hit
+    assert len(registry._GUARD_STATS_CACHE) >= 1
+    direct = neardup.probe_guard_stats(registry._shingles_for(spark, sf_dir))
+    assert v1 == direct
+    vc = registry._guard_stats_for(spark, sf_dir, corpus_only=True)
+    direct_c = neardup.probe_guard_stats(
+        registry._shingles_for(spark, sf_dir).filter(
+            F.col("doc_id") % 5 != 0
+        )
+    )
+    assert vc == direct_c
+    registry.clear_model_caches()
+    assert len(registry._GUARD_STATS_CACHE) == 0
+
+
 def test_df_guard_tiny_doc_exemption_catches_hot_only_pair(spark):
     """Adversarial case for the exemption rule: two tiny docs whose ONLY
     overlap is the hot shingle itself. Pruning without the size
