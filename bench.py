@@ -160,6 +160,26 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             ts.append(round(time.perf_counter() - t0, 3))
+        # Stall-window guard (r15, additive): this VM exhibits recurring
+        # multi-second stall windows; when all N reps land inside one,
+        # the rep series is still strictly descending at rep N and
+        # best-of-N records a number that never reached steady state
+        # (r14: cross_source_ngram_overlap [8.76, 5.85, 3.88]).  Extend
+        # the series — only while the LAST rep is both the minimum and
+        # still >=5% below the previous rep — up to $BENCH_MAX_REPS
+        # (default 6) total, so the recorded best is a warm steady-state
+        # number.  Flat or rebounding series never extend, and the
+        # cold_best capture below still reads ts[0].
+        max_reps = max(reps, int(os.environ.get("BENCH_MAX_REPS", "6")))
+        while (
+            reps >= 2
+            and len(ts) < max_reps
+            and ts[-1] == min(ts)
+            and ts[-1] < 0.95 * ts[-2]
+        ):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ts.append(round(time.perf_counter() - t0, 3))
         bests[name] = min(ts)
         all_reps[name] = ts
         if name in carrier_queries and reps >= 2:

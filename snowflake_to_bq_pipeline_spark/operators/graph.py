@@ -57,6 +57,19 @@ ITERS = 1
 #: reached a fixed point (pathological diameters); each costs one count job.
 MAX_EXTRA_ROUNDS = 15
 
+#: Small-graph fast path (r15): near-dup pair worklists are tiny relative
+#: to the corpus (the pair GENERATORS bound them), but the distributed
+#: resolve still costs 4-6 Spark jobs (propagate joins + verified-round
+#: counts + lineage cuts) — ~1-3s of pure dispatch on a worklist of a few
+#: hundred edges. Up to this many edges, ONE bounded collect + a driver
+#: union-find computes the identical exact min-label components
+#: (O(edges α(n)) time, O(nodes) driver memory — ~100k longs at the cap,
+#: within the repo's documented bounded-driver-state contracts). Larger
+#: graphs take the distributed path unchanged; the probe is one
+#: limit-pushed collect, so at scale it reads the first cap+1 edges and
+#: stops.
+SMALL_CC_MAX_EDGES = 100_000
+
 
 def _propagate(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """One min-label round: neighborhood min, then pointer jump."""
@@ -103,6 +116,46 @@ def connected_components(
     The check counts over the (tiny) label set, not the raw corpus.
     """
     fwd = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Small-graph fast path: exact same labeling, one job instead of 4-6.
+    head = fwd.limit(SMALL_CC_MAX_EDGES + 1).collect()
+    if len(head) <= SMALL_CC_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in head:
+            a, b = row["src"], row["dst"]
+            for n in (a, b):
+                if n not in parent:
+                    parent[n] = n
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        roots: dict = {}
+        for n in parent:
+            r = find(n)
+            m = roots.get(r)
+            if m is None or n < m:
+                roots[r] = n
+        rows = [(n, roots[find(n)]) for n in parent]
+        from pyspark.sql import types as T
+
+        dt = pairs.schema[src_col].dataType
+        return pairs.sparkSession.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("node", dt, False),
+                    T.StructField("label", dt, False),
+                ]
+            ),
+        )
     edges = _cut_lineage(
         fwd.union(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -306,6 +306,16 @@ def _df_guard_pair_table(
     hot_hashes, n_exempt = _df_guard_probe(
         df_tab, sizes, "sz", cap, exempt_sz
     )
+    if len(hot_hashes) > n_hot_ub:
+        # Contract breach under injection (r15, ADVICE): ``n_over_thr``
+        # counts df > the MIN-POSSIBLE cap, so an honest probe of THIS
+        # index always upper-bounds the df > cap hot list collected
+        # here; a smaller injected bound (verdict probed over a
+        # different slice / df_cap than ``sh``) would shrink exempt_sz
+        # and silently drop hot-only pairs.  Degrade to the exact naive
+        # plan instead of producing wrong output — the probed path can
+        # never trip this (same job produced both numbers).
+        return None
     is_hot = F.col("__h").isin(hot_hashes)
     cold, hot = sh.filter(~is_hot), sh.filter(is_hot)
 
@@ -1388,35 +1398,31 @@ def source_ngram_overlap(
             ),
         )
     )
-    # ONE consumer pass over per_h (r14): the pair rows and the
-    # per-source singleton rows ride the same explode — source_b NULL
-    # marks a singleton — so the corpus-scale shingle join + collect_set
-    # aggregate executes exactly once per call.  The r13 shape ran it
-    # twice (separate `inter` and `sizes` aggregates; Spark reuses no
-    # exchange between them), and a MEMORY_AND_DISK persist of per_h
-    # measured SLOWER than the double compute at sf0.1 (cache write +
-    # pre-AQE layout pinning) — folding both rollups into one explode
-    # beats both.  Fan-out per shingle stays bounded: C(s,2) + s rows.
-    singles = F.transform(
-        a,
-        lambda x: F.struct(
-            x.alias("source_a"), F.lit(None).cast("string").alias("source_b")
-        ),
-    )
-    counts = (
-        per_h.select(F.explode(F.concat(pairs, singles)).alias("p"))
+    # TWO consumer passes over per_h (r15 revert of the r14 one-pass
+    # fold): the r14 shape rode pair structs and singleton structs
+    # through ONE explode + groupBy + a persisted counts split, so the
+    # corpus-scale collect_set aggregate executed once — but an
+    # interleaved same-session A/B at sf0.1 (6 reps each, identical
+    # output) measured the fold consistently SLOWER (one-pass best
+    # 1.62s / median ~2.0 vs two-pass best 1.27s / median ~1.4): the
+    # concat-explode + persist layer costs more than re-running the
+    # join+aggregate over the already-persisted shingle memo, and the
+    # r14 bench's same-day regression on this query
+    # ([8.76, 5.85, 3.88] reps) was adjudicated REAL, not VM noise.
+    # Scale note: at 100 TB, re-deriving per_h twice from a NON-cached
+    # shingle table would be the wrong trade — there the right shape is
+    # this one with per_h persisted (a one-line change at the seam
+    # below); at bench scale the persist itself measured slower (r14
+    # note: cache write + pre-AQE layout pinning).
+    inter = (
+        per_h.select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.source_a"), F.col("p.source_b"))
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
     )
-    from ._cache import swap_cache
-
-    # Tiny (<= |sources|^2 rows) but consumed twice below — persist so
-    # the corpus pass doesn't re-execute for the sizes split.
-    counts = swap_cache("source_ngram_overlap_counts", counts)
-    inter = counts.filter(F.col("source_b").isNotNull())
-    sizes = counts.filter(F.col("source_b").isNull()).select(
-        F.col("source_a").alias("source"),
-        F.col("shared_shingles").alias("sz"),
+    sizes = (
+        per_h.select(F.explode(a).alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sz"))
     )
     shared = F.col("shared_shingles")
     union_sz = F.col("size_a") + F.col("size_b") - shared

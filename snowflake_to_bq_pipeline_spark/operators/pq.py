@@ -26,9 +26,46 @@ functions of the data — no RNG anywhere.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _check_injected_codes(
+    codes: DataFrame, m: int, k_codes: int, what: str
+) -> None:
+    """Debug-mode guard on the caller-injected standing-index contract
+    (r15): ``codes``/``coded`` must be the encoding UNDER the supplied
+    model — same M (code-array width) and same K (codebook size).  A
+    mismatched pair silently scores garbage (zip_with pads with nulls /
+    element_at reads the wrong LUT slice), so when
+    ``$SPARK_GRAFT_DEBUG_CONTRACTS`` is set, one bounded aggregate
+    verifies the cheap structural half of the contract and raises
+    ``ValueError`` on breach.  Off by default: the production callers
+    (the registry memos) build codes and model as one unit."""
+    if not os.environ.get("SPARK_GRAFT_DEBUG_CONTRACTS"):
+        return
+    row = codes.agg(
+        F.min(F.size("codes")).alias("m_min"),
+        F.max(F.size("codes")).alias("m_max"),
+        F.max(F.array_max("codes")).alias("c_max"),
+        F.min(F.array_min("codes")).alias("c_min"),
+    ).head()
+    if row is None or row["m_min"] is None:
+        return
+    if row["m_min"] != m or row["m_max"] != m:
+        raise ValueError(
+            f"{what}: injected codes width {row['m_min']}..{row['m_max']}"
+            f" != model M={m} — codes are not the encoding under this model"
+        )
+    if row["c_min"] < 0 or row["c_max"] >= k_codes:
+        raise ValueError(
+            f"{what}: injected code values span [{row['c_min']},"
+            f" {row['c_max']}] outside the model's codebook range"
+            f" [0, {k_codes})"
+        )
 
 #: Number of subspaces (codes per vector).
 M_SUBSPACES = 8
@@ -161,6 +198,10 @@ def pq_topk(
     sub_d = codebooks.shape[2]
     if codes is None:
         codes = pq_encode(embeddings, codebooks)
+    else:
+        _check_injected_codes(
+            codes, int(codebooks.shape[0]), int(codebooks.shape[1]), "pq_topk"
+        )
 
     q = (
         embeddings.filter(query_pred)
@@ -429,6 +470,8 @@ def ivfpq_topk(
     m, k_codes, sub_d = books.shape
     if coded is None:
         coded = ivfpq_encode(embeddings, cmat, books)
+    else:
+        _check_injected_codes(coded, int(m), int(k_codes), "ivfpq_topk")
 
     # Per-(query, probed list) LUT + bias rows — O(n_queries × n_probe).
     q = (

@@ -47,6 +47,35 @@ def _vectors(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _cent_rows(cents) -> list[tuple[int, list[float]]]:
+    """Driver-side (cent_id, ce) rows of a centroid model, sorted by id.
+
+    The k-means model is O(n_centroids) driver state; callers that hold
+    it as rows already (the registry's _ModelMemo) pass the list and pay
+    ZERO Spark jobs here — a ``cents.collect()`` of even a 16-row local
+    relation costs a full job dispatch (~0.3-0.4s measured at r15),
+    which every ANN probe was paying per plan build."""
+    if isinstance(cents, DataFrame):
+        return sorted(
+            ((int(r["cent_id"]), list(r["ce"])) for r in cents.collect()),
+            key=lambda r: r[0],
+        )
+    return sorted(
+        ((int(c), list(v)) for c, v in cents), key=lambda r: r[0]
+    )
+
+
+def _cent_df(spark, cents) -> DataFrame:
+    """Centroid model as a DataFrame (for the operators that join or
+    broadcast it); a row-list model materializes as one local relation."""
+    if isinstance(cents, DataFrame):
+        return cents
+    return spark.createDataFrame(
+        [(int(c), list(v)) for c, v in cents],
+        "cent_id long, ce array<double>",
+    )
+
+
 def _ivf_score_candidates(cand: DataFrame) -> DataFrame:
     """Arrow-batched rowwise cosine over IVF candidate pairs
     (query_id, qe, vec_id, e) -> (query_id, neighbor_id, cosine).
@@ -474,7 +503,7 @@ def dup_pairs(
 
 
 def _assign(
-    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, keep: int
+    df: DataFrame, cents, id_col: str, vec_col: str, keep: int
 ) -> DataFrame:
     """Attach each row's ``keep`` nearest centroids.
 
@@ -490,9 +519,9 @@ def _assign(
     import numpy as np
     import pandas as pd
 
-    crows = sorted(cents.collect(), key=lambda r: r.cent_id)
-    cids = np.array([r.cent_id for r in crows], dtype=np.int64)
-    cmat = np.array([r.ce for r in crows], dtype=np.float64)
+    crows = _cent_rows(cents)
+    cids = np.array([c for c, _ in crows], dtype=np.int64)
+    cmat = np.array([v for _, v in crows], dtype=np.float64)
     cnorm = cmat / np.sqrt((cmat * cmat).sum(axis=1, keepdims=True))
     n_keep = min(keep, len(cids))
 
@@ -574,7 +603,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 6,
     train_iters: int = 3,
-    centroids: DataFrame | None = None,
+    centroids: "DataFrame | list | None" = None,
     assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: k-means inverted lists; queries probe the ``n_probe``
@@ -639,7 +668,7 @@ def ivf_incremental_topk(
     n_centroids: int = 16,
     n_probe: int = 6,
     train_iters: int = 3,
-    centroids: DataFrame | None = None,
+    centroids: "DataFrame | list | None" = None,
     assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN over an INCREMENTED corpus without retraining — daily
@@ -707,7 +736,7 @@ def ivf_incremental_topk(
 def ivf_list_drift(
     embeddings: DataFrame,
     increment_pred: Column,
-    centroids: DataFrame,
+    centroids: "DataFrame | list",
     assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Per-list maintenance report for an incrementally-maintained IVF
@@ -730,6 +759,7 @@ def ivf_list_drift(
     )
     if assigned is None:
         assigned = _assign(v, centroids, "vec_id", "e", 1)
+    centroids = _cent_df(embeddings.sparkSession, centroids)
     assigned = (
         assigned.join(flags, "vec_id")
         .join(F.broadcast(centroids), "cent_id")
@@ -761,7 +791,7 @@ def kmeans_clusters(
     embeddings: DataFrame,
     n_clusters: int = 16,
     n_iters: int = 3,
-    centroids: DataFrame | None = None,
+    centroids: "DataFrame | list | None" = None,
     assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Topical document clustering: final k-means assignments + sizes.
@@ -777,7 +807,7 @@ def kmeans_clusters(
     """
     v = _vectors(embeddings)
     cents = (
-        centroids
+        _cent_df(embeddings.sparkSession, centroids)
         if centroids is not None
         else train_centroids(v, n_clusters, n_iters)
     )
@@ -980,7 +1010,7 @@ def semdedup_prune(
     n_clusters: int = 8,
     tau: float = 0.3,
     n_iters: int = 3,
-    centroids: DataFrame | None = None,
+    centroids: "DataFrame | list | None" = None,
     max_cell_rows: int = SEMDEDUP_CELL_ROWS,
     assigned: DataFrame | None = None,
 ) -> DataFrame:
@@ -1059,6 +1089,54 @@ def semdedup_prune(
     )
 
 
+def ivf_probe_scored(
+    embeddings: DataFrame,
+    query_pred: Column,
+    centroids: "DataFrame | list",
+    assigned: DataFrame,
+    max_probe: int,
+) -> DataFrame:
+    """The recall ladder's probe-scored candidate table
+    (query_id, probe_rank, neighbor_id, cosine): every query × every
+    vector in its ``max_probe`` nearest lists, scored with the exact JVM
+    ``_cosine`` (the same fold the brute-force ground truth uses, so the
+    full-probe rung ties break identically and recall is exactly 1.0
+    there).  A pure function of (snapshot, model, query_pred,
+    max_probe) — the registry persists it per snapshot
+    (``_recall_scored_for``) so repeated ladder queries skip the
+    candidate-scoring fill, the same standing-index posture as
+    ``assigned`` itself."""
+    v = _vectors(embeddings)
+    centroids = _cent_df(embeddings.sparkSession, centroids)
+    q = v.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), "cent_id"
+    )
+    probe_lists = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qe",
+            "cent_id",
+            _cosine(F.col("qe"), F.col("ce")).alias("__csim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .where(F.col("probe_rank") <= max_probe)
+    )
+    return (
+        probe_lists.join(assigned, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "probe_rank",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qe"), F.col("e")).alias("cosine"),
+        )
+    )
+
+
 def ivf_recall_curve(
     embeddings: DataFrame,
     query_pred: Column,
@@ -1066,9 +1144,10 @@ def ivf_recall_curve(
     n_centroids: int = 16,
     probes: tuple[int, ...] = (1, 2, 4, 8, 16),
     train_iters: int = 3,
-    centroids: DataFrame | None = None,
+    centroids: "DataFrame | list | None" = None,
     assigned: DataFrame | None = None,
     exact: DataFrame | None = None,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """IVF tuning curve: recall@k against brute force for a ladder of
     ``n_probe`` settings of the SAME trained index — the ANN twin of
@@ -1090,6 +1169,13 @@ def ivf_recall_curve(
     (e.g. the ann_cosine_topk result the registry already memoizes —
     the ground truth is that query's exact output, so recomputing it
     here would double the curve's dominant brute-force cost).
+    ``scored`` reuses a precomputed :func:`ivf_probe_scored` table for
+    the SAME (embeddings, query_pred, centroids, assigned) with
+    ``max_probe`` >= this call's clamped ``probes[-1]`` (the registry's
+    per-snapshot memo probes every list, so any ladder is a prefix) —
+    skipping the per-call candidate-scoring fill, which was the
+    ladder's remaining dominant cost once ground truth and assignment
+    were standing.
     """
     from ._cache import swap_cache
 
@@ -1110,7 +1196,12 @@ def ivf_recall_curve(
     # is a caller bug and still raises.
     if not probes or probes[0] < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
-    n_lists = cents.count()
+    # A row-list model (the registry memo) knows its size driver-side;
+    # only a DataFrame model pays the count job (r15: that one job on a
+    # 16-row local relation measured ~0.4s of pure dispatch per call).
+    n_lists = (
+        len(cents) if not isinstance(cents, DataFrame) else cents.count()
+    )
     if probes[-1] > n_lists:
         probes = tuple(p for p in probes if p <= n_lists)
         if not probes:
@@ -1133,34 +1224,18 @@ def ivf_recall_curve(
         exact = exact.select("query_id", "neighbor_id")
     if assigned is None:
         assigned = _assign(v, cents, "vec_id", "e", 1)
-    q = v.filter(query_pred).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("__csim").desc(), "cent_id"
-    )
-    probe_lists = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id",
-            "qe",
-            "cent_id",
-            _cosine(F.col("qe"), F.col("ce")).alias("__csim"),
+    if scored is None:
+        scored = swap_cache(
+            "ivf_recall_scored",
+            ivf_probe_scored(
+                embeddings, query_pred, cents, assigned, probes[-1]
+            ),
         )
-        .withColumn("probe_rank", F.row_number().over(wq))
-        .where(F.col("probe_rank") <= probes[-1])
-    )
-    scored = swap_cache(
-        "ivf_recall_scored",
-        probe_lists.join(assigned, "cent_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "probe_rank",
-            F.col("vec_id").alias("neighbor_id"),
-            _cosine(F.col("qe"), F.col("e")).alias("cosine"),
-        ),
-    )
+    else:
+        # caller-supplied standing candidate table (may carry rungs past
+        # this ladder's clamp — a prefix filter keeps the contract tight
+        # and is a no-op for the registry's probes-every-list memo)
+        scored = scored.where(F.col("probe_rank") <= probes[-1])
     totals = exact.agg(
         F.count(F.lit(1)).alias("possible"),
         F.countDistinct("query_id").alias("n_queries"),

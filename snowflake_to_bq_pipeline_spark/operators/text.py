@@ -892,19 +892,63 @@ def chunk_vectors(
         "chunk_text",
     )
 
-    def run(batches: Iterator) -> Iterator:
-        import pandas as pd
+    if encoder is None:
+        # Default-encoder fast path (r15, guide §4.2): the stub encoder
+        # loops over every BYTE of every chunk in interpreted Python —
+        # O(corpus bytes) of pure-Python adds per encode pass, and the
+        # IVF train/assign family runs several passes over this table.
+        # One numpy bincount over the batch's concatenated bytes
+        # (row_idx * dims + byte % dims) computes every histogram at
+        # once. Bitwise-identical to the per-row path: counts are exact
+        # small integers, the norm is a sum of exact integer squares
+        # (order-independent below 2^53), and the final divide/sqrt are
+        # the same IEEE ops — pinned by
+        # tests/test_chunk_ann.py::test_default_encoder_batch_equals_scalar.
+        def run(batches: Iterator) -> Iterator:
+            import numpy as np
+            import pandas as pd
 
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": [
-                        enc(t.encode("utf-8"), dims)
-                        for t in pdf["chunk_text"]
-                    ],
-                }
-            )
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                ebytes = [t.encode("utf-8") for t in pdf["chunk_text"]]
+                lens = np.fromiter(
+                    (len(b) for b in ebytes), dtype=np.int64, count=n
+                )
+                hist = np.zeros((n, dims), dtype=np.float64)
+                if lens.sum():
+                    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+                    allb = np.frombuffer(
+                        b"".join(ebytes), dtype=np.uint8
+                    ).astype(np.int64)
+                    hist = np.bincount(
+                        row * dims + (allb % dims), minlength=n * dims
+                    ).astype(np.float64).reshape(n, dims)
+                norms = np.sqrt((hist * hist).sum(axis=1))
+                empty = norms == 0.0
+                hist[empty, 0] = 1.0  # the _default_chunk_encoder empty rule
+                norms[empty] = 1.0
+                out = hist / norms[:, None]
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "embedding": list(out)}
+                )
+
+    else:
+
+        def run(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "embedding": [
+                            enc(t.encode("utf-8"), dims)
+                            for t in pdf["chunk_text"]
+                        ],
+                    }
+                )
 
     return packed.mapInPandas(
         run, schema="vec_id long, embedding array<double>"

@@ -562,8 +562,14 @@ def reporting_lag_analysis(
     # oracle keeps it — exists on both sides and must rejoin. eqNullSafe
     # makes the two-partial split exactly equivalent to one aggregate for
     # ANY input, not just the non-null TPC-H dates.
+    # broadcast (r15, guide §3.1): the contributors side is DATE-grain —
+    # one row per distinct reporting date, bounded by the calendar, not
+    # by data volume — but it hides behind an aggregate of a cached
+    # table, so the planner's estimate balloons and it picked a
+    # SortMergeJoin (plan: 2 extra Exchange + 2 Sort on a ~2.4k-row
+    # join at sf0.1, and a full shuffle of both rollups at any scale).
     return main.join(
-        contributors,
+        F.broadcast(contributors),
         main["reporting_date"].eqNullSafe(contributors["reporting_date"]),
     ).select(
         main["reporting_date"],

@@ -214,8 +214,10 @@ from .section_e_similarity import (  # noqa: F401
     _SUBSTR_W,
     _TFIDF_SIM_TAU,
     _TFIDF_TOPK_CACHE,
+    _RECALL_SCORED_CACHE,
     _assigned_for,
     _brute_topk_for,
+    _recall_scored_for,
     _centroids_for,
     _chunk_index_for,
     _dup_clusters_for,
@@ -603,6 +605,7 @@ _MEMO_HELPERS = (
     "_chunk_index_for",
     "_assigned_for",
     "_brute_topk_for",
+    "_recall_scored_for",
     "_bpe_merges_for",
     "_dsir_weights_for",
     "_unigram_vocab_for",

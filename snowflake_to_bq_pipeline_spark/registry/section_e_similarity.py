@@ -101,22 +101,29 @@ _GUARD_STATS_CACHE = _ModelMemo()
 
 
 def _guard_stats_for(
-    spark: SparkSession, sf_dir: str, corpus_only: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_only: bool = False,
+    df_cap: int | None = None,
 ) -> tuple[int, int, bool]:
     """Memoized :func:`neardup.probe_guard_stats` over the shared shingle
     index (``corpus_only`` probes the doc_id % 5 != 0 corpus-side slice
-    the incremental-dedup query checks against)."""
+    the incremental-dedup query checks against).  ``df_cap`` is part of
+    the memo key because the verdict's ``cap``/``fires`` depend on it
+    (r15, ADVICE): every current call site probes with the default, but
+    a future custom-cap caller must never reuse a default-cap verdict."""
     key = (
         sf_dir,
         _corpus_fingerprint(sf_dir, "documents"),
         bool(corpus_only),
+        df_cap,
     )
     v = _GUARD_STATS_CACHE.get(key)
     if v is None:
         sh = _shingles_for(spark, sf_dir)
         if corpus_only:
             sh = sh.filter(F.col("doc_id") % 5 != 0)
-        v = neardup.probe_guard_stats(sh)
+        v = neardup.probe_guard_stats(sh, df_cap)
         _GUARD_STATS_CACHE.put(key, v)
     return v
 
@@ -683,7 +690,7 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         F.col("vec_id") < 10,
         k=5,
-        centroids=_centroids_for(spark, sf_dir, 16),
+        centroids=_centroids_for(spark, sf_dir, 16, as_rows=True),
         assigned=_assigned_for(spark, sf_dir, 16),
     )
     return df.withColumn("rank", F.col("rank").cast("long"))
@@ -712,25 +719,44 @@ def _chunk_index_for(
         _CHUNK_CENTROID_CACHE.clear()
         from pyspark.storagelevel import StorageLevel
 
+        # (r15 note: a fan_out() round-robin exchange before the encode
+        # was measured and REJECTED — the one-task encode pass is only
+        # ~0.8s at sf0.1 and the exchange made it slightly slower; the
+        # cold build's dominant cost is the exact-decimal Lloyd
+        # training below, kept as-is for model determinism.)
         v = text_ops.chunk_vectors(
             load_table(spark, sf_dir, "documents")
         ).select("vec_id", F.col("embedding").alias("e"))
-        cents = similarity.train_centroids(v, 16)
-        rows = [
-            (int(r["cent_id"]), list(r["ce"])) for r in cents.collect()
-        ]
-        _CHUNK_CENTROID_CACHE[key] = rows
-        cents_df = spark.createDataFrame(
-            rows, "cent_id long, ce array<double>"
-        )
-        assigned = similarity._assign(v, cents_df, "vec_id", "e", 1).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        _CHUNK_ASSIGN_CACHE[key] = assigned
-    return (
-        spark.createDataFrame(rows, "cent_id long, ce array<double>"),
-        assigned,
-    )
+        # Build-scoped persist (r15, guide §1.2/§5): Lloyd training runs
+        # an assignment pass per iteration and each pass's centroid
+        # collect re-executed the WHOLE chunk+encode pipeline (the
+        # Python-boundary explode over the full corpus) — 4+ encode
+        # passes per cold build. Encode once, train/assign from the
+        # cached table, then drop it: the standing index keeps only the
+        # persisted `assigned`.
+        v = v.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            cents = similarity.train_centroids(v, 16)
+            rows = [
+                (int(r["cent_id"]), list(r["ce"])) for r in cents.collect()
+            ]
+            _CHUNK_CENTROID_CACHE[key] = rows
+            cents_df = spark.createDataFrame(
+                rows, "cent_id long, ce array<double>"
+            )
+            assigned = similarity._assign(
+                v, cents_df, "vec_id", "e", 1
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            # Materialize the standing index while the encode cache is
+            # live — otherwise the first consumer action would re-run
+            # the encode pass after the unpersist below.
+            assigned.count()
+            _CHUNK_ASSIGN_CACHE[key] = assigned
+        finally:
+            v.unpersist(blocking=False)
+    # rows, not a DataFrame (r15): ivf_topk accepts the driver-side
+    # model directly, skipping a per-call createDataFrame + collect job.
+    return rows, assigned
 
 
 @query("chunk_ann_topk")  # rows-only: ranks by the trained chunk model
@@ -789,7 +815,7 @@ def ann_ivf_incremental_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         increment_pred=F.col("vec_id") % 10 == 0,
         query_pred=F.col("vec_id") < 10,
         k=5,
-        centroids=_centroids_for(spark, sf_dir, 16, exclude_mod=10),
+        centroids=_centroids_for(spark, sf_dir, 16, exclude_mod=10, as_rows=True),
         assigned=_assigned_for(spark, sf_dir, 16, exclude_mod=10),
     ).withColumn("rank", F.col("rank").cast("long"))
 
@@ -804,7 +830,7 @@ def ann_ivf_list_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_list_drift(
         load_table(spark, sf_dir, "embeddings"),
         increment_pred=F.col("vec_id") % 10 == 0,
-        centroids=_centroids_for(spark, sf_dir, 16, exclude_mod=10),
+        centroids=_centroids_for(spark, sf_dir, 16, exclude_mod=10, as_rows=True),
         assigned=_assigned_for(spark, sf_dir, 16, exclude_mod=10),
     )
 
@@ -1675,11 +1701,17 @@ def _centroids_for(
     k: int = 8,
     iters: int = 3,
     exclude_mod: int | None = None,
-) -> DataFrame:
+    as_rows: bool = False,
+):
     """Memoized k-means model over the embeddings snapshot.
     ``exclude_mod`` trains on the BASE subset only (vec_id % mod != 0)
     — the standing model of the incremental-IVF maintenance query,
-    which must NOT have seen the daily increment."""
+    which must NOT have seen the daily increment.  ``as_rows`` returns
+    the memoized driver-side row list itself (r15): the similarity
+    operators accept it directly, skipping both the per-call
+    ``createDataFrame`` and — far costlier — the per-call
+    ``cents.collect()``/``cents.count()`` job a 16-row local relation
+    still dispatches (~0.3-0.4s each, measured)."""
     fp = _corpus_fingerprint(sf_dir, "embeddings")
     rows = _CENTROID_CACHE.get((sf_dir, fp, k, iters, exclude_mod))
     if rows is None:
@@ -1694,6 +1726,8 @@ def _centroids_for(
             for r in similarity.train_centroids(v, k, iters).collect()
         ]
         _CENTROID_CACHE.put((sf_dir, fp, k, iters, exclude_mod), rows)
+    if as_rows:
+        return rows
     return spark.createDataFrame(rows, "cent_id long, ce array<double>")
 
 
@@ -1743,7 +1777,9 @@ def _assigned_for(
         )
         df = similarity._assign(
             v,
-            _centroids_for(spark, sf_dir, k, exclude_mod=exclude_mod),
+            _centroids_for(
+                spark, sf_dir, k, exclude_mod=exclude_mod, as_rows=True
+            ),
             "vec_id",
             "e",
             1,
@@ -1794,7 +1830,7 @@ def kmeans_doc_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_clusters(
         load_table(spark, sf_dir, "embeddings"),
         n_clusters=8,
-        centroids=_centroids_for(spark, sf_dir, 8),
+        centroids=_centroids_for(spark, sf_dir, 8, as_rows=True),
         assigned=_assigned_for(spark, sf_dir, 8),
     )
 
@@ -2604,20 +2640,57 @@ def simhash_hamming_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Standing probe-scored candidate table for the recall ladder
+#: (query_id, probe_rank, neighbor_id, cosine over EVERY list of the
+#: k=16 model): a pure function of (snapshot, model, ladder queries),
+#: and the ladder's remaining dominant per-call cost once ground truth
+#: and assignment were standing (r14 left it as a per-call swap_cache
+#: fill). Same single-live-snapshot lifecycle as _ASSIGN_CACHE; any
+#: probes ladder is a prefix filter of this table.
+_RECALL_SCORED_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _recall_scored_for(
+    spark: SparkSession, sf_dir: str, k_model: int = 16
+) -> DataFrame:
+    fp = _corpus_fingerprint(sf_dir, "embeddings")
+    key = (sf_dir, fp, k_model)
+    df = _RECALL_SCORED_CACHE.get(key)
+    if df is None:
+        for old_key in [
+            o for o in _RECALL_SCORED_CACHE if (o[0], o[1]) != (sf_dir, fp)
+        ]:
+            _RECALL_SCORED_CACHE.pop(old_key).unpersist(blocking=False)
+        from pyspark.storagelevel import StorageLevel
+
+        cents = _centroids_for(spark, sf_dir, k_model, as_rows=True)
+        df = similarity.ivf_probe_scored(
+            load_table(spark, sf_dir, "embeddings"),
+            F.col("vec_id") < 10,
+            cents,
+            _assigned_for(spark, sf_dir, k_model),
+            max_probe=len(cents),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _RECALL_SCORED_CACHE[key] = df
+    return df
+
+
 @query("ann_ivf_recall_curve")  # rows-only: ranks through Spark-side floats
 def ann_ivf_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF n_probe tuning ladder: recall@5 vs brute force for probe
     counts 1..16 of the SAME memoized index — the shared assignment
     memo (no per-query corpus scan), ann_cosine_topk's persisted result
     as the brute-force ground truth (the dominant cost, computed once
-    per snapshot), and one persisted candidate table serve the whole
-    ladder; recall is nondecreasing and exactly 1.0 at full probe
-    (pytest-pinned)."""
+    per snapshot), and the standing probe-scored candidate memo
+    (_recall_scored_for — r15; the per-call fill was the remaining
+    dominant cost) serve the whole ladder; recall is nondecreasing and
+    exactly 1.0 at full probe (pytest-pinned)."""
     return similarity.ivf_recall_curve(
         load_table(spark, sf_dir, "embeddings"),
         F.col("vec_id") < 10,
         k=5,
-        centroids=_centroids_for(spark, sf_dir, 16),
+        centroids=_centroids_for(spark, sf_dir, 16, as_rows=True),
         assigned=_assigned_for(spark, sf_dir, 16),
         exact=_brute_topk_for(spark, sf_dir, k=5),
+        scored=_recall_scored_for(spark, sf_dir, 16),
     )

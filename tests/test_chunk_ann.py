@@ -185,3 +185,28 @@ def test_empty_content_embeds_to_unit_vector_never_nan(spark):
     rows = similarity._ivf_score_candidates(cand).collect()
     assert {r["neighbor_id"]: r["cosine"] for r in rows} == {2: 0.0, 3: 0.0}
     assert not any(math.isnan(r["cosine"]) for r in rows)
+
+
+def test_default_encoder_batch_equals_scalar(spark, sf_dir):
+    """The r15 numpy fast path for the DEFAULT chunk encoder must be
+    bitwise-identical to the per-row Python encoder (counts are exact
+    integers, the norm a sum of exact integer squares, the divide/sqrt
+    the same IEEE ops) — including the empty-content unit-vector rule."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [(10_000_001, "", "s", None, None)],
+            docs.schema,
+        )
+    )
+    fast = {
+        r["vec_id"]: list(r["embedding"])
+        for r in text_ops.chunk_vectors(docs).collect()
+    }
+    slow = {
+        r["vec_id"]: list(r["embedding"])
+        for r in text_ops.chunk_vectors(
+            docs, encoder=text_ops._default_chunk_encoder
+        ).collect()
+    }
+    assert fast == slow and fast

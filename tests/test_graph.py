@@ -53,9 +53,12 @@ def test_edge_direction_irrelevant(spark):
     )
 
 
-def test_reliable_checkpoint_used_when_dir_set(spark, tmp_path):
+def test_reliable_checkpoint_used_when_dir_set(spark, tmp_path, monkeypatch):
     """With a checkpoint dir configured, lineage cuts must go through the
-    fault-tolerant reliable checkpoint, not executor-local blocks."""
+    fault-tolerant reliable checkpoint, not executor-local blocks.
+    (Forces the DISTRIBUTED path — the r15 small-graph driver fast path
+    never cuts lineage because it runs no iterative jobs at all.)"""
+    monkeypatch.setattr(graph, "SMALL_CC_MAX_EDGES", 0)
     sc = spark.sparkContext
     assert sc.getCheckpointDir() is None
     ckpt = str(tmp_path / "ckpt")
@@ -73,3 +76,19 @@ def test_reliable_checkpoint_used_when_dir_set(spark, tmp_path):
         setter = getattr(sc._jsc.sc(), "checkpointDir_$eq")
         setter(sc._jvm.scala.Option.empty())
         assert sc.getCheckpointDir() is None
+
+
+def test_small_graph_fast_path_equals_distributed(spark, monkeypatch):
+    """The r15 driver union-find fast path must produce the identical
+    exact min-label components as the distributed pointer-jumping
+    resolve — same (node, label) set, same schema."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)]
+        + [(100, 101), (101, 102), (102, 100), (7, 3), (500, 500)],
+        "doc_a long, doc_b long",
+    )
+    fast = graph.connected_components(pairs)
+    assert _labels(fast) and fast.schema["node"].dataType.typeName() == "long"
+    monkeypatch.setattr(graph, "SMALL_CC_MAX_EDGES", 0)
+    dist = graph.connected_components(pairs)
+    assert _labels(fast) == _labels(dist)

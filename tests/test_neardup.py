@@ -309,6 +309,36 @@ def test_guard_stats_injected_equals_probed(spark, sf_dir):
     assert a == b
 
 
+def test_guard_stats_mismatched_injection_degrades_to_exact(spark, sf_dir):
+    """Negative path for the injection contract (r15, ADVICE): a verdict
+    whose n_over_thr UNDERCOUNTS the live index's hot set (e.g. probed
+    over a different slice) must not silently shrink the exemption and
+    drop hot-only pairs — the guard detects len(hot_hashes) > n_over_thr
+    and falls back to the exact naive plan, so output stays identical to
+    the honest run."""
+    docs = _hot_phrase_docs(spark, sf_dir)
+    honest = neardup.probe_guard_stats(
+        neardup.hashed_shingles(docs), df_cap=2
+    )
+    assert honest[2] is True and honest[1] >= 1
+    # lie: guard fires but "zero" shingles exceed the min cap
+    lie = (honest[0], 0, True)
+    key = lambda r: (
+        r.doc_a, r.doc_b, r.intersection_size, r.size_a, r.size_b, r.jaccard
+    )
+    truth = {
+        key(r)
+        for r in neardup.ngram_jaccard_pairs(docs, 0.6, df_cap=2).collect()
+    }
+    with_lie = {
+        key(r)
+        for r in neardup.ngram_jaccard_pairs(
+            docs, 0.6, df_cap=2, guard_stats=lie
+        ).collect()
+    }
+    assert with_lie == truth and truth
+
+
 def test_guard_stats_registry_memo(spark, sf_dir):
     """_guard_stats_for memoizes the verdict per (snapshot, slice) and
     clear_model_caches drops it; the memoized verdict equals a direct

@@ -106,3 +106,48 @@ def test_pq_registry_memo_equals_unmemoized(spark, sf_dir):
         tuple(r) for r in QUERIES["ann_pq_topk"](spark, sf_dir).collect()
     }
     assert memo_pq2 == direct_pq
+
+
+def test_injected_codes_contract_debug_check(spark, sf_dir, monkeypatch):
+    """Negative path for the standing-index injection contract (r15):
+    with $SPARK_GRAFT_DEBUG_CONTRACTS set, pq_topk/ivfpq_topk reject
+    injected codes whose shape cannot be the encoding under the supplied
+    model (wrong M width / code values outside the codebook range)
+    instead of silently scoring garbage. A MATCHED pair passes the check
+    and returns the normal result."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 3
+    books = pq.train_codebooks(emb)
+    good = pq.pq_encode(emb, books)
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_CONTRACTS", "1")
+    # matched pair: check passes, result equals the uninjected run
+    ok = pq.pq_topk(emb, pred, k=3, codebooks=books, codes=good)
+    base = pq.pq_topk(emb, pred, k=3)
+    assert {tuple(r) for r in ok.collect()} == {
+        tuple(r) for r in base.collect()
+    }
+    # wrong width: codes truncated to M-1 entries
+    narrow = good.select(
+        "vec_id", F.slice("codes", 1, pq.M_SUBSPACES - 1).alias("codes")
+    )
+    with pytest.raises(ValueError, match="not the encoding under"):
+        pq.pq_topk(emb, pred, k=3, codebooks=books, codes=narrow)
+    # out-of-range code values vs the model's K
+    hot = good.select(
+        "vec_id",
+        F.transform("codes", lambda c: c + F.lit(pq.K_CODES)).alias("codes"),
+    )
+    with pytest.raises(ValueError, match="outside the model's codebook"):
+        pq.pq_topk(emb, pred, k=3, codebooks=books, codes=hot)
+    # ivfpq rides the same check
+    model = pq.train_ivfpq_model(emb)
+    coded = pq.ivfpq_encode(emb, *model)
+    bad = coded.select(
+        "vec_id",
+        "cent_id",
+        F.slice("codes", 1, pq.M_SUBSPACES - 1).alias("codes"),
+    )
+    with pytest.raises(ValueError, match="not the encoding under"):
+        pq.ivfpq_topk(emb, pred, k=3, model=model, coded=bad)
