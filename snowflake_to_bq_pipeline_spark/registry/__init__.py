@@ -348,67 +348,25 @@ def clear_model_caches() -> None:
 
 _WINDOW_ORDER = [
     # -- DRIVER WINDOW (first 50): the driver hash-checks only these --
-    # r14 rotation (verdict ask #1): the NEW/changed oracle queries first
-    # (span_cut_rollup — the ExactSubstr span-CUT accounting;
-    # substring_dup_spans — promoted to oracle-gated, the span set being
-    # hash-independent and SQL-derivable; incremental_span_check — the
-    # new daily-increment span probe), then the 45 r11-vintage
-    # longest-unchecked queries the verdict names, then 2 of the
-    # alphabetically-first r12-vintage fills to reach slot 50
-    # (budget_fallback_allocation onward are first in line for r15).
-    "span_cut_rollup",
-    "substring_dup_spans",
-    "incremental_span_check",
-    "backfill_progress",
-    "boilerplate_phrase_profile",
-    "bom_per_case_consumption",
-    "char_entropy_score",
-    "charlm_perplexity",
-    "chunked_backfill_plan",
-    "click_attribution",
-    "column_value_drift",
-    "cross_split_contamination",
-    "customer_revenue_deciles",
-    "dataset_split_assign",
-    "dedup_cluster_size_histogram",
-    "embedding_dup_pairs",
-    "error_window_events",
-    "event_session_stats",
-    "event_sessions",
-    "events_windowed_counts",
-    "freshness_check",
-    "incremental_agg_maintenance",
-    "incremental_dedup_check",
-    "lang_id",
-    "monthly_hours_pivot",
-    "near_dup_rate_by_source",
-    "pii_redaction",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_supplier_volume",
-    "q6_forecast_revenue",
-    "quality_filter_funnel",
+    # r15 rotation: the 11 oracle-gated queries whose engine code path
+    # changed this round first (reporting_lag broadcast; the overlap
+    # two-pass revert; every consumer of the CC small-graph fast path;
+    # the guard-verdict df_cap key consumers), then the r12-vintage
+    # longest-unchecked fills the r14 rotation queued up
+    # (budget_fallback_allocation onward) to reach slot 50.
     "reporting_lag_analysis",
-    "row_count_by_day",
-    "row_count_compare",
-    "source_mix_weights",
-    "stratified_sample_mix",
-    "text_quality_score",
-    "text_stats",
-    "tfidf_top_terms",
-    "user_activity_trend",
-    "user_running_totals",
-    "vocab_top_k",
-    "volume_anomaly",
-    "volume_anomaly_dow",
-    "work_item_enriched",
-    "alert_digest",
-    "ann_cosine_topk",
+    "cross_source_ngram_overlap",
+    "dedup_provenance_rollup",
+    "dedup_clusters",
+    "dedup_cluster_size_histogram",
+    "dedup_savings_report",
+    "dataset_split_assign_cluster_safe",
+    "split_leakage_compare",
+    "incremental_dedup_check",
+    "ngram_jaccard_dups",
+    "ngram_containment_dups",
     "budget_fallback_allocation",
     "budget_vs_actual",
-    "dedup_provenance_rollup",
     "classifier_gate_funnel",
     "quality_classifier_scores",
     "quality_classifier_report",
@@ -430,7 +388,6 @@ _WINDOW_ORDER = [
     "merge_upsert",
     "missing_records",
     "multivariate_anomaly",
-    "ngram_jaccard_dups",
     "open_orders_by_day",
     "orphaned_records",
     "pack_fill_summary",
@@ -447,6 +404,53 @@ _WINDOW_ORDER = [
     "snapshot_changelog",
     "source_language_mix",
     "source_mix_temperature",
+    "span_cut_rollup",
+    "substring_dup_spans",
+    "incremental_span_check",
+    "backfill_progress",
+    "boilerplate_phrase_profile",
+    "bom_per_case_consumption",
+    "char_entropy_score",
+    "charlm_perplexity",
+    "chunked_backfill_plan",
+    "click_attribution",
+    "column_value_drift",
+    "cross_split_contamination",
+    "customer_revenue_deciles",
+    "dataset_split_assign",
+    "embedding_dup_pairs",
+    "error_window_events",
+    "event_session_stats",
+    "event_sessions",
+    "events_windowed_counts",
+    "freshness_check",
+    "incremental_agg_maintenance",
+    "lang_id",
+    "monthly_hours_pivot",
+    "near_dup_rate_by_source",
+    "pii_redaction",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q6_forecast_revenue",
+    "quality_filter_funnel",
+    "row_count_by_day",
+    "row_count_compare",
+    "source_mix_weights",
+    "stratified_sample_mix",
+    "text_quality_score",
+    "text_stats",
+    "tfidf_top_terms",
+    "user_activity_trend",
+    "user_running_totals",
+    "vocab_top_k",
+    "volume_anomaly",
+    "volume_anomaly_dow",
+    "work_item_enriched",
+    "alert_digest",
+    "ann_cosine_topk",
     "stale_snapshot_audit",
     "substring_dup_profile",
     "sync_date_dedup",
@@ -455,14 +459,9 @@ _WINDOW_ORDER = [
     "view_variance_detection",
     "doc_chunk_windows",
     "zipf_slope_by_source",
-    "cross_source_ngram_overlap",
     "event_interarrival_profile",
     "dup_pair_similarity_histogram",
-    "dataset_split_assign_cluster_safe",
-    "split_leakage_compare",
-    "dedup_clusters",
     "dedup_latest_record",
-    "dedup_savings_report",
     "dedup_token_savings_by_source",
     "distribution_drift_psi",
     "doc_novelty_profile",
@@ -476,7 +475,6 @@ _WINDOW_ORDER = [
     "gopher_quality_rules",
     "group_percentiles_exact",
     "length_curriculum_buckets",
-    "ngram_containment_dups",
     "q10_returned_items",
     "q11_important_parts",
     "q12_priority_shipping",
@@ -545,16 +543,23 @@ assert len(_WINDOW_ORDER) == len(set(_WINDOW_ORDER)), "duplicate names"
 #: Names whose engine code is new or changed THIS round: each needs a fresh
 #: driver hash verdict, so each must sit inside the 50-slot window.  Update
 #: this set whenever a round touches a query's plan or oracle.
-# r14: three ⊕ span-family entries — span_cut_rollup (the NEW
-# ExactSubstr span-CUT accounting), substring_dup_spans (PROMOTED from
-# rows-only to oracle-gated late r14: the span set is hash-independent,
-# so the DuckDB diagonal-runs chain emits the span rows themselves), and
-# incremental_span_check (NEW — the daily-increment probe, same oracle
-# family). All three hold window slots 1-3.
+# r15: the 11 oracle-gated queries whose engine code path changed this
+# round — reporting_lag_analysis (broadcast join), cross_source_ngram_
+# overlap (two-pass revert), the _dup_clusters_for/_sem_groups_for
+# consumers riding the CC small-graph fast path, and the guard-verdict
+# consumers whose memo key gained df_cap. All hold window slots 1-11.
 _WINDOW_CRITICAL = {
-    "span_cut_rollup",
-    "substring_dup_spans",
-    "incremental_span_check",
+    "reporting_lag_analysis",
+    "cross_source_ngram_overlap",
+    "dedup_provenance_rollup",
+    "dedup_clusters",
+    "dedup_cluster_size_histogram",
+    "dedup_savings_report",
+    "dataset_split_assign_cluster_safe",
+    "split_leakage_compare",
+    "incremental_dedup_check",
+    "ngram_jaccard_dups",
+    "ngram_containment_dups",
 }
 
 assert all(_WINDOW_ORDER.index(n) < 50 for n in _WINDOW_CRITICAL), (
